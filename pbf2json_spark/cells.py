@@ -1,0 +1,189 @@
+"""H3/S2-style hierarchical cell index — pure numpy + pure Column math.
+
+No h3/s2 libraries exist in the environment, so this is an original,
+self-contained quadtree ("Z-order / Morton") cell scheme over WGS84:
+
+  cell_id (int64) = (res << 52) | interleave(x, y)
+  x = floor((lon+180)/360 * 2^res), y = floor((lat+90)/180 * 2^res)
+  res in [0, 26]  (res 26 ≈ 0.6 m at the equator)
+
+Two implementations, same bit layout:
+  * Column-native (`cell_col`) — pure JVM bit arithmetic, stays inside
+    WholeStageCodegen; this is the hot path for tile assignment at 100 TB
+    (no Python crossing at all).
+  * numpy (`encode/decode/...`) — for driver-side ring/neighbor generation,
+    pandas-UDF kernels, and cross-checking the Column path in tests.
+
+Plays the role the reference's bbox containment plays (insideBBox with 0.01°
+slack, pbf2json.go:20,779-784) but as a proper spatial partition key: equal
+cells → hash-partitionable, ranges → prefix prunable, neighbors → computable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MAX_RES = 26
+_RES_SHIFT = 52
+
+_MASKS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+# --- numpy side ---------------------------------------------------------------
+
+
+def _spread(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.uint64)
+    for shift, mask in _MASKS:
+        v = (v | (v << np.uint64(shift))) & np.uint64(mask)
+    return v
+
+
+def _compact(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.uint64) & np.uint64(0x5555555555555555)
+    for shift, mask in (
+        (1, 0x3333333333333333),
+        (2, 0x0F0F0F0F0F0F0F0F),
+        (4, 0x00FF00FF00FF00FF),
+        (8, 0x0000FFFF0000FFFF),
+        (16, 0x00000000FFFFFFFF),
+    ):
+        v = (v | (v >> np.uint64(shift))) & np.uint64(mask)
+    return v
+
+
+def xy(lats: np.ndarray, lons: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]:
+    n = 1 << res
+    x = np.floor((np.asarray(lons, dtype=np.float64) + 180.0) / 360.0 * n).astype(np.int64)
+    y = np.floor((np.asarray(lats, dtype=np.float64) + 90.0) / 180.0 * n).astype(np.int64)
+    return np.clip(x, 0, n - 1), np.clip(y, 0, n - 1)
+
+
+def encode(lats: np.ndarray, lons: np.ndarray, res: int) -> np.ndarray:
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    x, y = xy(lats, lons, res)
+    m = _spread(x) | (_spread(y) << np.uint64(1))
+    return ((np.uint64(res) << np.uint64(_RES_SHIFT)) | m).astype(np.int64)
+
+
+def decode(cells: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """cell ids → (res, x, y)."""
+    c = np.asarray(cells, dtype=np.int64).astype(np.uint64)
+    res = (c >> np.uint64(_RES_SHIFT)).astype(np.int64)
+    m = c & np.uint64((1 << _RES_SHIFT) - 1)
+    return res, _compact(m).astype(np.int64), _compact(m >> np.uint64(1)).astype(np.int64)
+
+
+def from_xy(x: np.ndarray, y: np.ndarray, res: int) -> np.ndarray:
+    m = _spread(np.asarray(x, dtype=np.int64)) | (
+        _spread(np.asarray(y, dtype=np.int64)) << np.uint64(1)
+    )
+    return ((np.uint64(res) << np.uint64(_RES_SHIFT)) | m).astype(np.int64)
+
+
+def cell_center(cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    res, x, y = decode(cells)
+    n = (1 << res).astype(np.float64)
+    lon = (x + 0.5) / n * 360.0 - 180.0
+    lat = (y + 0.5) / n * 180.0 - 90.0
+    return lat, lon
+
+
+def cell_bounds(cells: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(lat_min, lon_min, lat_max, lon_max) per cell."""
+    res, x, y = decode(cells)
+    n = (1 << res).astype(np.float64)
+    lon_min = x / n * 360.0 - 180.0
+    lat_min = y / n * 180.0 - 90.0
+    return lat_min, lon_min, lat_min + 180.0 / n, lon_min + 360.0 / n
+
+
+def cell_polygon(cell: int) -> list[tuple[float, float]]:
+    """Closed ring (lat, lon) of one cell — raster→vector reconstruction."""
+    lat0, lon0, lat1, lon1 = (float(v[0]) for v in cell_bounds(np.array([cell])))
+    return [(lat0, lon0), (lat0, lon1), (lat1, lon1), (lat1, lon0), (lat0, lon0)]
+
+
+def parent(cells: np.ndarray, parent_res: int) -> np.ndarray:
+    res, x, y = decode(cells)
+    shift = res - parent_res
+    if np.any(shift < 0):
+        raise ValueError("parent_res must be <= cell res")
+    return from_xy(x >> shift, y >> shift, parent_res)
+
+
+def children(cell: int) -> np.ndarray:
+    res, x, y = decode(np.array([cell]))
+    r, x, y = int(res[0]) + 1, int(x[0]) << 1, int(y[0]) << 1
+    xs = np.array([x, x + 1, x, x + 1])
+    ys = np.array([y, y, y + 1, y + 1])
+    return from_xy(xs, ys, r)
+
+
+def disk(cells: np.ndarray, k: int) -> np.ndarray:
+    """All cells within Chebyshev distance k of each input cell, per row →
+    (len(cells), (2k+1)^2) matrix. Longitude wraps; latitude clamps (cells
+    beyond the pole repeat the edge row and are deduplicated by the caller's
+    join)."""
+    res, x, y = decode(np.asarray(cells))
+    n = (1 << res).astype(np.int64)
+    d = np.arange(-k, k + 1)
+    dx = np.repeat(d, 2 * k + 1)
+    dy = np.tile(d, 2 * k + 1)
+    gx = np.mod(x[:, None] + dx[None, :], n[:, None])
+    gy = np.clip(y[:, None] + dy[None, :], 0, (n - 1)[:, None])
+    out = np.empty(gx.shape, dtype=np.int64)
+    for r in np.unique(res):
+        m = res == r
+        out[m] = from_xy(gx[m].ravel(), gy[m].ravel(), int(r)).reshape(gx[m].shape)
+    return out
+
+
+def ring(cell: int, k: int) -> np.ndarray:
+    """Cells at exactly Chebyshev distance k (the expansion frontier)."""
+    if k == 0:
+        return np.array([cell], dtype=np.int64)
+    full = disk(np.array([cell]), k)[0]
+    inner = disk(np.array([cell]), k - 1)[0]
+    return np.setdiff1d(full, inner)
+
+
+# --- Column side (pure JVM bit math — no Python in the hot path) --------------
+
+
+def _spread_col(c: Column) -> Column:
+    for shift, mask in _MASKS:
+        c = (c.bitwiseOR(F.shiftleft(c, shift))).bitwiseAND(F.lit(mask))
+    return c
+
+
+def cell_col(lat: Column, lon: Column, res: int) -> Column:
+    """lat/lon Columns → cell id Column. Identical bit layout to encode()."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    n = 1 << res
+    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    y = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    x = F.greatest(F.lit(0), F.least(F.lit(n - 1), x)).cast("long")
+    y = F.greatest(F.lit(0), F.least(F.lit(n - 1), y)).cast("long")
+    m = _spread_col(x).bitwiseOR(F.shiftleft(_spread_col(y), 1))
+    return F.lit(res << _RES_SHIFT).bitwiseOR(m).cast("long")
+
+
+def cell_parent_col(cell: Column, cell_res: int, parent_res: int) -> Column:
+    """Parent cell at a coarser resolution, pure bit math: drop 2 morton bits
+    per resolution step and rewrite the res field."""
+    if parent_res > cell_res:
+        raise ValueError("parent_res must be <= cell_res")
+    morton = cell.bitwiseAND(F.lit((1 << _RES_SHIFT) - 1))
+    shifted = F.shiftrightunsigned(morton, 2 * (cell_res - parent_res))
+    return F.lit(parent_res << _RES_SHIFT).bitwiseOR(shifted).cast("long")

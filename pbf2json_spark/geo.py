@@ -1,0 +1,170 @@
+"""Pure-numpy geometry kernels (no shapely/h3 in the environment).
+
+These back the engine's Arrow-batched pandas UDFs. Every kernel is
+*batch-vectorized*: inputs are flattened coordinate arrays plus per-row
+counts, so a whole Arrow batch is processed with numpy ufuncs — no per-row
+Python (BASELINE.json input_hint mandate).
+
+Reference semantics reproduced here:
+  - spherical (3-D mean) polygon centroid  = go.geo GeoCentroid, used by
+    GetPolygonCentroid (pbf2json.go:157-162); includes the duplicated
+    closing point (verified against the golden fixtures, SURVEY.md §2.4 A3);
+  - half-length line interpolation centroid = GetLineCentroid
+    (pbf2json.go:131-155): Euclidean distances in degree space, linear
+    interpolation inside the crossing segment, strict '>' crossing test,
+    spherical-mean fallback when the walk exhausts;
+  - closed-ring detection: > 2 points and exact first==last equality
+    (computeCentroid, pbf2json.go:1295-1319).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EARTH_RADIUS_M = 6_371_008.8
+
+
+# --- centroids ---------------------------------------------------------------
+
+
+def spherical_mean(
+    lats: np.ndarray, lons: np.ndarray, offsets: np.ndarray, counts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-group 3-D unit-vector mean → (lat, lon) degrees.
+
+    `lats/lons` are flattened over all groups; group i occupies
+    [offsets[i], offsets[i]+counts[i]). counts must be >= 1.
+    """
+    latr = np.radians(lats)
+    lonr = np.radians(lons)
+    coslat = np.cos(latr)
+    x = coslat * np.cos(lonr)
+    y = coslat * np.sin(lonr)
+    z = np.sin(latr)
+    n = counts.astype(np.float64)
+    sx = np.add.reduceat(x, offsets) / n
+    sy = np.add.reduceat(y, offsets) / n
+    sz = np.add.reduceat(z, offsets) / n
+    clon = np.degrees(np.arctan2(sy, sx))
+    clat = np.degrees(np.arctan2(sz, np.hypot(sx, sy)))
+    return clat, clon
+
+
+def centroids(
+    lats: np.ndarray, lons: np.ndarray, counts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch computeCentroid (pbf2json.go:1295-1319) over flattened geometry.
+
+    Returns per-group (lat, lon). Closed rings (count>2, first==last) get the
+    spherical mean over ALL points including the duplicated closing point;
+    open paths get the half-total-length interpolated point with spherical
+    fallback.
+    """
+    counts = np.asarray(counts, dtype=np.int64)
+    if counts.size == 0:
+        return np.empty(0), np.empty(0)
+    offsets = np.concatenate(([0], np.cumsum(counts[:-1])))
+    last_idx = offsets + counts - 1
+
+    sm_lat, sm_lon = spherical_mean(lats, lons, offsets, counts)
+
+    first_eq_last = (lats[offsets] == lats[last_idx]) & (
+        lons[offsets] == lons[last_idx]
+    )
+    closed = (counts > 2) & first_eq_last
+    open_mask = ~closed
+
+    out_lat = sm_lat.copy()
+    out_lon = sm_lon.copy()
+    if open_mask.any():
+        il_lat, il_lon, ok = _line_interp(lats, lons, offsets, counts, last_idx)
+        use = open_mask & ok
+        out_lat[use] = il_lat[use]
+        out_lon[use] = il_lon[use]
+    return out_lat, out_lon
+
+
+def _line_interp(
+    lats: np.ndarray,
+    lons: np.ndarray,
+    offsets: np.ndarray,
+    counts: np.ndarray,
+    last_idx: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Half-path-length interpolation for every group; `ok` is False where the
+    walk exhausts (zero-length path / single point) → caller falls back to
+    the spherical mean, exactly like GetLineCentroid (pbf2json.go:131-155)."""
+    npts = lats.size
+    # d[i] = Euclidean degree-space distance from point i to i+1
+    d = np.zeros(npts)
+    if npts > 1:
+        d[:-1] = np.hypot(np.diff(lats), np.diff(lons))
+    d[last_idx] = 0.0  # seams between groups carry no length
+    gcum = np.cumsum(d)
+
+    base = gcum[offsets] - d[offsets]  # cumulative length before each group
+    total = gcum[last_idx] - base
+    target = base + total / 2.0
+    # first global segment index j with gcum[j] > target (strict '>' like Go)
+    j = np.searchsorted(gcum, target, side="right")
+
+    ok = (j <= last_idx - 1) & (j >= offsets) & (total > 0)
+    j_safe = np.clip(j, 0, max(npts - 2, 0))
+    seg_start = gcum[j_safe] - d[j_safe]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        frac = np.where(d[j_safe] > 0, (target - seg_start) / d[j_safe], 0.0)
+    out_lat = lats[j_safe] + frac * (lats[j_safe + 1] - lats[j_safe])
+    out_lon = lons[j_safe] + frac * (lons[j_safe + 1] - lons[j_safe])
+    return out_lat, out_lon, ok
+
+
+# --- distance ----------------------------------------------------------------
+
+
+def haversine_m(
+    lat1: np.ndarray, lon1: np.ndarray, lat2: np.ndarray, lon2: np.ndarray
+) -> np.ndarray:
+    """Great-circle distance in meters (vectorized)."""
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    dp = p2 - p1
+    dl = np.radians(lon2) - np.radians(lon1)
+    a = np.sin(dp / 2) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dl / 2) ** 2
+    return 2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(a, 0, 1)))
+
+
+# --- point in polygon ---------------------------------------------------------
+
+
+def points_in_ring(
+    plat: np.ndarray, plon: np.ndarray, ring_lat: np.ndarray, ring_lon: np.ndarray
+) -> np.ndarray:
+    """Even-odd ray-cast of many points against ONE closed ring.
+
+    Vectorized over points × edges (ring sizes are small: 4-100 vertices,
+    FIXTURES.md). Points exactly on an edge may land on either side — the
+    cell/bbox prefilter + exact-verify join contract tolerates boundary ties.
+    """
+    # ring may or may not repeat the first vertex; drop the duplicate
+    if ring_lat.size > 1 and ring_lat[0] == ring_lat[-1] and ring_lon[0] == ring_lon[-1]:
+        ring_lat = ring_lat[:-1]
+        ring_lon = ring_lon[:-1]
+    y1 = ring_lat[:, None]  # (E, 1)
+    x1 = ring_lon[:, None]
+    y2 = np.roll(ring_lat, -1)[:, None]
+    x2 = np.roll(ring_lon, -1)[:, None]
+    py = plat[None, :]  # (1, P)
+    px = plon[None, :]
+    straddle = (y1 > py) != (y2 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xcross = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+    hits = straddle & (px < xcross)
+    return (hits.sum(axis=0) % 2).astype(bool)
+
+
+def ring_bbox(ring_lat: np.ndarray, ring_lon: np.ndarray) -> tuple[float, float, float, float]:
+    return (
+        float(ring_lat.min()),
+        float(ring_lon.min()),
+        float(ring_lat.max()),
+        float(ring_lon.max()),
+    )

@@ -1,0 +1,100 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pbf2json_spark import cells
+
+
+def test_encode_decode_roundtrip():
+    rng = np.random.default_rng(3)
+    lats = rng.uniform(-90, 90, 2000)
+    lons = rng.uniform(-180, 180, 2000)
+    for res in (0, 1, 7, 12, 26):
+        ids = cells.encode(lats, lons, res)
+        r, x, y = cells.decode(ids)
+        assert (r == res).all()
+        ex, ey = cells.xy(lats, lons, res)
+        assert (x == ex).all() and (y == ey).all()
+
+
+def test_point_inside_own_cell_bounds():
+    rng = np.random.default_rng(4)
+    lats = rng.uniform(-89, 89, 500)
+    lons = rng.uniform(-179, 179, 500)
+    ids = cells.encode(lats, lons, 12)
+    lat0, lon0, lat1, lon1 = cells.cell_bounds(ids)
+    assert (lats >= lat0).all() and (lats < lat1 + 1e-12).all()
+    assert (lons >= lon0).all() and (lons < lon1 + 1e-12).all()
+
+
+def test_parent_contains_child():
+    lats = np.array([60.17, -33.86, 0.0])
+    lons = np.array([24.94, 151.21, 0.0])
+    fine = cells.encode(lats, lons, 15)
+    coarse = cells.parent(fine, 9)
+    direct = cells.encode(lats, lons, 9)
+    assert (coarse == direct).all()
+
+
+def test_children_partition_parent():
+    p = int(cells.encode(np.array([60.17]), np.array([24.94]), 8)[0])
+    ch = cells.children(p)
+    assert len(set(ch.tolist())) == 4
+    assert (cells.parent(ch, 8) == p).all()
+
+
+def test_disk_and_ring():
+    c = int(cells.encode(np.array([60.0]), np.array([24.0]), 10)[0])
+    d1 = cells.disk(np.array([c]), 1)[0]
+    assert d1.shape == (9,)
+    assert c in d1
+    r1 = cells.ring(c, 1)
+    assert len(r1) == 8 and c not in r1
+    # neighbors are adjacent in x/y
+    _, cx, cy = cells.decode(np.array([c]))
+    _, xs, ys = cells.decode(d1)
+    assert (np.abs(xs - cx[0]) <= 1).all() and (np.abs(ys - cy[0]) <= 1).all()
+
+
+def test_lon_wrap_in_disk():
+    c = int(cells.encode(np.array([0.0]), np.array([-179.99]), 8)[0])
+    d = cells.disk(np.array([c]), 1)[0]
+    _, xs, _ = cells.decode(d)
+    n = 1 << 8
+    assert 0 in xs and (n - 1) in xs  # wrapped across the antimeridian
+
+
+def test_column_path_matches_numpy(spark):
+    import pyspark.sql.functions as F
+
+    rng = np.random.default_rng(5)
+    lats = rng.uniform(-90, 90, 1000)
+    lons = rng.uniform(-180, 180, 1000)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lats, lons)], "lat double, lon double"
+    )
+    for res in (0, 5, 12, 26):
+        got = (
+            df.select(cells.cell_col(F.col("lat"), F.col("lon"), res).alias("c"))
+            .toPandas()["c"]
+            .to_numpy()
+        )
+        exp = cells.encode(lats, lons, res)
+        assert (got == exp).all(), res
+
+
+def test_parent_col_matches_numpy(spark):
+    import pyspark.sql.functions as F
+
+    rng = np.random.default_rng(6)
+    lats = rng.uniform(-90, 90, 500)
+    lons = rng.uniform(-180, 180, 500)
+    ids = cells.encode(lats, lons, 14)
+    df = spark.createDataFrame([(int(i),) for i in ids], "c long")
+    got = (
+        df.select(cells.cell_parent_col(F.col("c"), 14, 6).alias("p"))
+        .toPandas()["p"]
+        .to_numpy()
+    )
+    assert (got == cells.parent(ids, 6)).all()
