@@ -95,10 +95,12 @@ def _line_interp(
     walk exhausts (zero-length path / single point) → caller falls back to
     the spherical mean, exactly like GetLineCentroid (pbf2json.go:131-155)."""
     npts = lats.size
+    if npts < 2:
+        z = np.zeros(offsets.size)
+        return z, z, np.zeros(offsets.size, dtype=bool)
     # d[i] = Euclidean degree-space distance from point i to i+1
     d = np.zeros(npts)
-    if npts > 1:
-        d[:-1] = np.hypot(np.diff(lats), np.diff(lons))
+    d[:-1] = np.hypot(np.diff(lats), np.diff(lons))
     d[last_idx] = 0.0  # seams between groups carry no length
     gcum = np.cumsum(d)
 
