@@ -347,12 +347,19 @@ def format_ways(
     with_entrances: bool = True,
 ) -> DataFrame:
     """Full formatWay (pbf2json.go:797-853): denorm + bbox + entrance-priority
-    centroid + _centroidType injection. Inputs must be prepared (trimmed).
+    centroid + _centroidType injection. Inputs must be prepared (trimmed)."""
+    d = denormalize_ways(ways, nodes, nodes_hint=nodes_hint)
+    return format_from_denorm(d, with_entrances=with_entrances)
+
+
+def format_from_denorm(d: DataFrame, with_entrances: bool = True) -> DataFrame:
+    """formatWay given an already-materialized denorm frame (lets the engine
+    run the big refs⋈nodes join once and feed both the formatted output and
+    the derived-entrance side output).
 
     Output: id, type='way', tags (with _centroidType), centroid, bbox_min,
     bbox_max, pts (kept for parity output / downstream polygon extraction).
     """
-    d = denormalize_ways(ways, nodes, nodes_hint=nodes_hint)
     if with_entrances:
         d = entrance_columns(d)
     else:
