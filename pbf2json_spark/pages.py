@@ -1,0 +1,149 @@
+"""Synthetic Common-Crawl-style `pages` table + geocode extraction.
+
+Input shape per BASELINE.json input_hint: (url:string, warc_ts:timestamp,
+html:binary, text:string, lang:string). The generator is fully deterministic
+(pure Column expressions of the row id seeded through xxhash64 — no Python,
+no RNG state), so the same (n, seed) always yields byte-identical text per
+url — the pipeline invariant the tests assert.
+
+Geo distribution: a mixture of hot city clusters (forces cell skew — the
+salting/AQE test bed) and a uniform background; a configurable fraction of
+pages embeds machine-readable coordinates in `text` ("lat=..; lon=..") for
+the geocode step.
+
+Geocoding (north_star: "pages are geocoded (lat/lon extracted from text)"):
+  * `geocode` — pure JVM `regexp_extract`, the default hot path (stays in
+    WholeStageCodegen);
+  * `geocode_arrow` — the vectorized Arrow/pandas-UDF variant mandated by
+    input_hint; tests assert both agree exactly.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# (name-ish seed, lat, lon, weight) — a few heavy hitters on purpose
+HOT_CENTERS = [
+    (60.17, 24.94, 30),   # Helsinki — deliberately dominant
+    (40.71, -74.01, 20),  # NYC
+    (51.51, -0.13, 15),   # London
+    (35.68, 139.69, 10),  # Tokyo
+    (-33.87, 151.21, 8),  # Sydney
+    (49.25, -123.10, 7),  # Vancouver (the reference's fixture city)
+    (48.86, 2.35, 5),
+    (55.76, 37.62, 3),
+    (1.35, 103.82, 1),
+    (-23.55, -46.63, 1),
+]
+
+LANGS = [("en", 55), ("fi", 15), ("sv", 10), ("de", 8), ("fr", 6), ("ja", 4), ("zz", 2)]
+
+GEO_RE = r"lat=(-?\d+\.\d{6}); lon=(-?\d+\.\d{6})"
+
+
+def _u(h: Column, salt: int, mod: int = 1_000_003) -> Column:
+    """Deterministic uniform in [0,1) derived from a hash column."""
+    return (F.pmod(F.xxhash64(h, F.lit(salt)), F.lit(mod)) / F.lit(float(mod)))
+
+
+def generate_pages(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    geo_fraction: float = 0.7,
+    hot_fraction: float = 0.6,
+    partitions: int | None = None,
+) -> DataFrame:
+    df = spark.range(0, n, 1, partitions) if partitions else spark.range(n)
+    rid = F.col("id")
+    h = F.xxhash64(rid, F.lit(seed))
+
+    # location: hot cluster vs uniform background
+    total_w = sum(w for _, _, w in HOT_CENTERS)
+    pick = _u(h, 1) * total_w
+    acc = 0.0
+    clat, clon = F.lit(None).cast("double"), F.lit(None).cast("double")
+    clat_expr = None
+    clon_expr = None
+    for lat, lon, w in HOT_CENTERS:
+        cond = (pick >= acc) & (pick < acc + w)
+        clat_expr = F.when(cond, F.lit(lat)) if clat_expr is None else clat_expr.when(cond, F.lit(lat))
+        clon_expr = F.when(cond, F.lit(lon)) if clon_expr is None else clon_expr.when(cond, F.lit(lon))
+        acc += w
+    is_hot = _u(h, 2) < hot_fraction
+    lat = F.when(is_hot, clat_expr + (_u(h, 3) - 0.5) * 0.2).otherwise(
+        _u(h, 4) * 130.0 - 60.0
+    )
+    lon = F.when(is_hot, clon_expr + (_u(h, 5) - 0.5) * 0.2).otherwise(
+        _u(h, 6) * 360.0 - 180.0
+    )
+    lat = F.round(lat, 6)
+    lon = F.round(lon, 6)
+
+    has_geo = _u(h, 7) < geo_fraction
+    geo_snippet = F.format_string("lat=%.6f; lon=%.6f", lat, lon)
+    filler = F.format_string(
+        "Document %d discusses topic-%d in depth. ", rid, F.pmod(h, F.lit(97))
+    )
+    text = F.when(
+        has_geo,
+        F.concat(filler, F.lit("Location: "), geo_snippet, F.lit(". More text follows.")),
+    ).otherwise(F.concat(filler, F.lit("No location is mentioned here.")))
+
+    lang_pick = F.pmod(F.xxhash64(rid, F.lit(seed + 1)), F.lit(100))
+    acc = 0
+    lang_expr = None
+    for code, w in LANGS:
+        cond = (lang_pick >= acc) & (lang_pick < acc + w)
+        lang_expr = (
+            F.when(cond, F.lit(code)) if lang_expr is None else lang_expr.when(cond, F.lit(code))
+        )
+        acc += w
+    lang = F.coalesce(lang_expr, F.lit("en"))
+
+    url = F.format_string("https://host%d.example/p/%d", F.pmod(h, F.lit(1000)), rid)
+    warc_ts = F.timestamp_seconds(F.lit(1_600_000_000) + rid % F.lit(86_400 * 365))
+    html = F.encode(
+        F.concat(F.lit("<html><body><p>"), text, F.lit("</p></body></html>")), "utf-8"
+    )
+    return df.select(
+        url.alias("url"),
+        warc_ts.alias("warc_ts"),
+        html.alias("html"),
+        text.alias("text"),
+        lang.alias("lang"),
+    )
+
+
+# --- geocode -------------------------------------------------------------------
+
+
+def geocode(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """JVM-side geocode: adds nullable lat/lon extracted from the text."""
+    t = F.col(text_col)
+    lat = F.nullif(F.regexp_extract(t, GEO_RE, 1), F.lit("")).cast("double")
+    lon = F.nullif(F.regexp_extract(t, GEO_RE, 2), F.lit("")).cast("double")
+    return pages.withColumn("lat", lat).withColumn("lon", lon)
+
+
+_GEOCODE_SCHEMA = T.StructType(
+    [T.StructField("lat", T.DoubleType()), T.StructField("lon", T.DoubleType())]
+)
+
+
+@F.pandas_udf(_GEOCODE_SCHEMA)
+def _geocode_udf(text: pd.Series) -> pd.DataFrame:
+    ext = text.str.extract(GEO_RE)
+    return pd.DataFrame(
+        {"lat": pd.to_numeric(ext[0], errors="coerce"),
+         "lon": pd.to_numeric(ext[1], errors="coerce")}
+    )
+
+
+def geocode_arrow(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """Arrow-batched pandas-UDF geocode (input_hint-mandated variant)."""
+    g = _geocode_udf(F.col(text_col))
+    return pages.withColumn("lat", g["lat"]).withColumn("lon", g["lon"])

@@ -1,0 +1,317 @@
+"""Spatial operators over cell-indexed points: point-in-polygon join, kNN via
+cell-neighborhood expansion, tile aggregation, raster↔vector.
+
+These generalize the reference's bbox-containment pattern (insideBBox with
+0.01° slack as a street-hit prefilter, pbf2json.go:20,779-784, 1182-1184)
+into proper scale-out operators: a cell equi-join is the prefilter (hash
+-partitionable, AQE-skew-splittable), an exact numpy kernel is the verify
+step.
+
+Polygon sets come from the same tag-DSL selection the reference uses
+(`leisure~dog_park`-style queries over closed ways — north_star)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from pbf2json_spark import cells, geo
+
+# --- polygons from ways ----------------------------------------------------------
+
+
+def polygons_from_ways(fmt_ways: DataFrame) -> DataFrame:
+    """Closed formatted ways (first==last, >3 pts incl. closing) → polygon set
+    (polygon_id, tags, ring). The ring keeps the duplicated closing point."""
+    ring = F.col("pts")
+    closed = (F.size(ring) > 3) & (
+        F.element_at(ring, 1) == F.element_at(ring, F.size(ring))
+    )
+    return fmt_ways.filter(closed).select(
+        F.col("id").alias("polygon_id"), "tags", ring.alias("ring")
+    )
+
+
+# --- bbox cell cover ----------------------------------------------------------------
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def _cover_udf(
+    lat0: pd.Series, lon0: pd.Series, lat1: pd.Series, lon1: pd.Series, res: pd.Series
+) -> pd.Series:
+    """All cells at `res` whose bbox intersects [lat0..lat1]×[lon0..lon1]."""
+    out = []
+    for a0, o0, a1, o1, r in zip(lat0, lon0, lat1, lon1, res):
+        r = int(r)
+        x0, y0 = (int(v[0]) for v in cells.xy(np.array([a0]), np.array([o0]), r))
+        x1, y1 = (int(v[0]) for v in cells.xy(np.array([a1]), np.array([o1]), r))
+        xs = np.arange(x0, x1 + 1)
+        ys = np.arange(y0, y1 + 1)
+        gx, gy = np.meshgrid(xs, ys)
+        out.append(cells.from_xy(gx.ravel(), gy.ravel(), r).tolist())
+    return pd.Series(out)
+
+
+def pick_polygon_res(polygons: DataFrame, max_cover: int = 64) -> int:
+    """Resolution where a typical polygon bbox is covered by few cells: cell
+    edge ≈ the 90th-percentile bbox extent. Driver-side stats-only pass."""
+    stats = polygons.select(
+        F.expr(
+            "percentile_approx(greatest("
+            " aggregate(ring, cast(-1000 as double), (a,p) -> greatest(a, p.lat))"
+            "  - aggregate(ring, cast(1000 as double), (a,p) -> least(a, p.lat)),"
+            " aggregate(ring, cast(-1000 as double), (a,p) -> greatest(a, p.lon))"
+            "  - aggregate(ring, cast(1000 as double), (a,p) -> least(a, p.lon))"
+            "), 0.9)"
+        ).alias("ext")
+    ).collect()[0]["ext"]
+    ext = max(float(stats or 0.0), 1e-6)
+    res = int(np.clip(np.floor(np.log2(360.0 / ext)), 0, cells.MAX_RES))
+    return res
+
+
+def _polygon_cells(polygons: DataFrame, res: int) -> DataFrame:
+    """polygon_id → covering cells at `res` (bbox cover; exact verify later)."""
+    b = polygons.select(
+        "polygon_id",
+        "ring",
+        F.expr("aggregate(ring, cast(1000 as double), (a,p) -> least(a, p.lat))").alias("lat0"),
+        F.expr("aggregate(ring, cast(1000 as double), (a,p) -> least(a, p.lon))").alias("lon0"),
+        F.expr("aggregate(ring, cast(-1000 as double), (a,p) -> greatest(a, p.lat))").alias("lat1"),
+        F.expr("aggregate(ring, cast(-1000 as double), (a,p) -> greatest(a, p.lon))").alias("lon1"),
+    )
+    return b.select(
+        "polygon_id",
+        "ring",
+        F.explode(
+            _cover_udf("lat0", "lon0", "lat1", "lon1", F.lit(res))
+        ).alias("cell"),
+    )
+
+
+# --- exact point-in-ring verify (Arrow batches, grouped by polygon) ---------------
+
+
+_VERIFY_SCHEMA = T.BooleanType()
+
+
+@F.pandas_udf(_VERIFY_SCHEMA)
+def _pip_verify_udf(
+    plat: pd.Series, plon: pd.Series, pid: pd.Series,
+    ring_lat: pd.Series, ring_lon: pd.Series,
+) -> pd.Series:
+    """Batch verify: group candidate rows by polygon id inside the Arrow
+    batch, run the vectorized ray-cast once per polygon."""
+    out = np.zeros(len(plat), dtype=bool)
+    plat_np = plat.to_numpy(dtype=np.float64)
+    plon_np = plon.to_numpy(dtype=np.float64)
+    for p, idx in pd.Series(range(len(pid))).groupby(pid.to_numpy()).groups.items():
+        ii = np.asarray(idx)
+        rl = np.asarray(ring_lat.iloc[ii[0]], dtype=np.float64)
+        ro = np.asarray(ring_lon.iloc[ii[0]], dtype=np.float64)
+        out[ii] = geo.points_in_ring(plat_np[ii], plon_np[ii], rl, ro)
+    return pd.Series(out)
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    res: int | None = None,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    broadcast_polygons: bool = True,
+) -> DataFrame:
+    """points ⋈ polygons with cell prefilter + exact ray-cast verify.
+
+    Returns the point rows + polygon_id (+ polygon tags if present). A point
+    inside k polygons yields k rows. Scale: the equi-join on `cell` carries
+    the shuffle; polygons are broadcast by default (OSM-derived polygon sets
+    are small next to a pages table). For huge polygon sets disable the
+    broadcast and let AQE pick the strategy.
+    """
+    if res is None:
+        res = pick_polygon_res(polygons)
+    pc = _polygon_cells(polygons, res)
+    if broadcast_polygons:
+        pc = F.broadcast(pc)
+    pts = points.withColumn("_cell", cells.cell_col(F.col(lat_col), F.col(lon_col), res))
+    cand = pts.join(pc, pts["_cell"] == pc["cell"], "inner")
+    verified = cand.filter(
+        _pip_verify_udf(
+            F.col(lat_col),
+            F.col(lon_col),
+            F.col("polygon_id"),
+            F.transform("ring", lambda p: p["lat"]),
+            F.transform("ring", lambda p: p["lon"]),
+        )
+    )
+    return verified.drop("_cell", "cell", "ring")
+
+
+# --- kNN via cell-neighborhood expansion -------------------------------------------
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def _disk_udf(cell: pd.Series, k: pd.Series) -> pd.Series:
+    c = cell.to_numpy(dtype=np.int64)
+    out = []
+    # group by radius to vectorize (radii are nearly always identical in a round)
+    kk = k.to_numpy()
+    d_cache: dict[int, np.ndarray] = {}
+    for i in range(len(c)):
+        r = int(kk[i])
+        out.append(cells.disk(c[i : i + 1], r)[0].tolist())
+    return pd.Series(out)
+
+
+def knn_join(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    res: int = 12,
+    max_rounds: int = 5,
+    point_id: str = "point_id",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """k nearest points for each query row (both frames carry lat/lon).
+
+    Round r searches the Chebyshev cell disk of radius 2^r at `res` for
+    queries still short of k candidates; satisfied queries drop out. Exact
+    haversine + row_number()<=k finishes the job. Returns
+    (query_id, point_id, dist_m, rank).
+
+    Correctness guard: a disk of radius r guarantees containing the true kNN
+    only if the k-th neighbor lies within (r-0.5) cells; the final round
+    keeps whatever was found (documented approximation, standard for
+    cell-grid kNN; raise `res`/`max_rounds` for exactness at distance)."""
+    pts = points.select(
+        F.col(point_id),
+        F.col("lat").alias("_plat"),
+        F.col("lon").alias("_plon"),
+        cells.cell_col(F.col("lat"), F.col("lon"), res).alias("_pcell"),
+    )
+    remaining = queries.select(
+        F.col(query_id),
+        F.col("lat").alias("_qlat"),
+        F.col("lon").alias("_qlon"),
+        cells.cell_col(F.col("lat"), F.col("lon"), res).alias("_qcell"),
+    )
+    results = None
+    for rnd in range(max_rounds):
+        radius = 2**rnd
+        cand = (
+            remaining.withColumn(
+                "_cells", F.explode(_disk_udf(F.col("_qcell"), F.lit(radius)))
+            )
+            .join(pts, F.col("_cells") == pts["_pcell"], "inner")
+            .select(
+                query_id, "_qlat", "_qlon", "_qcell", point_id, "_plat", "_plon"
+            )
+            .dropDuplicates([query_id, point_id])
+        )
+        counts = cand.groupBy(query_id, "_qlat", "_qlon", "_qcell").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        satisfied = counts.filter(F.col("_n") >= k).select(query_id)
+        done = cand.join(satisfied, query_id, "left_semi")
+        last_round = rnd == max_rounds - 1
+        take = cand if last_round else done
+        results = take if results is None else results.unionByName(take)
+        if last_round:
+            break
+        remaining = remaining.join(satisfied, query_id, "left_anti")
+        # cheap emptiness probe between rounds (driver-side loop is bounded)
+        if remaining.isEmpty():
+            break
+
+    dist = _haversine_col(
+        F.col("_qlat"), F.col("_qlon"), F.col("_plat"), F.col("_plon")
+    )
+    ranked = (
+        results.dropDuplicates([query_id, point_id])
+        .withColumn("dist_m", dist)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy(query_id).orderBy(F.col("dist_m").asc(), F.col(point_id))
+            ),
+        )
+        .filter(F.col("rank") <= k)
+    )
+    return ranked.select(query_id, point_id, "dist_m", "rank")
+
+
+def _haversine_col(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """JVM-side haversine (meters) — keeps the kNN distance inside codegen."""
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dp = p2 - p1
+    dl = F.radians(lon2) - F.radians(lon1)
+    a = F.pow(F.sin(dp / 2), 2) + F.cos(p1) * F.cos(p2) * F.pow(F.sin(dl / 2), 2)
+    return F.lit(2.0 * geo.EARTH_RADIUS_M) * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
+
+
+haversine_col = _haversine_col
+
+
+# --- tile aggregation (raster↔vector) -----------------------------------------------
+
+
+def tile_aggregate(
+    df: DataFrame,
+    res: int,
+    aggs: list[Column] | None = None,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Vector→raster: assign rows to tiles (cells at `res`, pure JVM bit
+    math) and aggregate per tile. Default agg: count."""
+    if aggs is None:
+        aggs = [F.count(F.lit(1)).alias("n")]
+    return (
+        df.withColumn("tile", cells.cell_col(F.col(lat_col), F.col(lon_col), res))
+        .groupBy("tile")
+        .agg(*aggs)
+    )
+
+
+def tile_rollup(tiles: DataFrame, res: int, parent_res: int, aggs: list[Column]) -> DataFrame:
+    """Re-aggregate fine tiles to a coarser resolution (partial-agg friendly:
+    parent id is pure bit math on the child id, so this is one exchange)."""
+    return (
+        tiles.withColumn("tile", cells.cell_parent_col(F.col("tile"), res, parent_res))
+        .groupBy("tile")
+        .agg(*aggs)
+    )
+
+
+_TILE_POLY_SCHEMA = T.ArrayType(
+    T.StructType([T.StructField("lat", T.DoubleType()), T.StructField("lon", T.DoubleType())])
+)
+
+
+@F.pandas_udf(_TILE_POLY_SCHEMA)
+def _tile_ring_udf(tile: pd.Series) -> pd.Series:
+    t = tile.to_numpy(dtype=np.int64)
+    lat0, lon0, lat1, lon1 = cells.cell_bounds(t)
+    out = []
+    for i in range(len(t)):
+        out.append(
+            [
+                {"lat": lat0[i], "lon": lon0[i]},
+                {"lat": lat0[i], "lon": lon1[i]},
+                {"lat": lat1[i], "lon": lon1[i]},
+                {"lat": lat1[i], "lon": lon0[i]},
+                {"lat": lat0[i], "lon": lon0[i]},
+            ]
+        )
+    return pd.Series(out)
+
+
+def tiles_to_polygons(tiles: DataFrame) -> DataFrame:
+    """Raster→vector: reconstruct each tile's boundary ring (closed,
+    first==last — same convention as the reference's closed ways)."""
+    return tiles.withColumn("ring", _tile_ring_udf(F.col("tile")))
