@@ -1,0 +1,259 @@
+"""Deduplication operators for training-data pipelines: exact, n-gram
+Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Design for 10^12 rows: nothing here ever materializes an O(n²) comparison.
+  * exact: one hash-partitioned groupBy on the content key;
+  * n-gram Jaccard: inverted shingle index (explode → self-join on shingle →
+    count per pair) — exact, touches only pairs sharing ≥1 shingle;
+  * MinHash+LSH: per-row signature (JVM-only higher-order functions — no
+    Python), banded bucket keys, candidates from equi-joins on (band, key),
+    exact Jaccard verify on candidates only;
+  * SimHash: 64 bit-majority aggregates + banded Hamming candidate join;
+  * embedding cosine: see ann.py (brute-force vs LSH-bucketed).
+
+Everything is deterministic (xxhash64 seeds, no RNG state)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- exact ------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str, key: Column | str = "text") -> DataFrame:
+    """Keep the min-id row per exact content key; report group size.
+    One shuffle (hash groupBy); at scale pre-hash the key to a long
+    (xxhash64) so the exchange carries 8 bytes, not documents."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    return (
+        df.select(F.col(id_col), F.xxhash64(key_col).alias("_k"))
+        .groupBy("_k")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .drop("_k")
+    )
+
+
+# --- shingling ----------------------------------------------------------------------
+
+
+def word_shingles(text: Column, n: int) -> Column:
+    """Distinct word n-grams (lowercased, whitespace-split) as array<string>."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    if n == 1:
+        return F.array_distinct(words)
+    # sequence(0, x) with x<0 would generate a DESCENDING array — guard short docs
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return F.array_distinct(grams)
+
+
+# --- exact n-gram Jaccard via inverted index ----------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All unordered pairs (a<b) with Jaccard(shingles_a, shingles_b) ≥
+    threshold. Exact: the inverted index enumerates only co-occurring pairs;
+    |A∩B| comes from the pair count, |A∪B| = |A|+|B|−|A∩B|."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), n).alias("_sh"),
+    ).withColumn("_size", F.size("_sh"))
+    inv = sh.select("_id", "_size", F.explode("_sh").alias("_g"))
+    a = inv.select(
+        F.col("_id").alias("a"), F.col("_size").alias("_sa"), "_g"
+    )
+    b = inv.select(
+        F.col("_id").alias("b"), F.col("_size").alias("_sb"), "_g"
+    )
+    pairs = (
+        a.join(b, "_g")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "_sa", "_sb")
+        .agg(F.count(F.lit(1)).alias("_common"))
+        .withColumn(
+            "jaccard",
+            F.col("_common") / (F.col("_sa") + F.col("_sb") - F.col("_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return pairs.select("a", "b", "jaccard")
+
+
+# --- MinHash + LSH --------------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, num_perm: int) -> Column:
+    """num_perm minhash values, each = min over shingles of xxhash64(g, i).
+    Pure higher-order functions — evaluated JVM-side per row."""
+    return F.array(
+        *[F.array_min(F.transform(shingles, lambda g: F.xxhash64(g, F.lit(i)))) for i in range(num_perm)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Candidate pairs from banded minhash buckets, then EXACT Jaccard verify
+    (no false positives; recall is the standard LSH S-curve at
+    rows-per-band = num_perm/bands)."""
+    if num_perm % bands:
+        raise ValueError("bands must divide num_perm")
+    rows_per_band = num_perm // bands
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), n).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    sig = sh.withColumn("_sig", minhash_signature(F.col("_sh"), num_perm))
+    banded = sig.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("_sig", bi * rows_per_band + j + 1)
+                                    for j in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bkey"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "_sh", F.col("_b.band").alias("_band"), F.col("_b.bkey").alias("_bkey"))
+
+    left = banded.select(
+        F.col("_id").alias("a"), F.col("_sh").alias("_sha"), "_band", "_bkey"
+    )
+    right = banded.select(
+        F.col("_id").alias("b"), F.col("_sh").alias("_shb"), "_band", "_bkey"
+    )
+    cand = (
+        left.join(right, ["_band", "_bkey"])
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    verified = cand.withColumn(
+        "jaccard",
+        F.size(F.array_intersect("_sha", "_shb"))
+        / F.size(F.array_union("_sha", "_shb")),
+    ).filter(F.col("jaccard") >= threshold)
+    return verified.select("a", "b", "jaccard")
+
+
+def dedup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (id, rep) where rep is the
+    component minimum: iterative label propagation (hash-join rounds,
+    converges in O(log diameter) — near-dup components are shallow)."""
+    edges = (
+        pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .distinct()
+    )
+    labels = edges.select("x").distinct().withColumn("rep", F.col("x"))
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels.withColumnRenamed("x", "y"), "y")
+            .groupBy("x")
+            .agg(F.min("rep").alias("nrep"))
+        )
+        new_labels = (
+            labels.join(prop, "x", "left")
+            .select("x", F.least("rep", F.coalesce("nrep", "rep")).alias("rep"))
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("rep", "old"), "x")
+            .filter(F.col("rep") != F.col("old"))
+            .isEmpty()
+        )
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed:
+            break
+    return labels.select(F.col("x").alias("id"), "rep")
+
+
+# --- SimHash ------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash: bit i of the hash = majority vote of bit i over the
+    xxhash64 of each distinct word. Explode + 64 conditional sums: one
+    shuffle, all JVM."""
+    words = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), 1)).alias("_w"),
+    ).withColumn("_h", F.xxhash64("_w"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftrightunsigned("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(64)
+    ]
+    agg = words.groupBy("_id").agg(*bit_sums)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"_b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return agg.select(F.col("_id").alias(id_col), sim.alias("simhash"))
+
+
+def simhash_pairs(
+    sim: DataFrame, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs within Hamming distance ≤ max_hamming. Bands the 64 bits into
+    max_hamming+1 chunks (pigeonhole: any pair within the bound shares at
+    least one exact chunk → recall 1.0), verifies with bit_count(xor)."""
+    nb = max_hamming + 1
+    width = 64 // nb
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned("simhash", i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bkey"),
+            )
+            for i in range(nb)
+        ]
+    )
+    banded = sim.select(
+        F.col(id_col).alias("_id"), "simhash", F.explode(chunks).alias("_c")
+    ).select("_id", "simhash", F.col("_c.band").alias("_band"), F.col("_c.bkey").alias("_bkey"))
+    left = banded.select(F.col("_id").alias("a"), F.col("simhash").alias("_ha"), "_band", "_bkey")
+    right = banded.select(F.col("_id").alias("b"), F.col("simhash").alias("_hb"), "_band", "_bkey")
+    return (
+        left.join(right, ["_band", "_bkey"])
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .withColumn("hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
