@@ -1,0 +1,122 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "pages_per_sec": ...}
+
+The flagship measurement mirrors BASELINE.json's north star: synthetic
+Common-Crawl-style pages (deterministic generator, skewed city clusters) →
+geocode (JVM regex) → cell encode (pure Column bit math) → point-in-polygon
+join against a polygon set → per-tile aggregation; throughput = pages/sec.
+
+Scaling-efficiency evidence (local[8] vs local[32] as the N vs 4N executor
+stand-in) is produced by tools/scaling_bench.py, which reuses run_pages().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from pbf2json_spark import pages as pages_mod
+from pbf2json_spark import spatial
+from pbf2json_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "way_denorm_bbox",
+    "relation_bbox",
+    "pip_join_rect",
+    "knn_grid",
+    "geocode_tile",
+    "tile_aggregate",
+    "jaccard_pairs",
+    "minhash_pairs",
+    "simhash_pairs",
+    "cosine_topk",
+    "quality_score",
+    "lang_detect",
+]
+
+
+def _consume(df) -> int:
+    """Execute the full plan; cheap driver-side sink (no materialize)."""
+    return df.select(F.count(F.lit(1))).collect()[0][0]
+
+
+def run_pages(spark: SparkSession, n_pages: int) -> tuple[float, int]:
+    """North-star pipeline: pages → geocode → cell → PIP join → tile agg.
+    Returns (seconds, result_rows)."""
+    pg = pages_mod.generate_pages(spark, n_pages)
+    polys = _city_polygons(spark)
+    t0 = time.time()
+    g = pages_mod.geocode(pg).filter(F.col("lat").isNotNull())
+    hits = spatial.point_in_polygon_join(
+        g.select("url", "lat", "lon"), polys, res=7
+    )
+    tiles = spatial.tile_aggregate(hits, 12, [F.count(F.lit(1)).alias("n")])
+    rows = _consume(tiles)
+    return time.time() - t0, rows
+
+
+def _city_polygons(spark: SparkSession):
+    """Rectangular polygon per hot city cluster (the dog_park-style polygon
+    set of the north star, derived from the generator's own city list)."""
+    rows = []
+    for i, (lat, lon, _w) in enumerate(pages_mod.HOT_CENTERS):
+        d = 0.15
+        ring = [
+            {"lat": lat - d, "lon": lon - d},
+            {"lat": lat - d, "lon": lon + d},
+            {"lat": lat + d, "lon": lon + d},
+            {"lat": lat + d, "lon": lon - d},
+            {"lat": lat - d, "lon": lon - d},
+        ]
+        rows.append({"polygon_id": i, "ring": ring})
+    return spark.createDataFrame(
+        rows,
+        "polygon_id long, ring array<struct<lat:double,lon:double>>",
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2000000"))
+    spark = get_spark("pbf2json-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _consume(queries[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    page_sec, _ = run_pages(spark, n_pages)
+    timings["pages_pipeline"] = round(page_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "suite wall time (headline queries + pages pipeline)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "pages_per_sec": round(n_pages / page_sec, 1),
+                "n_pages": n_pages,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

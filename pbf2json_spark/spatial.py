@@ -176,18 +176,24 @@ def knn_join(
     max_rounds: int = 5,
     point_id: str = "point_id",
     query_id: str = "query_id",
+    metric: str = "haversine",
+    max_confirm_radius: int = 256,
 ) -> DataFrame:
     """k nearest points for each query row (both frames carry lat/lon).
 
     Round r searches the Chebyshev cell disk of radius 2^r at `res` for
-    queries still short of k candidates; satisfied queries drop out. Exact
-    haversine + row_number()<=k finishes the job. Returns
-    (query_id, point_id, dist_m, rank).
+    queries still short of k candidates; satisfied queries drop out. A final
+    *confirm* expansion then re-searches each query at per-query radius
+    ceil(d_k / cell_extent)+1 (d_k = current k-th candidate distance) — the
+    standard grid-kNN guarantee that no true neighbor hides just outside the
+    searched disk. Exact distance + row_number()<=k finishes the job.
+    Returns (query_id, point_id, dist_m, rank).
 
-    Correctness guard: a disk of radius r guarantees containing the true kNN
-    only if the k-th neighbor lies within (r-0.5) cells; the final round
-    keeps whatever was found (documented approximation, standard for
-    cell-grid kNN; raise `res`/`max_rounds` for exactness at distance)."""
+    metric='sq_deg' (squared degree-space distance) makes the result fully
+    exact AND bit-reproducible across engines (only IEEE sub/mul/add);
+    metric='haversine' is exact except for the longitude-wrap direction near
+    the poles (the degree-space confirm bound understates how close high-
+    latitude points are in meters — documented approximation)."""
     pts = points.select(
         F.col(point_id),
         F.col("lat").alias("_plat"),
@@ -200,6 +206,21 @@ def knn_join(
         F.col("lon").alias("_qlon"),
         cells.cell_col(F.col("lat"), F.col("lon"), res).alias("_qcell"),
     )
+    if metric == "haversine":
+        dist = _haversine_col(
+            F.col("_qlat"), F.col("_qlon"), F.col("_plat"), F.col("_plon")
+        )
+    elif metric == "sq_deg":
+        # squared degree-space distance: same ordering near a query as the
+        # planar metric, but every op (sub/mul/add) is exactly rounded IEEE —
+        # bit-identical across engines, so oracle-SQL comparable.
+        dlat = F.col("_plat") - F.col("_qlat")
+        dlon = F.col("_plon") - F.col("_qlon")
+        dist = dlat * dlat + dlon * dlon
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+
+    qframe = remaining
     results = None
     for rnd in range(max_rounds):
         radius = 2**rnd
@@ -213,9 +234,7 @@ def knn_join(
             )
             .dropDuplicates([query_id, point_id])
         )
-        counts = cand.groupBy(query_id, "_qlat", "_qlon", "_qcell").agg(
-            F.count(F.lit(1)).alias("_n")
-        )
+        counts = cand.groupBy(query_id).agg(F.count(F.lit(1)).alias("_n"))
         satisfied = counts.filter(F.col("_n") >= k).select(query_id)
         done = cand.join(satisfied, query_id, "left_semi")
         last_round = rnd == max_rounds - 1
@@ -228,12 +247,35 @@ def knn_join(
         if remaining.isEmpty():
             break
 
-    dist = _haversine_col(
-        F.col("_qlat"), F.col("_qlon"), F.col("_plat"), F.col("_plon")
+    # --- confirm expansion: guarantees no true neighbor outside the disk ----
+    # d_k = k-th candidate distance so far; any point outside Chebyshev cell
+    # radius ceil(d_k/lat_extent)+1 is provably farther than d_k, so one
+    # re-search at that per-query radius makes the top-k exact.
+    prelim = results.dropDuplicates([query_id, point_id]).withColumn("dist_m", dist)
+    w = Window.partitionBy(query_id).orderBy(F.col("dist_m").asc(), F.col(point_id))
+    kth = (
+        prelim.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(query_id)
+        .agg(F.max("dist_m").alias("_dk"))
+    )
+    lat_extent = 180.0 / (1 << res)
+    if metric == "haversine":
+        # meters → degrees conservatively via the meridian scale
+        deg = F.col("_dk") / F.lit(np.pi * geo.EARTH_RADIUS_M / 180.0)
+    else:
+        deg = F.sqrt(F.col("_dk"))
+    conf_r = (F.ceil(deg / F.lit(lat_extent)) + F.lit(1)).cast("int")
+    conf_r = F.least(conf_r, F.lit(min(1 << res, max_confirm_radius)))
+    final_cand = (
+        qframe.join(kth, query_id, "inner")
+        .withColumn("_cells", F.explode(_disk_udf(F.col("_qcell"), conf_r)))
+        .join(pts, F.col("_cells") == pts["_pcell"], "inner")
+        .select(query_id, "_qlat", "_qlon", point_id, "_plat", "_plon")
+        .dropDuplicates([query_id, point_id])
     )
     ranked = (
-        results.dropDuplicates([query_id, point_id])
-        .withColumn("dist_m", dist)
+        final_cand.withColumn("dist_m", dist)
         .withColumn(
             "rank",
             F.row_number().over(
