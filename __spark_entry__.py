@@ -296,7 +296,13 @@ def _q_relation_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     rels = _relations_orders(spark, sf_dir)
     nodes = _nodes_part(spark, sf_dir)
     ways = _ways_orders(spark, sf_dir)
-    fmt = denorm.format_ways(ways, nodes, with_entrances=False)
+    # the reference's pass-1 semi-join reduction (collectRelationRefs,
+    # pbf2json.go:346-377): only relation-referenced ways get formatted
+    way_refs = rels.select(
+        F.explode(F.filter("members", lambda m: m["mtype"] == F.lit("way"))).alias("m")
+    ).select(F.col("m.ref").alias("id"))
+    ways_needed = ways.join(way_refs.distinct(), "id", "left_semi")
+    fmt = denorm.format_ways(ways_needed, nodes, with_entrances=False)
     out = relations.resolve_relations(rels, fmt, nodes)
     return out.select(
         F.col("id").alias("rel_id"),

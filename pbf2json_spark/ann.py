@@ -14,6 +14,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -69,19 +70,27 @@ def _hyperplanes(dim: int, bits: int, table: int, seed: int) -> list[list[float]
     return rng.standard_normal((bits, dim)).tolist()
 
 
-def _signature(vec: Column, planes: list[list[float]]) -> Column:
-    """bits-length sign pattern packed into a long — pure Column math."""
-    sig = None
-    for i, plane in enumerate(planes):
-        d = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in plane]), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bit = F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        term = F.shiftleft(bit, i)
-        sig = term if sig is None else sig.bitwiseOR(term)
-    return sig
+def _signatures_udf(dim: int, bits: int, n_tables: int, seed: int):
+    """One Arrow-batched pandas UDF computing ALL tables' sign signatures
+    per vector: a single (batch × dim) @ (dim × bits·tables) numpy matmul,
+    bit-packed per table. Orders of magnitude less codegen than unrolled
+    Column dot products (the previous shape) and no per-row Python."""
+    planes = np.concatenate(
+        [np.asarray(_hyperplanes(dim, bits, t, seed)).T for t in range(n_tables)],
+        axis=1,
+    )  # (dim, bits*n_tables)
+    weights = (1 << np.arange(bits, dtype=np.int64))
+
+    @F.pandas_udf("array<long>")
+    def sigs(vec: pd.Series) -> pd.Series:
+        mat = np.asarray(vec.tolist(), dtype=np.float64)  # (n, dim)
+        bitsm = (mat @ planes) >= 0  # (n, bits*n_tables)
+        out = np.empty((mat.shape[0], n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            out[:, t] = bitsm[:, t * bits : (t + 1) * bits] @ weights
+        return pd.Series(list(out))
+
+    return sigs
 
 
 def lsh_cosine_topk(
@@ -96,22 +105,27 @@ def lsh_cosine_topk(
     vec_col: str = "embedding",
     query_id: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: union of n_tables bucket joins, exact cosine
-    re-rank. Deterministic hyperplanes from `seed`."""
+    """Approximate top-k: one signature pass (numpy matmul over Arrow
+    batches), bucket equi-join on (table, signature), exact cosine re-rank.
+    Deterministic hyperplanes from `seed`."""
+    sig = _signatures_udf(dim, bits, n_tables, seed)
     p = points.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_pv")
     )
     q = queries.select(
         F.col(query_id), F.col(vec_col).cast("array<double>").alias("_qv")
     )
-    cands = None
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, bits, t, seed)
-        pb = p.withColumn("_b", _signature(F.col("_pv"), planes))
-        qb = F.broadcast(q.withColumn("_b", _signature(F.col("_qv"), planes)))
-        c = pb.join(qb, "_b").select(query_id, id_col, "_pv", "_qv")
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.dropDuplicates([query_id, id_col])
+    pb = p.select(
+        id_col, "_pv", F.posexplode(sig(F.col("_pv"))).alias("_t", "_b")
+    )
+    qb = F.broadcast(
+        q.select(query_id, "_qv", F.posexplode(sig(F.col("_qv"))).alias("_t", "_b"))
+    )
+    cands = (
+        pb.join(qb, ["_t", "_b"])
+        .select(query_id, id_col, "_pv", "_qv")
+        .dropDuplicates([query_id, id_col])
+    )
     ranked = cands.withColumn("cos", cosine(F.col("_pv"), F.col("_qv"))).withColumn(
         "rank",
         F.row_number().over(
@@ -133,20 +147,21 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Pairs (a<b) with cosine ≥ threshold, LSH-bucketed self-join + exact
     verify (no false positives)."""
+    sig = _signatures_udf(dim, bits, n_tables, seed)
     p = points.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    cands = None
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, bits, t, seed)
-        pb = p.withColumn("_b", _signature(F.col("_v"), planes))
-        left = pb.select(F.col("_id").alias("a"), F.col("_v").alias("_va"), "_b")
-        right = pb.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"), "_b")
-        c = left.join(right, "_b").filter(F.col("a") < F.col("b")).select(
-            "a", "b", "_va", "_vb"
-        )
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.dropDuplicates(["a", "b"])
+    pb = p.select(
+        "_id", "_v", F.posexplode(sig(F.col("_v"))).alias("_t", "_b")
+    )
+    left = pb.select(F.col("_id").alias("a"), F.col("_v").alias("_va"), "_t", "_b")
+    right = pb.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"), "_t", "_b")
+    cands = (
+        left.join(right, ["_t", "_b"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "_va", "_vb")
+        .dropDuplicates(["a", "b"])
+    )
     return (
         cands.withColumn("cos", cosine(F.col("_va"), F.col("_vb")))
         .filter(F.col("cos") >= threshold)
