@@ -53,7 +53,9 @@ def _consume(df) -> int:
 def run_pages(spark: SparkSession, n_pages: int) -> tuple[float, int]:
     """North-star pipeline: pages → geocode → cell → PIP join → tile agg.
     Returns (seconds, result_rows)."""
-    pg = pages_mod.generate_pages(spark, n_pages)
+    # 4 waves of tasks — the balance a real input-split scan would have
+    n_parts = spark.sparkContext.defaultParallelism * 4
+    pg = pages_mod.generate_pages(spark, n_pages, partitions=n_parts)
     polys = _city_polygons(spark)
     t0 = time.time()
     g = pages_mod.geocode(pg).filter(F.col("lat").isNotNull())

@@ -36,6 +36,7 @@ class QueryResult:
     merged_streets: DataFrame | None
     merged_waterways: DataFrame | None
     entrances: DataFrame | None  # id, type='node', lat, lon, tags, way_id
+    counters: DataFrame | None = None  # amenitycount, transcount, fitranscount (A7)
 
     def combined(self) -> DataFrame:
         """Union into one jsonNode/jsonWayRel-shaped frame (the reference's
@@ -102,6 +103,7 @@ class Engine:
         tags_dsl: str,
         with_dictionary: bool = True,
         with_entrances: bool = True,
+        with_counters: bool = False,
     ) -> QueryResult:
         query = dsl.parse(tags_dsl)
         pred = lambda df: dsl.compile_query(query, F.col("tags"))  # noqa: E731
@@ -178,17 +180,22 @@ class Engine:
             ),
             transl_geo,
             self.names,
+            with_counters=with_counters,
         )
 
         out_ways = fmt_ways_out.join(matched_ways.select("id"), "id", "left_semi")
         out_ways = self._suppress(out_ways, query, merged_streets, merged_water)
-        out_ways = enrich.translate_address(out_ways, transl_geo, self.names)
+        out_ways = enrich.translate_address(
+            out_ways, transl_geo, self.names, with_counters=with_counters
+        )
 
         out_rels = None
         if fmt_rels is not None and matched_rels is not None:
             out_rels = fmt_rels.join(matched_rels.select("id"), "id", "left_semi")
             out_rels = self._suppress(out_rels, query, merged_streets, merged_water)
-            out_rels = enrich.translate_address(out_rels, transl_geo, self.names)
+            out_rels = enrich.translate_address(
+                out_rels, transl_geo, self.names, with_counters=with_counters
+            )
 
         out_entrances = None
         if with_entrances:
@@ -197,6 +204,30 @@ class Engine:
                 transl_geo,
                 self.names,
                 loc=("lat", "lon"),
+                with_counters=with_counters,
+            )
+
+        counters = None
+        if with_counters:
+            CTR = ["_n_amenity", "_n_trans", "_n_fitrans"]
+            parts = [
+                f.select(*CTR)
+                for f in (out_nodes, out_ways, out_rels, out_entrances)
+                if f is not None
+            ]
+            allc = parts[0]
+            for p in parts[1:]:
+                allc = allc.unionByName(p)
+            counters = allc.agg(
+                F.sum("_n_amenity").alias("amenitycount"),
+                F.sum("_n_trans").alias("transcount"),
+                F.sum("_n_fitrans").alias("fitranscount"),
+            )
+            out_nodes = out_nodes.drop(*CTR)
+            out_ways = out_ways.drop(*CTR)
+            out_rels = out_rels.drop(*CTR) if out_rels is not None else None
+            out_entrances = (
+                out_entrances.drop(*CTR) if out_entrances is not None else None
             )
 
         return QueryResult(
@@ -210,6 +241,7 @@ class Engine:
                 merged_water.drop("merged_ids") if merged_water is not None else None
             ),
             entrances=out_entrances,
+            counters=counters,
         )
 
     @staticmethod

@@ -184,12 +184,22 @@ def translate_address(
     names: Iterable[str] = ("name",),
     loc: tuple[str, str] | None = None,
     key: str = "id",
+    with_counters: bool = False,
 ) -> DataFrame:
     """Apply amenity-name injection + street-name translations to output rows
     (translateAddress, pbf2json.go:1134-1215). `rows` must have `tags`, a
     unique `key` column, and a location; `loc` names the (lat, lon) columns —
-    default uses centroid.lat/centroid.lon if present, else lat/lon."""
+    default uses centroid.lat/centroid.lon if present, else lat/lon.
+
+    with_counters adds the reference's counters (pbf2json.go:125-127,
+    1155, 1193-1207) as per-row columns `_n_amenity`, `_n_trans`,
+    `_n_fitrans`: the counters increment once per key ACTUALLY added, and
+    the two mechanisms write disjoint key spaces (name:*/alt_name vs
+    addr:street:*), so the before/after tag-map diff reproduces them
+    exactly."""
     spark = rows.sparkSession
+    if with_counters:
+        rows = rows.withColumn("_tags_pre", F.col("tags"))
     if loc is None:
         loc = ("centroid.lat", "centroid.lon") if "centroid" in rows.columns else ("lat", "lon")
     lat, lon = F.col(loc[0]), F.col(loc[1])
@@ -211,8 +221,30 @@ def translate_address(
         .drop("amenity", "adds")
     )
 
+    def _add_counters(df: DataFrame) -> DataFrame:
+        if not with_counters:
+            return df
+        added = F.array_except(
+            F.map_keys(F.col("tags")), F.map_keys(F.col("_tags_pre"))
+        )
+        return (
+            df.withColumn(
+                "_n_amenity",
+                F.size(F.filter(added, lambda k: k.isin("name:en", "name:sv", "alt_name"))),
+            )
+            .withColumn(
+                "_n_trans",
+                F.size(F.filter(added, lambda k: k.startswith("addr:street:"))),
+            )
+            .withColumn(
+                "_n_fitrans",
+                F.size(F.filter(added, lambda k: k == F.lit("addr:street:fi"))),
+            )
+            .drop("_tags_pre")
+        )
+
     if transl_geo is None:
-        return out
+        return _add_counters(out)
 
     street = F.element_at(F.col("tags"), F.lit("addr:street"))
     hnum = F.element_at(F.col("tags"), F.lit("addr:housenumber"))
@@ -304,7 +336,7 @@ def translate_address(
             ),
         ).otherwise(F.col("tags")),
     )
-    return folded.drop("_rk", "_cands")
+    return _add_counters(folded.drop("_rk", "_cands"))
 
 
 # --- xwayOnly suppression (P6) ---------------------------------------------------

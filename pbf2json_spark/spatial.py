@@ -124,6 +124,7 @@ def point_in_polygon_join(
     lat_col: str = "lat",
     lon_col: str = "lon",
     broadcast_polygons: bool = True,
+    salt: int | None = None,
 ) -> DataFrame:
     """points ⋈ polygons with cell prefilter + exact ray-cast verify.
 
@@ -132,14 +133,37 @@ def point_in_polygon_join(
     the shuffle; polygons are broadcast by default (OSM-derived polygon sets
     are small next to a pages table). For huge polygon sets disable the
     broadcast and let AQE pick the strategy.
-    """
+
+    `salt=S` shards hot cells (cities concentrate most pages in a handful of
+    cell ids): the point side scatters each row into one of S sub-keys by a
+    hash of its coordinates, the (small) polygon-cell side is replicated ×S
+    — task sizes even out at the cost of S× the build side. Only relevant
+    when the join is NOT broadcast (a broadcast join has no shuffle to
+    skew); ignored otherwise."""
     if res is None:
         res = pick_polygon_res(polygons)
     pc = _polygon_cells(polygons, res)
+    pts = points.withColumn("_cell", cells.cell_col(F.col(lat_col), F.col(lon_col), res))
     if broadcast_polygons:
         pc = F.broadcast(pc)
-    pts = points.withColumn("_cell", cells.cell_col(F.col(lat_col), F.col(lon_col), res))
-    cand = pts.join(pc, pts["_cell"] == pc["cell"], "inner")
+        cand = pts.join(pc, pts["_cell"] == pc["cell"], "inner")
+    elif salt:
+        spark = points.sparkSession
+        salts = F.broadcast(
+            spark.range(salt).select(F.col("id").cast("int").alias("_salt"))
+        )
+        pc = pc.crossJoin(salts)
+        pts = pts.withColumn(
+            "_salt",
+            F.pmod(
+                F.xxhash64(F.col(lat_col), F.col(lon_col)), F.lit(salt)
+            ).cast("int"),
+        )
+        cand = pts.join(
+            pc, (pts["_cell"] == pc["cell"]) & (pts["_salt"] == pc["_salt"]), "inner"
+        ).drop("_salt")
+    else:
+        cand = pts.join(pc, pts["_cell"] == pc["cell"], "inner")
     verified = cand.filter(
         _pip_verify_udf(
             F.col(lat_col),

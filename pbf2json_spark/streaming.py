@@ -1,0 +1,85 @@
+"""Structured Streaming face of the engine.
+
+The reference is bounded batch (SURVEY.md §2.9: its "streaming" is only
+pipelined stdout), so nothing here mirrors reference semantics. This module
+exists for the north-star workload shape: a pages table that GROWS —
+Common-Crawl dumps landing as micro-batches — where tile statistics must
+stay fresh without re-scanning history.
+
+Design: the same pure-Column kernels the batch path uses (pages.geocode,
+cells.cell_col) applied to a streaming DataFrame, then a watermarked
+event-time window aggregation per tile. Because geocode and cell-encode are
+stateless Column expressions, batch and stream share one code path — the
+Spark guarantee that a streaming query is the incrementalized batch query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pbf2json_spark import cells
+from pbf2json_spark.pages import GEO_RE
+
+
+def geocode_stream(pages: DataFrame) -> DataFrame:
+    """Identical extraction to pages.geocode (kept inline so the streaming
+    module has no batch-only imports beyond the regex contract)."""
+    t = F.col("text")
+    lat = F.nullif(F.regexp_extract(t, GEO_RE, 1), F.lit("")).cast("double")
+    lon = F.nullif(F.regexp_extract(t, GEO_RE, 2), F.lit("")).cast("double")
+    return pages.withColumn("lat", lat).withColumn("lon", lon)
+
+
+def streaming_tile_counts(
+    pages_stream: DataFrame,
+    res: int,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Per-(event-time-window, tile) page counts over an unbounded stream.
+
+    * watermark bounds state: rows later than `watermark` behind the max
+      event time are dropped, closed windows are evicted from the state
+      store — mandatory for an unbounded 10^12-row stream;
+    * the groupBy is (window, tile): tile comes from the same Column bit
+      math as the batch path, so a backfill batch job and the live stream
+      produce byte-identical aggregates for on-time data.
+    """
+    g = geocode_stream(pages_stream).filter(F.col("lat").isNotNull())
+    tiled = g.withColumn("tile", cells.cell_col(F.col("lat"), F.col("lon"), res))
+    return (
+        tiled.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col("tile"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "tile",
+            "n",
+        )
+    )
+
+
+def run_stream_to_memory(
+    tiles: DataFrame, query_name: str, timeout_s: float = 60.0,
+    output_mode: str = "append",
+):
+    """Drive a (bounded-source) streaming frame to completion into an
+    in-memory sink table — the test/CI harness path. On a cluster the same
+    frame goes to `writeStream.format('iceberg'/'parquet')` with a
+    checkpointLocation instead; only the sink line differs.
+
+    output_mode: 'append' (watermark-gated, production shape — final
+    still-open windows are withheld) or 'complete' (full refresh — what the
+    batch-equivalence test asserts against)."""
+    q = (
+        tiles.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q

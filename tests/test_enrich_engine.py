@@ -224,3 +224,58 @@ def test_entrances_emitted_from_needed_ways(spark):
     combined = eng.query("building").combined()
     types = {r["type"] for r in combined.collect()}
     assert types == {"way", "node"}
+
+
+def test_counters_a7(spark):
+    # amenity: library node with no name slots used → 3 amenity keys added;
+    # plus one with name:en already present → 2 added. No street dict →
+    # transcount 0.
+    eng = build_engine(
+        spark,
+        [
+            (1, 60.0, 24.0, {"amenity": "library", "name": "A"}),
+            (2, 60.0, 24.0, {"amenity": "library", "name:en": "Mine"}),
+            (3, 60.0, 24.0, {"amenity": "unknown_thing"}),
+        ],
+        [],
+    )
+    res = eng.query("amenity", with_counters=True)
+    c = res.counters.collect()[0]
+    assert c["amenitycount"] == 5
+    assert c["transcount"] == 0
+    assert c["fitranscount"] == 0
+    # counter columns must not leak into the output frames
+    assert "_n_amenity" not in res.nodes.columns
+
+
+def test_counters_street_translation(spark):
+    nodes = grid_nodes()
+    way_nodes = [(100, 60.170, 24.930, {}), (101, 60.175, 24.935, {})]
+    ways = [
+        (
+            500,
+            {
+                "highway": "residential",
+                "name": "Kirkkokatu",
+                "name:sv": "Kyrkogatan",
+                "name:fi": "Kirkkokatu FI",
+            },
+            [100, 101],
+        )
+    ]
+    addr_node = [
+        (
+            200,
+            60.171,
+            24.931,
+            {"addr:street": "Kirkkokatu", "addr:housenumber": "1", "shop": "yes"},
+        )
+    ]
+    eng = build_engine(spark, nodes + way_nodes + addr_node, ways)
+    res = eng.query("shop", with_counters=True)
+    t = {r["id"]: r["tags"] for r in res.nodes.collect()}[200]
+    assert t["addr:street:sv"] == "Kyrkogatan"
+    c = res.counters.collect()[0]
+    # addr:street:sv + addr:street:fi copied → transcount 2, fi → 1
+    assert c["transcount"] == 2
+    assert c["fitranscount"] == 1

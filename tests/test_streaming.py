@@ -1,0 +1,62 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pbf2json_spark import cells, pages, streaming
+
+
+@pytest.fixture()
+def pages_dir(spark, tmp_path):
+    """A bounded parquet 'stream': the same deterministic pages the batch
+    path uses, written as two micro-batch files."""
+    p = str(tmp_path / "pages")
+    pg = pages.generate_pages(spark, 2000)
+    pg.filter(F.xxhash64("url") % 2 == 0).write.parquet(p)
+    pg.filter(F.xxhash64("url") % 2 != 0).write.mode("append").parquet(p)
+    return p
+
+
+def _source(spark, pages_dir):
+    schema = spark.read.parquet(pages_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(pages_dir)
+    )
+
+
+def test_streaming_tile_counts_match_batch(spark, pages_dir):
+    tiles = streaming.streaming_tile_counts(
+        _source(spark, pages_dir), res=6, window="1 day"
+    )
+    q = streaming.run_stream_to_memory(tiles, "tiles_test", output_mode="complete")
+    assert q.lastProgress is not None
+    got = {
+        (r["win_start"], r["tile"]): r["n"]
+        for r in spark.sql("select * from tiles_test").collect()
+    }
+
+    # batch mirror: same kernels, day windows align to epoch midnight UTC
+    batch = spark.read.parquet(pages_dir)
+    g = pages.geocode(batch).filter(F.col("lat").isNotNull())
+    tiled = g.withColumn(
+        "tile", cells.cell_col(F.col("lat"), F.col("lon"), 6)
+    ).withColumn("win_start", F.date_trunc("day", F.col("warc_ts")))
+    exp = {
+        (r["win_start"], r["tile"]): r["n"]
+        for r in tiled.groupBy("win_start", "tile")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == exp
+    assert sum(got.values()) == g.count()
+
+
+def test_streaming_is_incremental(spark, pages_dir):
+    tiles = streaming.streaming_tile_counts(
+        _source(spark, pages_dir), res=4, window="1 day"
+    )
+    q = streaming.run_stream_to_memory(tiles, "tiles_inc")
+    # availableNow + maxFilesPerTrigger=1 ⇒ >1 micro-batch processed
+    assert q.recentProgress and len(q.recentProgress) > 1

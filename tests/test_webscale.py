@@ -154,3 +154,14 @@ def test_hot_cluster_skew_exists(spark, pages_df):
     tiles = spatial.tile_aggregate(geo_pages, res=6)
     counts = sorted((r["n"] for r in tiles.collect()), reverse=True)
     assert counts[0] > 20 * np.median(counts)
+
+
+def test_pip_join_salted_matches_broadcast(pip_setup):
+    pts, polys, lats, lons = pip_setup
+    base = spatial.point_in_polygon_join(pts, polys, res=6)
+    salted = spatial.point_in_polygon_join(
+        pts, polys, res=6, broadcast_polygons=False, salt=4
+    )
+    b = {(r["point_id"], r["polygon_id"]) for r in base.collect()}
+    s = {(r["point_id"], r["polygon_id"]) for r in salted.collect()}
+    assert b == s and len(b) > 0
