@@ -116,7 +116,12 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate pairs from banded minhash buckets, then EXACT Jaccard verify
     (no false positives; recall is the standard LSH S-curve at
-    rows-per-band = num_perm/bands)."""
+    rows-per-band = num_perm/bands).
+
+    Shuffle discipline (the 10^12-row design point): only (id, band, bkey) —
+    24 bytes/row — crosses the candidate self-join; the shingle arrays stay
+    put and are hash-joined back onto the DEDUPLICATED candidate pairs for
+    the verify step."""
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
     rows_per_band = num_perm // bands
@@ -127,7 +132,6 @@ def minhash_lsh_pairs(
     sig = sh.withColumn("_sig", minhash_signature(F.col("_sh"), num_perm))
     banded = sig.select(
         "_id",
-        "_sh",
         F.explode(
             F.array(
                 *[
@@ -147,24 +151,27 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("_b"),
-    ).select("_id", "_sh", F.col("_b.band").alias("_band"), F.col("_b.bkey").alias("_bkey"))
+    ).select("_id", F.col("_b.band").alias("_band"), F.col("_b.bkey").alias("_bkey"))
 
-    left = banded.select(
-        F.col("_id").alias("a"), F.col("_sh").alias("_sha"), "_band", "_bkey"
-    )
-    right = banded.select(
-        F.col("_id").alias("b"), F.col("_sh").alias("_shb"), "_band", "_bkey"
-    )
+    left = banded.select(F.col("_id").alias("a"), "_band", "_bkey")
+    right = banded.select(F.col("_id").alias("b"), "_band", "_bkey")
     cand = (
         left.join(right, ["_band", "_bkey"])
         .filter(F.col("a") < F.col("b"))
         .dropDuplicates(["a", "b"])
     )
-    verified = cand.withColumn(
-        "jaccard",
-        F.size(F.array_intersect("_sha", "_shb"))
-        / F.size(F.array_union("_sha", "_shb")),
-    ).filter(F.col("jaccard") >= threshold)
+    sha = sh.select(F.col("_id").alias("a"), F.col("_sh").alias("_sha"))
+    shb = sh.select(F.col("_id").alias("b"), F.col("_sh").alias("_shb"))
+    verified = (
+        cand.join(sha, "a")
+        .join(shb, "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sha", "_shb"))
+            / F.size(F.array_union("_sha", "_shb")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
     return verified.select("a", "b", "jaccard")
 
 
