@@ -281,7 +281,7 @@ def _q_dsl_xway(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_way_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ways = _ways_orders(spark, sf_dir)
     nodes = _nodes_part(spark, sf_dir, restrict=True)
-    d = denorm.denormalize_ways(ways, nodes)
+    d = denorm.denormalize_ways(ways, nodes, entrance_cols=False)
     return d.select(
         F.col("id").alias("way_id"),
         F.size("pts").cast("long").alias("n_pts"),

@@ -80,16 +80,17 @@ def prepare_ways(ways: DataFrame, promote: bool = True) -> DataFrame:
 
 # --- the denormalization join -------------------------------------------------
 
-def _node_side_cols() -> list:
-    return [
-        "lat",
-        "lon",
-        F.element_at("tags", F.lit("entrance")).alias("_entrance"),
-        F.element_at("tags", F.lit("addr:street")).alias("_n_street"),
-        F.element_at("tags", F.lit("addr:housenumber")).alias("_n_hnum"),
-        F.element_at("tags", F.lit("ref")).alias("_n_ref"),
-        F.element_at("tags", F.lit("addr:unit")).alias("_n_unit"),
-    ]
+def _node_side_cols(entrance_cols: bool = True) -> list:
+    out = ["lat", "lon"]
+    if entrance_cols:
+        out += [
+            F.element_at("tags", F.lit("entrance")).alias("_entrance"),
+            F.element_at("tags", F.lit("addr:street")).alias("_n_street"),
+            F.element_at("tags", F.lit("addr:housenumber")).alias("_n_hnum"),
+            F.element_at("tags", F.lit("ref")).alias("_n_ref"),
+            F.element_at("tags", F.lit("addr:unit")).alias("_n_unit"),
+        ]
+    return out
 
 
 def denormalize_ways(
@@ -97,6 +98,7 @@ def denormalize_ways(
     nodes: DataFrame,
     nodes_hint: str | None = None,
     salt: int | None = None,
+    entrance_cols: bool = True,
 ) -> DataFrame:
     """All-or-nothing denorm join. Input: prepared ways/nodes. Output one row
     per fully-resolvable way:
@@ -105,12 +107,18 @@ def denormalize_ways(
       n_ref,n_unit>> (ref order), bbox_min, bbox_max
 
     Ways with any dangling ref are dropped whole (pbf2json.go:585-587).
+
+    entrance_cols=False keeps only (pos, ref, lat, lon) in the per-point
+    structs — callers that don't run entrance logic (bbox/centroid-only,
+    parity mode, polygon extraction) shrink the shuffled point payload ~3×.
     """
     wn = ways.select(
         F.col("id").alias("way_id"), F.size("refs").alias("n_refs"),
         F.posexplode("refs").alias("pos", "ref"),
     )
-    node_side = nodes.select(F.col("id").alias("ref"), *_node_side_cols())
+    node_side = nodes.select(
+        F.col("id").alias("ref"), *_node_side_cols(entrance_cols)
+    )
     if nodes_hint == "broadcast":
         node_side = F.broadcast(node_side)
 
@@ -127,15 +135,11 @@ def denormalize_ways(
     else:
         joined = wn.join(node_side, "ref")
 
+    pt_fields = ["pos", "ref", "lat", "lon"]
+    if entrance_cols:
+        pt_fields += ["_entrance", "_n_street", "_n_hnum", "_n_ref", "_n_unit"]
     agg = joined.groupBy("way_id").agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    "pos", "ref", "lat", "lon", "_entrance", "_n_street", "_n_hnum",
-                    "_n_ref", "_n_unit",
-                )
-            )
-        ).alias("pts"),
+        F.sort_array(F.collect_list(F.struct(*pt_fields))).alias("pts"),
         F.count(F.lit(1)).alias("_n_found"),
         F.first("n_refs").alias("_n_refs"),
         F.min("lat").alias("_lat_min"),
@@ -348,7 +352,9 @@ def format_ways(
 ) -> DataFrame:
     """Full formatWay (pbf2json.go:797-853): denorm + bbox + entrance-priority
     centroid + _centroidType injection. Inputs must be prepared (trimmed)."""
-    d = denormalize_ways(ways, nodes, nodes_hint=nodes_hint)
+    d = denormalize_ways(
+        ways, nodes, nodes_hint=nodes_hint, entrance_cols=with_entrances
+    )
     return format_from_denorm(d, with_entrances=with_entrances)
 
 

@@ -44,7 +44,7 @@ def upstream_query(
     )
 
     w_matched = w_trim.filter(dsl.compile_query(query, F.col("tags")))
-    denorm = denormalize_ways(w_matched, n_trim)
+    denorm = denormalize_ways(w_matched, n_trim, entrance_cols=False)
     ways_out = denorm.withColumn("c", computed_centroid(F.col("pts"))).select(
         "id",
         F.lit("way").alias("type"),
