@@ -244,6 +244,27 @@ class Engine:
             counters=counters,
         )
 
+    def stream_records(self, tags_dsl: str, **query_kw):
+        """The reference's public consumption API re-expressed: index.js
+        createReadStream (index.js:18-63) spawns the engine and yields one
+        parsed JSON record per line. Here: run the query, stream the
+        combined jsonNode/jsonWayRel rows to the driver incrementally
+        (toLocalIterator — one partition in flight, no full collect) and
+        yield plain dicts of the same shape printJson emits
+        (pbf2json.go:552-555): nulls dropped, node rows carry lat/lon,
+        way/relation rows carry centroid/bbox."""
+        res = self.query(tags_dsl, **query_kw)
+        for row in res.combined().toLocalIterator():
+            rec = {"id": row["id"], "type": row["type"], "tags": dict(row["tags"])}
+            if row["lat"] is not None:
+                rec["lat"] = row["lat"]
+                rec["lon"] = row["lon"]
+            if row["centroid"] is not None:
+                rec["centroid"] = row["centroid"].asDict()
+                rec["bbox_min"] = row["bbox_min"].asDict()
+                rec["bbox_max"] = row["bbox_max"].asDict()
+            yield rec
+
     @staticmethod
     def _suppress(
         rows: DataFrame,

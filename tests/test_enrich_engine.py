@@ -279,3 +279,25 @@ def test_counters_street_translation(spark):
     # addr:street:sv + addr:street:fi copied → transcount 2, fi → 1
     assert c["transcount"] == 2
     assert c["fitranscount"] == 1
+
+
+def test_stream_records_facade(spark):
+    # S8: index.js createReadStream shape — one dict per record, node rows
+    # carry lat/lon, way rows carry centroid/bbox, nulls dropped
+    eng = build_engine(
+        spark,
+        [
+            (1, 60.0, 24.0, {"amenity": "toilets"}),
+            (10, 60.0, 24.0, {}),
+            (11, 60.001, 24.001, {}),
+        ],
+        [(500, {"amenity": "toilets"}, [10, 11])],
+    )
+    recs = {r["id"]: r for r in eng.stream_records("amenity~toilets")}
+    assert set(recs) == {1, 500}
+    assert recs[1]["type"] == "node" and recs[1]["lat"] == 60.0
+    assert "centroid" not in recs[1]
+    assert recs[500]["type"] == "way"
+    assert "lat" not in recs[500]
+    assert recs[500]["bbox_min"] == {"lat": 60.0, "lon": 24.0}
+    assert recs[500]["tags"]["_centroidType"] == "average"
