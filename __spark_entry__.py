@@ -437,6 +437,24 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "vec_id", F.col("rank").cast("long").alias("rnk"))
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = ann.ivf_cosine_topk(emb, qs, k=10, n_centroids=32, n_probe=8, query_id="qid")
+    return out.select("qid", "vec_id", F.col("rank").cast("long").alias("rnk"))
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    # the synthetic embeddings have no true near-dups (max pairwise cosine
+    # ≈ 0.51); 0.4 with easy bands exercises the bucket-join + verify path
+    return ann.embedding_near_dup_pairs(
+        emb, threshold=0.4, dim=64, bits=6, n_tables=12
+    )
+
+
 def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return textops.token_count(d).select("doc_id", "ws_tokens", "re_tokens")
@@ -494,6 +512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "lsh_cosine_topk": _q_lsh_topk,
+        "ivf_cosine_topk": _q_ivf_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
         "token_count": _q_token_count,
         "quality_score": _q_quality,
         "lang_detect": _q_lang,

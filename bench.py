@@ -59,9 +59,7 @@ def run_pages(spark: SparkSession, n_pages: int) -> tuple[float, int]:
     polys = _city_polygons(spark)
     t0 = time.time()
     g = pages_mod.geocode(pg).filter(F.col("lat").isNotNull())
-    hits = spatial.point_in_polygon_join(
-        g.select("url", "lat", "lon"), polys, res=7
-    )
+    hits = spatial.point_in_polygon_join(g.select("url", "lat", "lon"), polys)
     tiles = spatial.tile_aggregate(hits, 12, [F.count(F.lit(1)).alias("n")])
     rows = _consume(tiles)
     return time.time() - t0, rows

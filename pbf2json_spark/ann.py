@@ -135,6 +135,82 @@ def lsh_cosine_topk(
     return ranked.select(query_id, id_col, "cos", "rank")
 
 
+def ivf_cosine_topk(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    train_sample: int = 4096,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """IVF-flat approximate top-k: partition vectors into `n_centroids`
+    Voronoi cells (k-means on a bounded driver-side sample — the classic
+    IVF train step; the sample is metadata-scale no matter the table size),
+    probe the `n_probe` nearest cells per query, exact cosine re-rank.
+
+    Scale shape: assignment is one Arrow-batched numpy matmul per batch;
+    the probe is an equi-join on the centroid id — hash-partitionable, and
+    the per-cell point lists are exactly the inverted lists of a real IVF
+    index. Recall rises with n_probe (n_probe == n_centroids ⇒ exact)."""
+    p = points.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_pv")
+    )
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).cast("array<double>").alias("_qv")
+    )
+
+    # --- train: bounded sample → numpy mini k-means (deterministic) -------
+    sample = np.asarray(
+        [r["_pv"] for r in p.limit(train_sample).collect()], dtype=np.float64
+    )
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    k_eff = min(n_centroids, len(sample))
+    cents = sample[rng.choice(len(sample), size=k_eff, replace=False)]
+    for _ in range(10):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(k_eff):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    cents_T = cents.T.copy()
+
+    @F.pandas_udf("int")
+    def assign_udf(vec: pd.Series) -> pd.Series:
+        mat = np.asarray(vec.tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(mat @ cents_T, axis=1).astype(np.int32))
+
+    @F.pandas_udf("array<int>")
+    def probe_udf(vec: pd.Series) -> pd.Series:
+        mat = np.asarray(vec.tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(mat @ cents_T), axis=1)[:, : min(n_probe, k_eff)]
+        return pd.Series(list(order.astype(np.int32)))
+
+    pb = p.withColumn("_c", assign_udf(F.col("_pv")))
+    qb = F.broadcast(
+        q.withColumn("_c", F.explode(probe_udf(F.col("_qv"))))
+    )
+    cands = pb.join(qb, "_c").select(query_id, id_col, "_pv", "_qv")
+    ranked = (
+        cands.withColumn("cos", cosine(F.col("_pv"), F.col("_qv")))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy(query_id).orderBy(F.desc("cos"), F.col(id_col))
+            ),
+        )
+        .filter(F.col("rank") <= k)
+    )
+    return ranked.select(query_id, id_col, "cos", "rank")
+
+
 def embedding_near_dup_pairs(
     points: DataFrame,
     threshold: float,

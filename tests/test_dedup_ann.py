@@ -273,3 +273,28 @@ def test_multimodal_plumbing(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|FAKE"):
         multimodal.decode_features(bad).collect()
+
+
+def test_ivf_cosine_topk_recall(spark, vectors):
+    df, mat = vectors
+    qs = df.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = ann.cosine_topk(df, qs, k=5)
+    approx = ann.ivf_cosine_topk(df, qs, k=5, n_centroids=16, n_probe=6)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(ex[q] & ap.get(q, set())) for q in ex)
+    total = sum(len(v) for v in ex.values())
+    assert hits / total >= 0.7  # IVF recall at n_probe=6/16
+
+    # full probe => exact
+    full = ann.ivf_cosine_topk(df, qs, k=5, n_centroids=16, n_probe=16)
+    fl = {}
+    for r in full.collect():
+        fl.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert fl == ex
