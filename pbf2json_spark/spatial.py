@@ -181,14 +181,17 @@ def point_in_polygon_join(
 
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def _disk_udf(cell: pd.Series, k: pd.Series) -> pd.Series:
+    """Per-row Chebyshev cell disk; rows sharing a radius are batched into
+    one vectorized cells.disk call (radii are identical within an expansion
+    round, per-query only in the confirm pass)."""
     c = cell.to_numpy(dtype=np.int64)
-    out = []
-    # group by radius to vectorize (radii are nearly always identical in a round)
-    kk = k.to_numpy()
-    d_cache: dict[int, np.ndarray] = {}
-    for i in range(len(c)):
-        r = int(kk[i])
-        out.append(cells.disk(c[i : i + 1], r)[0].tolist())
+    kk = k.to_numpy(dtype=np.int64)
+    out: list = [None] * len(c)
+    for r in np.unique(kk):
+        idx = np.nonzero(kk == r)[0]
+        disks = cells.disk(c[idx], int(r))
+        for j, i in enumerate(idx):
+            out[i] = disks[j].tolist()
     return pd.Series(out)
 
 
