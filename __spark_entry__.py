@@ -395,12 +395,19 @@ _PAIR_CAP = 500
 
 def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < _PAIR_CAP)
-    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=0.8)
+    # count-based variant: on this corpus every doc is a near-dup of every
+    # other, so prefix filtering prunes nothing and its array-intersect
+    # verify costs more than the co-occurrence count
+    return dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=1, threshold=0.8, prefix_filter=False
+    )
 
 
 def _q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < _PAIR_CAP)
-    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=0.8)
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=1, threshold=0.8, prefix_filter=False
+    )
     return dedup.dedup_groups(pairs).select(
         F.col("id").cast("long").alias("id"), F.col("rep").cast("long").alias("rep")
     )

@@ -65,33 +65,83 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """All unordered pairs (a<b) with Jaccard(shingles_a, shingles_b) ≥
-    threshold. Exact: the inverted index enumerates only co-occurring pairs;
-    |A∩B| comes from the pair count, |A∪B| = |A|+|B|−|A∩B|."""
+    threshold. EXACT result either way.
+
+    prefix_filter=True (the scale path) applies the classic prefix-filtering
+    theorem (set-similarity-join literature): order shingles by global
+    frequency (rarest first); if Jaccard(A,B) ≥ t, the first
+    |A| − ⌈t·|A|⌉ + 1 shingles of A must intersect the corresponding prefix
+    of B — so only PREFIX tokens enter the inverted index. Hot shingles
+    ('the', boilerplate n-grams) fall out of the prefixes, killing the
+    quadratic hot-token candidate blowup; the exact Jaccard verify on the
+    candidates restores exactness.
+
+    prefix_filter=False indexes every shingle (counts co-occurrences —
+    cheaper per-pair verify, no frequency pass); right for small inputs."""
     sh = df.select(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), n).alias("_sh"),
     ).withColumn("_size", F.size("_sh"))
-    inv = sh.select("_id", "_size", F.explode("_sh").alias("_g"))
-    a = inv.select(
-        F.col("_id").alias("a"), F.col("_size").alias("_sa"), "_g"
+
+    if not prefix_filter:
+        inv = sh.select("_id", "_size", F.explode("_sh").alias("_g"))
+        a = inv.select(F.col("_id").alias("a"), F.col("_size").alias("_sa"), "_g")
+        b = inv.select(F.col("_id").alias("b"), F.col("_size").alias("_sb"), "_g")
+        pairs = (
+            a.join(b, "_g")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b", "_sa", "_sb")
+            .agg(F.count(F.lit(1)).alias("_common"))
+            .withColumn(
+                "jaccard",
+                F.col("_common") / (F.col("_sa") + F.col("_sb") - F.col("_common")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+        return pairs.select("a", "b", "jaccard")
+
+    tok = sh.select("_id", F.explode("_sh").alias("_g"))
+    freq = tok.groupBy("_g").agg(F.count(F.lit(1)).alias("_f"))
+    ordered = (
+        tok.join(freq, "_g")
+        .groupBy("_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_f", "_g"))),
+                lambda s: s["_g"],
+            ).alias("_ord")
+        )
     )
-    b = inv.select(
-        F.col("_id").alias("b"), F.col("_size").alias("_sb"), "_g"
+    prefix_len = (
+        F.size("_ord") - F.ceil(F.lit(float(threshold)) * F.size("_ord")) + 1
+    ).cast("int")
+    prefixes = ordered.select(
+        "_id", F.slice("_ord", 1, prefix_len).alias("_pre")
     )
-    pairs = (
-        a.join(b, "_g")
+    inv = prefixes.select("_id", F.explode("_pre").alias("_g"))
+    cand = (
+        inv.alias("l")
+        .join(inv.alias("r"), "_g")
+        .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
         .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b", "_sa", "_sb")
-        .agg(F.count(F.lit(1)).alias("_common"))
+        .dropDuplicates(["a", "b"])
+    )
+    sha = sh.select(F.col("_id").alias("a"), F.col("_sh").alias("_sha"))
+    shb = sh.select(F.col("_id").alias("b"), F.col("_sh").alias("_shb"))
+    verified = (
+        cand.join(sha, "a")
+        .join(shb, "b")
         .withColumn(
             "jaccard",
-            F.col("_common") / (F.col("_sa") + F.col("_sb") - F.col("_common")),
+            F.size(F.array_intersect("_sha", "_shb"))
+            / F.size(F.array_union("_sha", "_shb")),
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return pairs.select("a", "b", "jaccard")
+    return verified.select("a", "b", "jaccard")
 
 
 # --- MinHash + LSH --------------------------------------------------------------------

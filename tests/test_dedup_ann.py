@@ -298,3 +298,22 @@ def test_ivf_cosine_topk_recall(spark, vectors):
     for r in full.collect():
         fl.setdefault(r["query_id"], set()).add(r["vec_id"])
     assert fl == ex
+
+
+def test_jaccard_prefix_filter_exactness(spark):
+    docs = docs_df(spark)
+    # prefix-filtered join must produce EXACTLY the plain inverted-index
+    # result (the prefix-filter theorem guarantees candidate completeness)
+    base = {
+        (r["a"], r["b"], round(r["jaccard"], 12))
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", n=2, threshold=0.3, prefix_filter=False
+        ).collect()
+    }
+    pf = {
+        (r["a"], r["b"], round(r["jaccard"], 12))
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", n=2, threshold=0.3, prefix_filter=True
+        ).collect()
+    }
+    assert pf == base and len(base) > 0
