@@ -18,7 +18,8 @@ Operator → query map:
   kNN via cell rings             → knn_grid (exact confirm, sq_deg metric)
   dedup family                   → exact_dedup / jaccard_pairs / dedup_groups
                                    (+ minhash_pairs, simhash_pairs rows-only)
-  ANN                            → cosine_topk (+ lsh_cosine_topk rows-only)
+  ANN                            → cosine_topk (+ lsh_cosine_topk,
+                                   ivf_cosine_topk, embedding_near_dup rows-only)
   text analysis                  → token_count / quality_score / lang_detect
                                    (+ fingerprint rows-only)
 """

@@ -98,6 +98,7 @@ def main() -> None:
         _consume(queries[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
+    run_pages(spark, 100_000)  # warm-up: codegen + Python worker pools
     page_sec, _ = run_pages(spark, n_pages)
     timings["pages_pipeline"] = round(page_sec, 3)
 
