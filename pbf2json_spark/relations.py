@@ -178,7 +178,10 @@ def resolve_relations(
     for k in range(n_levels):
         rels_k = rels.filter(F.col("_level") == k)
         out_k = _resolve_level(rels_k, node_side, way_side, resolved)
-        out_k = out_k.localCheckpoint(eager=True)  # cut lineage across levels
+        # lineage grows multiplicatively with nesting depth; cutting it is
+        # only worth the materialization cost for deep hierarchies
+        if n_levels > 3:
+            out_k = out_k.localCheckpoint(eager=True)
         resolved = out_k if resolved is None else resolved.unionByName(out_k)
     return resolved
 
