@@ -178,10 +178,16 @@ def resolve_relations(
     for k in range(n_levels):
         rels_k = rels.filter(F.col("_level") == k)
         out_k = _resolve_level(rels_k, node_side, way_side, resolved)
-        # lineage grows multiplicatively with nesting depth; cutting it is
-        # only worth the materialization cost for deep hierarchies
-        if n_levels > 3:
-            out_k = out_k.localCheckpoint(eager=True)
+        if n_levels > 1:
+            # each level is referenced twice (final union + next level's
+            # member join): persist avoids recomputing the whole subtree.
+            # For DEEP nesting also cut the lineage — the plan otherwise
+            # grows multiplicatively with depth.
+            out_k = (
+                out_k.localCheckpoint(eager=True)
+                if n_levels > 3
+                else out_k.persist()
+            )
         resolved = out_k if resolved is None else resolved.unionByName(out_k)
     return resolved
 
