@@ -70,7 +70,7 @@ def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("oracle-check")
+    spark = get_spark("oracle-check", master="local[32]", shuffle_partitions=64)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
