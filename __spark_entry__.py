@@ -339,6 +339,24 @@ def _q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial.tile_rollup(fine, 6, 4, [F.sum("n").alias("n")])
 
 
+def _q_tile_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # raster→vector: reconstruct each occupied tile's boundary ring (the
+    # numpy cell_bounds UDF) and emit its corners
+    pts = _points_customer(spark, sf_dir)
+    tiles = spatial.tile_aggregate(pts, 4, [F.count(F.lit(1)).alias("n")])
+    polys = spatial.tiles_to_polygons(tiles)
+    r = F.col("ring")
+    return polys.select(
+        "tile",
+        "n",
+        F.element_at(r, 1)["lat"].alias("lat0"),
+        F.element_at(r, 1)["lon"].alias("lon0"),
+        F.element_at(r, 3)["lat"].alias("lat1"),
+        F.element_at(r, 3)["lon"].alias("lon1"),
+        F.size(r).cast("long").alias("ring_len"),
+    )
+
+
 def _q_geocode_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pg = _synth_pages(spark, sf_dir)
     g = pages.geocode(pg).filter(F.col("lat").isNotNull())
@@ -509,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_assign": _q_cell_assign,
         "tile_aggregate": _q_tile_aggregate,
         "tile_rollup": _q_tile_rollup,
+        "tile_polygons": _q_tile_polygons,
         "geocode_tile": _q_geocode_tile,
         "geocode_arrow": _q_geocode_arrow,
         "pip_join_rect": _q_pip,
@@ -648,6 +667,23 @@ def oracle_sql() -> dict[str, str]:
             f"xy AS (SELECT cid, {x4} AS x, {y4} AS y FROM pts), "
             f"c AS (SELECT {_sql_cell_from_xy(4)} AS tile FROM xy) "
             "SELECT tile, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY tile"
+        ),
+        "tile_polygons": (
+            f"WITH pts AS ({_PTS_SQL}), "
+            f"xy AS (SELECT cid, {x4} AS x, {y4} AS y FROM pts), "
+            f"c AS (SELECT {_sql_cell_from_xy(4)} AS tile FROM xy), "
+            "t AS (SELECT tile, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY tile), "
+            "d AS (SELECT tile, n, tile & " + str((1 << 52) - 1) + " AS m FROM t), "
+            "u AS (SELECT tile, n, "
+            " (((m >> 0) & 1) << 0) | (((m >> 2) & 1) << 1) | (((m >> 4) & 1) << 2) | (((m >> 6) & 1) << 3) AS x, "
+            " (((m >> 1) & 1) << 0) | (((m >> 3) & 1) << 1) | (((m >> 5) & 1) << 2) | (((m >> 7) & 1) << 3) AS y "
+            " FROM d) "
+            "SELECT tile, n, "
+            "y / CAST(16.0 AS DOUBLE) * CAST(180.0 AS DOUBLE) - CAST(90.0 AS DOUBLE) AS lat0, "
+            "x / CAST(16.0 AS DOUBLE) * CAST(360.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon0, "
+            "y / CAST(16.0 AS DOUBLE) * CAST(180.0 AS DOUBLE) - CAST(90.0 AS DOUBLE) + CAST(180.0 AS DOUBLE) / CAST(16.0 AS DOUBLE) AS lat1, "
+            "x / CAST(16.0 AS DOUBLE) * CAST(360.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) + CAST(360.0 AS DOUBLE) / CAST(16.0 AS DOUBLE) AS lon1, "
+            "CAST(5 AS BIGINT) AS ring_len FROM u"
         ),
         "geocode_tile": (
             f"WITH pg AS ({pages_cte}), g AS ({geo_cte}), "
