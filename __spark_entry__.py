@@ -293,6 +293,41 @@ def _q_way_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_entrance_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/A5: entrance-priority centroid. Nodes carry synthetic entrance
+    tags (p_partkey % 23: 0 → main, 1-2 → yes); 'building' ways (even
+    orderkeys) pick first-main in ref order, else last minor (parent has no
+    street → the early-return branch, pbf2json.go:655-668)."""
+    p = _t(spark, sf_dir, "part")
+    ent = (
+        F.when(F.col("p_partkey") % 23 == 0, F.lit("main"))
+        .when(F.col("p_partkey") % 23 <= 2, F.lit("yes"))
+    )
+    nodes = p.select(
+        F.col("p_partkey").alias("id"),
+        _lat_col(F.col("p_partkey")).alias("lat"),
+        _lon_col(F.col("p_partkey")).alias("lon"),
+        F.map_filter(
+            F.create_map(F.lit("entrance"), ent), lambda k, v: v.isNotNull()
+        ).alias("tags"),
+    )
+    ways = _ways_orders(spark, sf_dir).withColumn(
+        "tags",
+        F.when(
+            F.col("id") % 2 == 0,
+            F.create_map(F.lit("building"), F.lit("yes")),
+        ).otherwise(F.create_map(F.lit("src"), F.lit("orders"))),
+    )
+    d = denorm.denormalize_ways(ways, nodes)
+    e = denorm.entrance_columns(d)
+    return e.filter(F.col("entrance_pt").isNotNull()).select(
+        F.col("id").alias("way_id"),
+        F.col("entrance_pt.lat").alias("elat"),
+        F.col("entrance_pt.lon").alias("elon"),
+        F.col("entrance_type").alias("etype"),
+    )
+
+
 def _q_relation_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     rels = _relations_orders(spark, sf_dir)
     nodes = _nodes_part(spark, sf_dir)
@@ -523,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_multigroup": _dsl_query("etype~error,big~yes§etype~view"),
         "dsl_xway_suppress": _q_dsl_xway,
         "way_denorm_bbox": _q_way_denorm,
+        "entrance_pick": _q_entrance_pick,
         "relation_bbox": _q_relation_bbox,
         "cell_assign": _q_cell_assign,
         "tile_aggregate": _q_tile_aggregate,
@@ -632,6 +668,30 @@ def oracle_sql() -> dict[str, str]:
             "min(n.lon) AS lon_min, max(n.lon) AS lon_max "
             "FROM lineitem LEFT JOIN n ON l_partkey = n.id "
             "GROUP BY l_orderkey HAVING count(*) = count(n.id)"
+        ),
+        "entrance_pick": (
+            f"WITH n AS ({_NODES_SQL}), "
+            "e AS (SELECT id, lat, lon, CASE WHEN id % 23 = 0 THEN 'main' "
+            " WHEN id % 23 <= 2 THEN 'yes' END AS ent FROM n), "
+            # the refs array is ordered by (linenumber, partkey) — linenumber
+            # alone is NOT unique in this synthetic lineitem table
+            "m AS (SELECT l_orderkey AS wid, l_linenumber AS pos, e.id AS pk, "
+            " e.lat, e.lon, e.ent FROM lineitem JOIN e ON l_partkey = e.id), "
+            "mains AS (SELECT wid, lat, lon, "
+            " row_number() OVER (PARTITION BY wid ORDER BY pos, pk) AS rn "
+            " FROM m WHERE ent = 'main'), "
+            "minors AS (SELECT wid, lat, lon, "
+            " row_number() OVER (PARTITION BY wid ORDER BY pos DESC, pk DESC) AS rn "
+            " FROM m WHERE ent = 'yes'), "
+            "pick AS (SELECT w.wid, "
+            " coalesce(m1.lat, m2.lat) AS elat, coalesce(m1.lon, m2.lon) AS elon, "
+            " CASE WHEN m1.lat IS NOT NULL THEN 'mainEntrance' ELSE 'entrance' END AS etype "
+            " FROM (SELECT DISTINCT wid FROM m) w "
+            " LEFT JOIN (SELECT * FROM mains WHERE rn = 1) m1 ON w.wid = m1.wid "
+            " LEFT JOIN (SELECT * FROM minors WHERE rn = 1) m2 ON w.wid = m2.wid "
+            ") "
+            "SELECT wid AS way_id, elat, elon, etype FROM pick "
+            "WHERE wid % 2 = 0 AND elat IS NOT NULL"
         ),
         "relation_bbox": (
             f"WITH n AS ({_NODES_SQL}), "
