@@ -349,6 +349,37 @@ def _q_relation_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_unit_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/P8: validateUnit + ref→addr:unit promotion (pbf2json.go:593-612,
+    722-746) over synthetic address nodes with a spread of valid/invalid/
+    trimmable/absent ref and addr:unit values."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    ref = (
+        F.when(k % 7 == 0, F.lit("A"))
+        .when(k % 7 == 1, F.lit("B2"))
+        .when(k % 7 == 2, F.lit("c10"))
+        .when(k % 7 == 3, F.lit(" D "))
+        .when(k % 7 == 4, F.lit(""))
+        .when(k % 7 == 5, F.lit("EF"))
+    )
+    unit0 = F.when(k % 11 == 0, F.lit("Z"))
+    tags = F.map_filter(
+        F.create_map(
+            F.lit("addr:street"), F.lit("Main St"),
+            F.lit("addr:housenumber"), F.lit("1"),
+            F.lit("ref"), ref,
+            F.lit("addr:unit"), unit0,
+        ),
+        lambda _, v: v.isNotNull(),
+    )
+    nodes = p.select(k.alias("id"), F.lit(0.0).alias("lat"), F.lit(0.0).alias("lon"), tags.alias("tags"))
+    out = denorm.prepare_nodes(nodes)
+    return out.select(
+        "id", F.element_at("tags", F.lit("addr:unit")).alias("unit")
+    )
+
+
 def _q_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _points_customer(spark, sf_dir)
     return pts.select(
@@ -559,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_xway_suppress": _q_dsl_xway,
         "way_denorm_bbox": _q_way_denorm,
         "entrance_pick": _q_entrance_pick,
+        "unit_promotion": _q_unit_promotion,
         "relation_bbox": _q_relation_bbox,
         "cell_assign": _q_cell_assign,
         "tile_aggregate": _q_tile_aggregate,
@@ -709,6 +741,19 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN p.rid % 250 = 0 AND c.rid IS NOT NULL THEN least(p.lon_min, c.lon_min) ELSE p.lon_min END AS lon_min, "
             "CASE WHEN p.rid % 250 = 0 AND c.rid IS NOT NULL THEN greatest(p.lon_max, c.lon_max) ELSE p.lon_max END AS lon_max "
             "FROM lvl p LEFT JOIN lvl c ON c.rid = p.rid + 50 AND p.rid % 250 = 0"
+        ),
+        "unit_promotion": (
+            "WITH b AS (SELECT p_partkey AS id, "
+            "CASE WHEN p_partkey % 7 = 0 THEN 'A' WHEN p_partkey % 7 = 1 THEN 'B2' "
+            " WHEN p_partkey % 7 = 2 THEN 'c10' WHEN p_partkey % 7 = 3 THEN ' D ' "
+            " WHEN p_partkey % 7 = 4 THEN '' WHEN p_partkey % 7 = 5 THEN 'EF' END AS ref, "
+            "CASE WHEN p_partkey % 11 = 0 THEN 'Z' END AS unit0 FROM part), "
+            "v AS (SELECT id, ref, unit0, "
+            " coalesce(regexp_matches(trim(coalesce(unit0, '')), '^[a-zA-Z]([1-9])?$'), false) AS unit_ok, "
+            " coalesce(regexp_matches(trim(coalesce(ref, '')), '^[a-zA-Z]([1-9])?$'), false) AS ref_ok "
+            " FROM b) "
+            "SELECT id, CASE WHEN NOT unit_ok AND ref_ok AND ref IS NOT NULL "
+            "THEN trim(ref) ELSE unit0 END AS unit FROM v"
         ),
         "cell_assign": (
             f"WITH pts AS ({_PTS_SQL}), "
