@@ -380,6 +380,44 @@ def _q_unit_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_amenity_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: static amenity-name dictionary join (amenityNames,
+    pbf2json.go:78-90, 1143-1159) — fi → alt_name, en/sv → name:<lang>,
+    first-wins into unused slots only."""
+    from pbf2json_spark import enrich
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    amenity = (
+        F.when(k % 37 == 0, F.lit("library"))
+        .when(k % 37 == 1, F.lit("hospital"))
+        .when(k % 37 == 2, F.lit("police"))
+        .when(k % 37 == 3, F.lit("cafe"))  # not in the dictionary
+    )
+    name_en = F.when(k % 5 == 0, F.lit("Existing EN"))
+    alt = F.when(k % 10 == 0, F.lit("Existing ALT"))
+    tags = F.map_filter(
+        F.create_map(
+            F.lit("amenity"), amenity,
+            F.lit("name:en"), name_en,
+            F.lit("alt_name"), alt,
+        ),
+        lambda _, v: v.isNotNull(),
+    )
+    rows = p.filter(amenity.isNotNull()).select(
+        k.alias("id"), F.lit(0.0).alias("lat"), F.lit(0.0).alias("lon"),
+        tags.alias("tags"),
+    )
+    out = enrich.translate_address(rows, None)
+    t = F.col("tags")
+    return out.select(
+        "id",
+        F.element_at(t, F.lit("name:en")).alias("name_en"),
+        F.element_at(t, F.lit("name:sv")).alias("name_sv"),
+        F.element_at(t, F.lit("alt_name")).alias("alt_name"),
+    )
+
+
 def _q_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _points_customer(spark, sf_dir)
     return pts.select(
@@ -591,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_denorm_bbox": _q_way_denorm,
         "entrance_pick": _q_entrance_pick,
         "unit_promotion": _q_unit_promotion,
+        "amenity_translate": _q_amenity_translate,
         "relation_bbox": _q_relation_bbox,
         "cell_assign": _q_cell_assign,
         "tile_aggregate": _q_tile_aggregate,
@@ -741,6 +780,21 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN p.rid % 250 = 0 AND c.rid IS NOT NULL THEN least(p.lon_min, c.lon_min) ELSE p.lon_min END AS lon_min, "
             "CASE WHEN p.rid % 250 = 0 AND c.rid IS NOT NULL THEN greatest(p.lon_max, c.lon_max) ELSE p.lon_max END AS lon_max "
             "FROM lvl p LEFT JOIN lvl c ON c.rid = p.rid + 50 AND p.rid % 250 = 0"
+        ),
+        "amenity_translate": (
+            "WITH b AS (SELECT p_partkey AS id, "
+            "CASE WHEN p_partkey % 37 = 0 THEN 'library' WHEN p_partkey % 37 = 1 THEN 'hospital' "
+            " WHEN p_partkey % 37 = 2 THEN 'police' WHEN p_partkey % 37 = 3 THEN 'cafe' END AS amenity, "
+            "CASE WHEN p_partkey % 5 = 0 THEN 'Existing EN' END AS name_en0, "
+            "CASE WHEN p_partkey % 10 = 0 THEN 'Existing ALT' END AS alt0 "
+            "FROM part WHERE p_partkey % 37 <= 3), "
+            "d AS (SELECT *, "
+            "CASE amenity WHEN 'library' THEN 'Library' WHEN 'hospital' THEN 'Hospital' WHEN 'police' THEN 'Police station' END AS d_en, "
+            "CASE amenity WHEN 'library' THEN 'Bibliotek' WHEN 'hospital' THEN 'Sjukhus' WHEN 'police' THEN 'Polisstation' END AS d_sv, "
+            "CASE amenity WHEN 'library' THEN 'Kirjasto' WHEN 'hospital' THEN 'Sairaala' WHEN 'police' THEN 'Poliisiasema' END AS d_fi "
+            "FROM b) "
+            "SELECT id, coalesce(name_en0, d_en) AS name_en, d_sv AS name_sv, "
+            "coalesce(alt0, d_fi) AS alt_name FROM d"
         ),
         "unit_promotion": (
             "WITH b AS (SELECT p_partkey AS id, "
