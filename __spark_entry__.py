@@ -328,6 +328,51 @@ def _q_entrance_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_entrance_addr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 with-address branch + P9 addressMatch: parent ways carry a full
+    address → LAST accepted main wins (assignment without early return,
+    pbf2json.go:655-668); entrance nodes with a CONFLICTING addr:street or
+    addr:housenumber are rejected by addressMatch (614-632)."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    ent = (
+        F.when(k % 23 == 0, F.lit("main"))
+        .when(k % 23 <= 2, F.lit("yes"))
+    )
+    n_street = F.when(k % 13 == 0, F.concat(F.lit("S"), (k % 3).cast("string")))
+    n_hnum = F.when(k % 17 == 0, (k % 5).cast("string"))
+    nodes = p.select(
+        k.alias("id"),
+        _lat_col(k).alias("lat"),
+        _lon_col(k).alias("lon"),
+        F.map_filter(
+            F.create_map(
+                F.lit("entrance"), ent,
+                F.lit("addr:street"), n_street,
+                F.lit("addr:housenumber"), n_hnum,
+            ),
+            lambda _, v: v.isNotNull(),
+        ).alias("tags"),
+    )
+    o = F.col("id")
+    ways = _ways_orders(spark, sf_dir).withColumn(
+        "tags",
+        F.create_map(
+            F.lit("building"), F.lit("yes"),
+            F.lit("addr:street"), F.concat(F.lit("S"), (o % 3).cast("string")),
+            F.lit("addr:housenumber"), (o % 5).cast("string"),
+        ),
+    )
+    d = denorm.denormalize_ways(ways, nodes)
+    e = denorm.entrance_columns(d)
+    return e.filter(F.col("entrance_pt").isNotNull()).select(
+        F.col("id").alias("way_id"),
+        F.col("entrance_pt.lat").alias("elat"),
+        F.col("entrance_pt.lon").alias("elon"),
+        F.col("entrance_type").alias("etype"),
+    )
+
+
 def _q_relation_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     rels = _relations_orders(spark, sf_dir)
     nodes = _nodes_part(spark, sf_dir)
@@ -628,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_xway_suppress": _q_dsl_xway,
         "way_denorm_bbox": _q_way_denorm,
         "entrance_pick": _q_entrance_pick,
+        "entrance_addr": _q_entrance_addr,
         "unit_promotion": _q_unit_promotion,
         "amenity_translate": _q_amenity_translate,
         "relation_bbox": _q_relation_bbox,
@@ -763,6 +809,33 @@ def oracle_sql() -> dict[str, str]:
             ") "
             "SELECT wid AS way_id, elat, elon, etype FROM pick "
             "WHERE wid % 2 = 0 AND elat IS NOT NULL"
+        ),
+        "entrance_addr": (
+            f"WITH n AS ({_NODES_SQL}), "
+            "e AS (SELECT id, lat, lon, "
+            " CASE WHEN id % 23 = 0 THEN 'main' WHEN id % 23 <= 2 THEN 'yes' END AS ent, "
+            " CASE WHEN id % 13 = 0 THEN 'S' || CAST(id % 3 AS VARCHAR) END AS nst, "
+            " CASE WHEN id % 17 = 0 THEN CAST(id % 5 AS VARCHAR) END AS nhn "
+            " FROM n), "
+            "m AS (SELECT l_orderkey AS wid, l_linenumber AS pos, e.id AS pk, "
+            " e.lat, e.lon, e.ent, e.nst, e.nhn FROM lineitem JOIN e ON l_partkey = e.id), "
+            "g AS (SELECT m.*, 'S' || CAST(wid % 3 AS VARCHAR) AS wst, "
+            " CAST(wid % 5 AS VARCHAR) AS whn FROM m WHERE ent IS NOT NULL), "
+            "ok AS (SELECT * FROM g WHERE NOT "
+            " ((nst IS NOT NULL AND nst <> wst) OR (nhn IS NOT NULL AND nhn <> whn))), "
+            "mains AS (SELECT wid, lat, lon, "
+            " row_number() OVER (PARTITION BY wid ORDER BY pos DESC, pk DESC) AS rn "
+            " FROM ok WHERE ent = 'main'), "
+            "minors AS (SELECT wid, lat, lon, "
+            " row_number() OVER (PARTITION BY wid ORDER BY pos DESC, pk DESC) AS rn "
+            " FROM ok WHERE ent = 'yes'), "
+            "pick AS (SELECT w.wid, coalesce(m1.lat, m2.lat) AS elat, "
+            " coalesce(m1.lon, m2.lon) AS elon, "
+            " CASE WHEN m1.lat IS NOT NULL THEN 'mainEntrance' ELSE 'entrance' END AS etype "
+            " FROM (SELECT DISTINCT wid FROM m) w "
+            " LEFT JOIN (SELECT * FROM mains WHERE rn = 1) m1 ON w.wid = m1.wid "
+            " LEFT JOIN (SELECT * FROM minors WHERE rn = 1) m2 ON w.wid = m2.wid) "
+            "SELECT wid AS way_id, elat, elon, etype FROM pick WHERE elat IS NOT NULL"
         ),
         "relation_bbox": (
             f"WITH n AS ({_NODES_SQL}), "
