@@ -373,6 +373,57 @@ def _q_entrance_addr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_street_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: street-name translation join (translateAddress,
+    pbf2json.go:1160-1213): addressed rows join same-named dictionary ways,
+    ε-bbox containment (0.01°), then a first-wins fold of name:<lang> →
+    addr:street:<lang> and alt name-prefixed keys → addr:street:name.
+    Values embed the way id so the candidate ordering (ways ascending by
+    id) is observable."""
+    from pbf2json_spark import enrich
+
+    nodes_geo = _nodes_part(spark, sf_dir)
+    ways = _ways_orders(spark, sf_dir)
+    o = F.col("id")
+    wtags = F.map_filter(
+        F.create_map(
+            F.lit("highway"), F.lit("residential"),
+            F.lit("name"), F.concat(F.lit("N"), (o % 50).cast("string")),
+            F.lit("name:sv"),
+            F.when(o % 2 == 0, F.concat(F.lit("SV"), o.cast("string"))),
+            F.lit("name:fi"),
+            F.when(o % 3 == 0, F.concat(F.lit("FI"), o.cast("string"))),
+            F.lit("name_alt"),
+            F.when(o % 7 == 0, F.concat(F.lit("X"), o.cast("string"))),
+        ),
+        lambda _, v: v.isNotNull(),
+    )
+    ways = ways.withColumn("tags", wtags)
+    fmt = denorm.format_ways(ways, nodes_geo, with_entrances=False)
+    dict_df = enrich.dictionary_names(ways)
+    transl_geo = enrich.translation_geometry(fmt, None, dict_df)
+
+    c = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    rows = c.select(
+        ck.alias("id"),
+        _lat_col(ck).alias("lat"),
+        _lon_col(ck).alias("lon"),
+        F.create_map(
+            F.lit("addr:street"), F.concat(F.lit("N"), (ck % 50).cast("string")),
+            F.lit("addr:housenumber"), F.lit("9"),
+        ).alias("tags"),
+    )
+    out = enrich.translate_address(rows, transl_geo, loc=("lat", "lon"))
+    t = F.col("tags")
+    return out.select(
+        "id",
+        F.element_at(t, F.lit("addr:street:sv")).alias("street_sv"),
+        F.element_at(t, F.lit("addr:street:fi")).alias("street_fi"),
+        F.element_at(t, F.lit("addr:street:name")).alias("street_alt"),
+    )
+
+
 def _q_relation_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     rels = _relations_orders(spark, sf_dir)
     nodes = _nodes_part(spark, sf_dir)
@@ -674,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_denorm_bbox": _q_way_denorm,
         "entrance_pick": _q_entrance_pick,
         "entrance_addr": _q_entrance_addr,
+        "street_translate": _q_street_translate,
         "unit_promotion": _q_unit_promotion,
         "amenity_translate": _q_amenity_translate,
         "relation_bbox": _q_relation_bbox,
@@ -809,6 +861,38 @@ def oracle_sql() -> dict[str, str]:
             ") "
             "SELECT wid AS way_id, elat, elon, etype FROM pick "
             "WHERE wid % 2 = 0 AND elat IS NOT NULL"
+        ),
+        "street_translate": (
+            f"WITH n AS ({_NODES_SQL}), "
+            "wb AS (SELECT l_orderkey AS wid, min(n.lat) AS b0, max(n.lat) AS b1, "
+            " min(n.lon) AS g0, max(n.lon) AS g1 "
+            " FROM lineitem JOIN n ON l_partkey = n.id GROUP BY l_orderkey), "
+            "w AS (SELECT o_orderkey AS wid, 'N' || CAST(o_orderkey % 50 AS VARCHAR) AS nm, "
+            " CASE WHEN o_orderkey % 2 = 0 THEN 'SV' || CAST(o_orderkey AS VARCHAR) END AS sv, "
+            " CASE WHEN o_orderkey % 3 = 0 THEN 'FI' || CAST(o_orderkey AS VARCHAR) END AS fi, "
+            " CASE WHEN o_orderkey % 7 = 0 THEN 'X' || CAST(o_orderkey AS VARCHAR) END AS alt "
+            " FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0 OR o_orderkey % 7 = 0), "
+            f"cust AS (SELECT c_custkey AS cid, {_lat_sql('c_custkey')} AS lat, "
+            f"{_lon_sql('c_custkey')} AS lon, "
+            " 'N' || CAST(c_custkey % 50 AS VARCHAR) AS st FROM customer), "
+            "cand AS (SELECT cid, w.wid, sv, fi, alt FROM cust "
+            " JOIN w ON w.nm = cust.st JOIN wb ON wb.wid = w.wid "
+            " WHERE cust.lat >= wb.b0 - CAST(0.01 AS DOUBLE) AND cust.lat <= wb.b1 + CAST(0.01 AS DOUBLE) "
+            " AND cust.lon >= wb.g0 - CAST(0.01 AS DOUBLE) AND cust.lon <= wb.g1 + CAST(0.01 AS DOUBLE)), "
+            "svp AS (SELECT cid, sv FROM (SELECT cid, sv, "
+            " row_number() OVER (PARTITION BY cid ORDER BY wid) AS rn "
+            " FROM cand WHERE sv IS NOT NULL) WHERE rn = 1), "
+            "fip AS (SELECT cid, fi FROM (SELECT cid, fi, "
+            " row_number() OVER (PARTITION BY cid ORDER BY wid) AS rn "
+            " FROM cand WHERE fi IS NOT NULL) WHERE rn = 1), "
+            "altp AS (SELECT cid, alt FROM (SELECT cid, alt, "
+            " row_number() OVER (PARTITION BY cid ORDER BY wid) AS rn "
+            " FROM cand WHERE alt IS NOT NULL AND NOT contains(alt, '9')) WHERE rn = 1) "
+            "SELECT cust.cid AS id, svp.sv AS street_sv, fip.fi AS street_fi, "
+            "altp.alt AS street_alt FROM cust "
+            "LEFT JOIN svp ON svp.cid = cust.cid "
+            "LEFT JOIN fip ON fip.cid = cust.cid "
+            "LEFT JOIN altp ON altp.cid = cust.cid"
         ),
         "entrance_addr": (
             f"WITH n AS ({_NODES_SQL}), "
