@@ -424,6 +424,34 @@ def _q_street_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_merge_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: per-name greedy segment merge (mergeSegments,
+    pbf2json.go:1218-1273) over same-named highway ways. Greedy scan order
+    is only pytest-verified (order-dependent semantics aren't cleanly
+    SQL-expressible) → rows-only driver check."""
+    from pbf2json_spark import enrich
+
+    nodes_geo = _nodes_part(spark, sf_dir)
+    ways = _ways_orders(spark, sf_dir)
+    o = F.col("id")
+    ways = ways.withColumn(
+        "tags",
+        F.create_map(
+            F.lit("highway"), F.lit("residential"),
+            F.lit("name"), F.concat(F.lit("N"), (o % 50).cast("string")),
+        ),
+    )
+    fmt = denorm.format_ways(ways, nodes_geo, with_entrances=False).drop("pts")
+    dict_df = enrich.dictionary_names(ways)
+    merged = enrich.merge_segments(dict_df, fmt, None, "street_name")
+    return merged.select(
+        F.col("id").alias("seed_id"),
+        F.size("merged_ids").cast("long").alias("n_merged"),
+        F.col("bbox_min.lat").alias("lat_min"),
+        F.col("bbox_max.lat").alias("lat_max"),
+    )
+
+
 def _q_relation_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     rels = _relations_orders(spark, sf_dir)
     nodes = _nodes_part(spark, sf_dir)
@@ -726,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entrance_pick": _q_entrance_pick,
         "entrance_addr": _q_entrance_addr,
         "street_translate": _q_street_translate,
+        "merge_segments": _q_merge_segments,
         "unit_promotion": _q_unit_promotion,
         "amenity_translate": _q_amenity_translate,
         "relation_bbox": _q_relation_bbox,
