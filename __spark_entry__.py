@@ -425,30 +425,61 @@ def _q_street_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_merge_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J8: per-name greedy segment merge (mergeSegments,
-    pbf2json.go:1218-1273) over same-named highway ways. Greedy scan order
-    is only pytest-verified (order-dependent semantics aren't cleanly
-    SQL-expressible) → rows-only driver check."""
-    from pbf2json_spark import enrich
+    """J8 value-exact: per-name greedy segment merge (mergeSegments,
+    pbf2json.go:1218-1273) over a layout where greedy == connected
+    components, so the merged bbox/seed/count are plain SQL aggregates:
 
-    nodes_geo = _nodes_part(spark, sf_dir)
-    ways = _ways_orders(spark, sf_dir)
-    o = F.col("id")
-    ways = ways.withColumn(
-        "tags",
-        F.create_map(
-            F.lit("highway"), F.lit("residential"),
-            F.lit("name"), F.concat(F.lit("N"), (o % 50).cast("string")),
-        ),
+      idx = dense 0-based rank of o_orderkey; name g = idx div 800;
+      cluster c = (idx mod 800) div 100; chain position p = idx mod 100.
+      Cluster (g,c) sits at lat 10·c (clusters 10° apart ≫ extent+slack —
+      never cross-merge) and its members form a TRANSITIVE lon chain:
+      boxes at lon 0.04·p with half-width 0.03 and slack 0.01 —
+      consecutive p overlap, p and p+2 do not (0.08 > 0.07), so the merge
+      must chain through the growing union exactly as the reference's
+      greedy scan does. Cluster members are CONTIGUOUS in id order, so
+      every absorb happens at the scan frontier and the reference's
+      swap-compaction (items[i] = items[i1], pbf2json.go:1264) never
+      fires — greedy == connected components with seed = min id (an
+      interleaved layout scrambles later seeds through those swaps; this
+      one provably doesn't) ⇒ seed/count/union-bbox are plain GROUP BY
+      g, c aggregates in the oracle."""
+    from pbf2json_spark import enrich
+    from pyspark.sql.window import Window
+
+    seq = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        (F.row_number().over(Window.orderBy("o_orderkey")) - 1).alias("idx"),
     )
-    fmt = denorm.format_ways(ways, nodes_geo, with_entrances=False).drop("pts")
-    dict_df = enrich.dictionary_names(ways)
+    m = seq.select(
+        "id",
+        F.expr("idx div 800").alias("g"),
+        F.expr("(idx % 800) div 100").alias("c"),
+        (F.col("idx") % 100).alias("p"),
+    )
+    lat_c = F.col("c").cast("double") * F.lit(10.0)
+    lon_c = F.col("p").cast("double") * F.lit(0.04)
+    name = F.concat(F.lit("N"), F.col("g").cast("string"))
+    fmt = m.select(
+        "id",
+        F.lit("way").alias("type"),
+        F.create_map(F.lit("name"), name).alias("tags"),
+        F.struct(lat_c.alias("lat"), lon_c.alias("lon")).alias("centroid"),
+        F.struct(
+            (lat_c - F.lit(0.05)).alias("lat"), (lon_c - F.lit(0.03)).alias("lon")
+        ).alias("bbox_min"),
+        F.struct(
+            (lat_c + F.lit(0.05)).alias("lat"), (lon_c + F.lit(0.03)).alias("lon")
+        ).alias("bbox_max"),
+    )
+    dict_df = m.select("id", name.alias("street_name"))
     merged = enrich.merge_segments(dict_df, fmt, None, "street_name")
     return merged.select(
         F.col("id").alias("seed_id"),
         F.size("merged_ids").cast("long").alias("n_merged"),
         F.col("bbox_min.lat").alias("lat_min"),
+        F.col("bbox_min.lon").alias("lon_min"),
         F.col("bbox_max.lat").alias("lat_max"),
+        F.col("bbox_max.lon").alias("lon_max"),
     )
 
 
@@ -922,6 +953,22 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN svp ON svp.cid = cust.cid "
             "LEFT JOIN fip ON fip.cid = cust.cid "
             "LEFT JOIN altp ON altp.cid = cust.cid"
+        ),
+        "merge_segments": (
+            # greedy == connected components on this layout (see
+            # _q_merge_segments): one merged row per (name g, cluster c),
+            # seed = min id, bbox = chain union. All float ops mirror the
+            # Spark double arithmetic (CAST ... AS DOUBLE before every op).
+            "WITH seq AS (SELECT o_orderkey AS id, "
+            " row_number() OVER (ORDER BY o_orderkey) - 1 AS idx FROM orders), "
+            "m AS (SELECT id, idx // 800 AS g, (idx % 800) // 100 AS c, "
+            " idx % 100 AS p FROM seq) "
+            "SELECT min(id) AS seed_id, CAST(count(*) AS BIGINT) AS n_merged, "
+            "CAST(c AS DOUBLE) * CAST(10.0 AS DOUBLE) - CAST(0.05 AS DOUBLE) AS lat_min, "
+            "CAST(min(p) AS DOUBLE) * CAST(0.04 AS DOUBLE) - CAST(0.03 AS DOUBLE) AS lon_min, "
+            "CAST(c AS DOUBLE) * CAST(10.0 AS DOUBLE) + CAST(0.05 AS DOUBLE) AS lat_max, "
+            "CAST(max(p) AS DOUBLE) * CAST(0.04 AS DOUBLE) + CAST(0.03 AS DOUBLE) AS lon_max "
+            "FROM m GROUP BY g, c"
         ),
         "entrance_addr": (
             f"WITH n AS ({_NODES_SQL}), "

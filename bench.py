@@ -14,8 +14,10 @@ stand-in) is produced by tools/scaling_bench.py, which reuses run_pages().
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -91,6 +93,57 @@ def _city_polygons(spark: SparkSession):
     )
 
 
+def _previous_round_timings() -> tuple[str, float | str | None, dict[str, float]] | None:
+    """(round tag, sf, per-query seconds) from the latest driver-recorded
+    BENCH_r{N}.json — the regression budget for the current run."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str] | None = None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            n = int(m.group(1))
+            if best is None or n > best[0]:
+                best = (n, p)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as f:
+            rec = json.load(f)
+        parsed = rec.get("parsed", rec)
+        q = parsed.get("queries")
+        return (f"r{best[0]:02d}", parsed.get("sf"), dict(q)) if q else None
+    except (OSError, ValueError, AttributeError):
+        return None
+
+
+def _print_delta_table(timings: dict[str, float], sf) -> None:
+    """Human-readable regression table on stderr (stdout stays the one JSON
+    line the driver parses). Mechanical regression spotting: >15% slower
+    than the previous round is flagged. Only comparable runs compare:
+    different scale factors are apples-to-oranges and get skipped."""
+    prev = _previous_round_timings()
+    if prev is None:
+        return
+    tag, prev_sf, pq = prev
+    if prev_sf is not None and sf is not None and prev_sf != sf:
+        print(
+            f"\n(no delta table: previous round {tag} ran at sf={prev_sf}, "
+            f"this run at sf={sf})",
+            file=sys.stderr,
+        )
+        return
+    print(f"\n--- delta vs {tag} ---", file=sys.stderr)
+    print(f"{'query':<18}{'prev':>9}{'now':>9}{'delta':>9}", file=sys.stderr)
+    for name, now in timings.items():
+        p = pq.get(name)
+        if p is None:
+            print(f"{name:<18}{'-':>9}{now:>9.2f}{'new':>9}", file=sys.stderr)
+            continue
+        pct = (now - p) / p * 100 if p else 0.0
+        flag = "  REGRESSION" if pct > 15 else ""
+        print(f"{name:<18}{p:>9.2f}{now:>9.2f}{pct:>+8.0f}%{flag}", file=sys.stderr)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2000000"))
@@ -110,6 +163,8 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    _print_delta_table(timings, sf_val)
     print(
         json.dumps(
             {
@@ -117,7 +172,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
                 "pages_per_sec": round(n_pages / page_sec, 1),
                 "n_pages": n_pages,
             }

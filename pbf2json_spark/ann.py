@@ -115,16 +115,20 @@ def lsh_cosine_topk(
     q = queries.select(
         F.col(query_id), F.col(vec_col).cast("array<double>").alias("_qv")
     )
-    pb = p.select(
-        id_col, "_pv", F.posexplode(sig(F.col("_pv"))).alias("_t", "_b")
-    )
+    # ids-only through the ×n_tables explode and the bucket join — the
+    # embedding vectors never ride the fan-out; they are hash-joined back
+    # onto the DEDUPLICATED candidate set (mirrors minhash_lsh_pairs'
+    # shuffle discipline, dedup.py).
+    pb = p.select(id_col, F.posexplode(sig(F.col("_pv"))).alias("_t", "_b"))
     qb = F.broadcast(
-        q.select(query_id, "_qv", F.posexplode(sig(F.col("_qv"))).alias("_t", "_b"))
+        q.select(query_id, F.posexplode(sig(F.col("_qv"))).alias("_t", "_b"))
     )
     cands = (
         pb.join(qb, ["_t", "_b"])
-        .select(query_id, id_col, "_pv", "_qv")
+        .select(query_id, id_col)
         .dropDuplicates([query_id, id_col])
+        .join(p, id_col)
+        .join(F.broadcast(q), query_id)
     )
     ranked = cands.withColumn("cos", cosine(F.col("_pv"), F.col("_qv"))).withColumn(
         "rank",
@@ -164,9 +168,16 @@ def ivf_cosine_topk(
     )
 
     # --- train: bounded sample → numpy mini k-means (deterministic) -------
-    sample = np.asarray(
-        [r["_pv"] for r in p.limit(train_sample).collect()], dtype=np.float64
-    )
+    # orderBy().limit() plans as TakeOrdered (per-partition top-n + merge,
+    # no full sort) and is deterministic across partition layouts — a bare
+    # limit() is not (it grabs whatever partitions answer first).
+    sample_rows = p.orderBy(id_col).limit(train_sample).collect()
+    if not sample_rows:
+        raise ValueError(
+            "ivf_cosine_topk: points frame is empty — nothing to train the "
+            "IVF centroids on"
+        )
+    sample = np.asarray([r["_pv"] for r in sample_rows], dtype=np.float64)
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     k_eff = min(n_centroids, len(sample))
@@ -227,19 +238,25 @@ def embedding_near_dup_pairs(
     p = points.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    pb = p.select(
-        "_id", "_v", F.posexplode(sig(F.col("_v"))).alias("_t", "_b")
-    )
-    left = pb.select(F.col("_id").alias("a"), F.col("_v").alias("_va"), "_t", "_b")
-    right = pb.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"), "_t", "_b")
+    # ids-only banded self-join: 8-byte ids cross the ×n_tables explode and
+    # the candidate shuffle; the full vectors are joined back onto the
+    # deduplicated pairs only (minhash_lsh_pairs shuffle discipline) — the
+    # previous shape replicated every embedding n_tables× on BOTH sides.
+    pb = p.select("_id", F.posexplode(sig(F.col("_v"))).alias("_t", "_b"))
+    left = pb.select(F.col("_id").alias("a"), "_t", "_b")
+    right = pb.select(F.col("_id").alias("b"), "_t", "_b")
     cands = (
         left.join(right, ["_t", "_b"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "_va", "_vb")
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
+    va = p.select(F.col("_id").alias("a"), F.col("_v").alias("_va"))
+    vb = p.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"))
     return (
-        cands.withColumn("cos", cosine(F.col("_va"), F.col("_vb")))
+        cands.join(va, "a")
+        .join(vb, "b")
+        .withColumn("cos", cosine(F.col("_va"), F.col("_vb")))
         .filter(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )

@@ -89,6 +89,7 @@ class CheckpointManager:
         key_col: str | None = None,
         input_stages: list[str] | None = None,
         mode: str = "resume",
+        input_run_ids: dict[str, str] | None = None,
     ) -> DataFrame:
         """Materialize `df` as the stage's snapshot and return a reader for
         it. mode='resume' returns the existing committed snapshot without
@@ -149,9 +150,31 @@ class CheckpointManager:
                 "rows": int(total_rows or 0),
                 "key_col": key_col,
                 "input_stages": sorted(input_stages or []),
+                # the exact upstream snapshot attempts this stage was built
+                # against — resume uses this to detect that an upstream was
+                # re-run (mode='overwrite' by another invocation, or GC'd
+                # and rebuilt) and invalidate this stage instead of serving
+                # a snapshot computed from a different input run
+                "input_run_ids": dict(input_run_ids or {}),
             },
         )
         return self.read_stage(stage)
+
+    def snapshot_consistent(self, stage: str, input_stages: list[str]) -> bool:
+        """True iff `stage` has a committed snapshot whose recorded input
+        run_ids match the CURRENTLY committed run_ids of every input stage.
+        Snapshots committed before input_run_ids existed (or with missing
+        upstreams) are treated as inconsistent — safety first."""
+        snap = self.committed(stage)
+        if snap is None:
+            return False
+        expected: dict[str, str] = {}
+        for s in input_stages:
+            up = self.committed(s)
+            if up is None:
+                return False
+            expected[s] = up["run_id"]
+        return snap.get("input_run_ids") == expected
 
     def read_stage(self, stage: str) -> DataFrame:
         snap = self.committed(stage)
@@ -191,15 +214,26 @@ def run_stages(
 ) -> DataFrame:
     """Run a linear pipeline of (stage_name, fn(prev_df|None) -> DataFrame),
     checkpointing each stage; on resume, completed stages are read back
-    instead of recomputed. Returns the final stage's frame."""
+    instead of recomputed. A stage resumes ONLY when its recorded input
+    run_ids match the currently committed upstream run_ids
+    (snapshot_consistent) — a stale downstream snapshot built against a
+    since-replaced upstream is recomputed, and the recompute cascades
+    (its own commit changes this stage's run_id, invalidating the next).
+    Returns the final stage's frame."""
     prev: DataFrame | None = None
     prev_names: list[str] = []
     for name, fn in stages:
-        if mode == "resume" and mgr.committed(name) is not None:
+        if mode == "resume" and mgr.snapshot_consistent(name, prev_names):
             prev = mgr.read_stage(name)
         else:
             prev = mgr.write_stage(
-                name, fn(prev), input_stages=prev_names, mode="overwrite"
+                name,
+                fn(prev),
+                input_stages=prev_names,
+                mode="overwrite",
+                input_run_ids={
+                    s: mgr.committed(s)["run_id"] for s in prev_names
+                },
             )
         prev_names = [name]
     return prev

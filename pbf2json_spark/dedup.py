@@ -306,11 +306,15 @@ def simhash_pairs(
     ).select("_id", "simhash", F.col("_c.band").alias("_band"), F.col("_c.bkey").alias("_bkey"))
     left = banded.select(F.col("_id").alias("a"), F.col("simhash").alias("_ha"), "_band", "_bkey")
     right = banded.select(F.col("_id").alias("b"), F.col("simhash").alias("_hb"), "_band", "_bkey")
+    # verify BEFORE the dedup exchange: the bit_count(xor) check is pure
+    # map-side work, so the duplicated 8-byte hash columns never cross a
+    # shuffle — only (a, b, hamming) does (hamming is identical for every
+    # duplicate of a pair, so deduplicating after it is equivalent).
     return (
         left.join(right, ["_band", "_bkey"])
         .filter(F.col("a") < F.col("b"))
-        .dropDuplicates(["a", "b"])
         .withColumn("hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
+        .dropDuplicates(["a", "b"])
     )

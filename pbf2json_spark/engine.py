@@ -26,6 +26,10 @@ from pyspark.sql import functions as F
 from pbf2json_spark import denorm, dsl, enrich, relations as rel_mod
 
 
+class StreamError(RuntimeError):
+    """Raised when the record stream fails (index.js:48-60 kill path)."""
+
+
 @dataclass
 class QueryResult:
     """The six output row classes (outputValidEntries, pbf2json.go:489-549)."""
@@ -84,7 +88,11 @@ class Engine:
         names: tuple[str, ...] = ("name",),
         nodes_hint: str | None = None,
         persist: bool = True,
+        highways: tuple[str, ...] | None = None,
     ) -> None:
+        """`highways` = the reference's documented `-highways` allowlist
+        (pbf2json.go:171; dead code in Go — see enrich.dictionary_names).
+        Default None = off, matching the reference's effective behavior."""
         self.nodes = denorm.prepare_nodes(nodes)
         self.ways = denorm.prepare_ways(ways)
         self.relations = (
@@ -97,6 +105,7 @@ class Engine:
         self.names = names
         self.nodes_hint = nodes_hint
         self.persist = persist
+        self.highways = highways
 
     def query(
         self,
@@ -104,7 +113,13 @@ class Engine:
         with_dictionary: bool = True,
         with_entrances: bool = True,
         with_counters: bool = False,
+        broadcast_dictionaries: bool | None = None,
     ) -> QueryResult:
+        """Run one tag-DSL query. `broadcast_dictionaries` gates the
+        broadcast hints on the dictionary-shaped build sides (translation
+        geometry, merged-seed ids): None (default) = no hint, AQE decides
+        at runtime — planet-scale safe; True = force (small-region
+        deployments); False = never."""
         query = dsl.parse(tags_dsl)
         pred = lambda df: dsl.compile_query(query, F.col("tags"))  # noqa: E731
 
@@ -117,9 +132,9 @@ class Engine:
         )
 
         # dictionary classification is tag-level (toDictionary, go:1072-1132)
-        dict_ways = enrich.dictionary_names(self.ways, self.names)
+        dict_ways = enrich.dictionary_names(self.ways, self.names, self.highways)
         dict_rels = (
-            enrich.dictionary_names(self.relations, self.names)
+            enrich.dictionary_names(self.relations, self.names, self.highways)
             if self.relations is not None
             else None
         )
@@ -181,20 +196,27 @@ class Engine:
             transl_geo,
             self.names,
             with_counters=with_counters,
+            broadcast_transl=broadcast_dictionaries,
         )
 
         out_ways = fmt_ways_out.join(matched_ways.select("id"), "id", "left_semi")
-        out_ways = self._suppress(out_ways, query, merged_streets, merged_water)
+        out_ways = self._suppress(
+            out_ways, query, merged_streets, merged_water, broadcast_dictionaries
+        )
         out_ways = enrich.translate_address(
-            out_ways, transl_geo, self.names, with_counters=with_counters
+            out_ways, transl_geo, self.names, with_counters=with_counters,
+            broadcast_transl=broadcast_dictionaries,
         )
 
         out_rels = None
         if fmt_rels is not None and matched_rels is not None:
             out_rels = fmt_rels.join(matched_rels.select("id"), "id", "left_semi")
-            out_rels = self._suppress(out_rels, query, merged_streets, merged_water)
+            out_rels = self._suppress(
+                out_rels, query, merged_streets, merged_water, broadcast_dictionaries
+            )
             out_rels = enrich.translate_address(
-                out_rels, transl_geo, self.names, with_counters=with_counters
+                out_rels, transl_geo, self.names, with_counters=with_counters,
+                broadcast_transl=broadcast_dictionaries,
             )
 
         out_entrances = None
@@ -205,6 +227,7 @@ class Engine:
                 self.names,
                 loc=("lat", "lon"),
                 with_counters=with_counters,
+                broadcast_transl=broadcast_dictionaries,
             )
 
         counters = None
@@ -218,10 +241,13 @@ class Engine:
             allc = parts[0]
             for p in parts[1:]:
                 allc = allc.unionByName(p)
+            # coalesce: the reference prints 0 counters when the query
+            # matches nothing (Go ints start at 0); F.sum over zero rows
+            # yields NULL without it
             counters = allc.agg(
-                F.sum("_n_amenity").alias("amenitycount"),
-                F.sum("_n_trans").alias("transcount"),
-                F.sum("_n_fitrans").alias("fitranscount"),
+                F.coalesce(F.sum("_n_amenity"), F.lit(0)).alias("amenitycount"),
+                F.coalesce(F.sum("_n_trans"), F.lit(0)).alias("transcount"),
+                F.coalesce(F.sum("_n_fitrans"), F.lit(0)).alias("fitranscount"),
             )
             out_nodes = out_nodes.drop(*CTR)
             out_ways = out_ways.drop(*CTR)
@@ -244,7 +270,7 @@ class Engine:
             counters=counters,
         )
 
-    def stream_records(self, tags_dsl: str, **query_kw):
+    def stream_records(self, tags_dsl: str, on_error=None, **query_kw):
         """The reference's public consumption API re-expressed: index.js
         createReadStream (index.js:18-63) spawns the engine and yields one
         parsed JSON record per line. Here: run the query, stream the
@@ -252,9 +278,29 @@ class Engine:
         (toLocalIterator — one partition in flight, no full collect) and
         yield plain dicts of the same shape printJson emits
         (pbf2json.go:552-555): nulls dropped, node rows carry lat/lon,
-        way/relation rows carry centroid/bbox."""
-        res = self.query(tags_dsl, **query_kw)
-        for row in res.combined().toLocalIterator():
+        way/relation rows carry centroid/bbox.
+
+        Error semantics mirror the wrapper (index.js:48-60): the child's
+        stderr is surfaced through `on_error(message)` (the wrapper's
+        `console.error` logger), the stream is torn down, and a
+        StreamError (≙ the wrapper's nonzero-exit `decoder.kill` path)
+        is raised — a failure never looks like a clean empty stream."""
+        try:
+            res = self.query(tags_dsl, **query_kw)
+            rows = res.combined().toLocalIterator()
+        except Exception as e:  # setup failure: bad DSL / missing columns
+            if on_error is not None:
+                on_error(str(e))
+            raise StreamError(f"pbf2json stream setup failed: {e}") from e
+        while True:
+            try:
+                row = next(rows, None)
+            except Exception as e:  # mid-stream executor/plan failure
+                if on_error is not None:
+                    on_error(str(e))
+                raise StreamError(f"pbf2json stream failed mid-flight: {e}") from e
+            if row is None:
+                return
             rec = {"id": row["id"], "type": row["type"], "tags": dict(row["tags"])}
             if row["lat"] is not None:
                 rec["lat"] = row["lat"]
@@ -271,6 +317,7 @@ class Engine:
         query: dsl.Query,
         merged_streets: DataFrame | None,
         merged_water: DataFrame | None,
+        broadcast_dictionaries: bool | None = None,
     ) -> DataFrame:
         """outputValidEntries per-row-class suppression (go:498-534): merged
         seeds skipped, then xwayOnly residual-interest check (which also
@@ -280,7 +327,11 @@ class Engine:
             if merged is not None:
                 seeds = merged.select("id", "type", F.lit(True).alias("_is_seed"))
                 rows = (
-                    rows.join(F.broadcast(seeds), ["id", "type"], "left")
+                    rows.join(
+                        enrich.maybe_broadcast(seeds, broadcast_dictionaries),
+                        ["id", "type"],
+                        "left",
+                    )
                     .filter(
                         ~(
                             F.map_contains_key("tags", F.lit(key))

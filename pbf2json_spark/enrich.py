@@ -49,19 +49,55 @@ AMENITY_NAMES: dict[str, dict[str, str]] = {
 }
 
 
+# --- broadcast gating ------------------------------------------------------------
+
+
+def maybe_broadcast(df: DataFrame, mode: bool | None) -> DataFrame:
+    """Size-aware broadcast gate for dictionary-shaped build sides.
+
+    True  → force the broadcast hint (caller KNOWS the side is small);
+    False/None → no hint: the static planner sizes it against
+    autoBroadcastJoinThreshold and AQE converts to a broadcast join at
+    runtime when the materialized side turns out small. At planet scale an
+    unconditional hint on an unbounded side (every named way/relation) is
+    a driver-OOM landmine; the adaptive path is the 100 TB-safe default."""
+    return F.broadcast(df) if mode else df
+
+
 # --- dictionary build (A6) -----------------------------------------------------
 
 
-def dictionary_names(entities: DataFrame, names: Iterable[str] = ("name",)) -> DataFrame:
+def dictionary_names(
+    entities: DataFrame,
+    names: Iterable[str] = ("name",),
+    highways: Iterable[str] | None = None,
+) -> DataFrame:
     """Tag-level dictionary classification (toDictionary, pbf2json.go:1072-1132).
 
     Input: (id, tags) rows (prepared/trimmed) for ways or relations.
     Output: id, street_name (named highway), water_name (named waterway,
     suppressed if the highway branch claimed the row), transl_names
     (array of names this row translates), is_dict.
+
+    `highways` implements the reference's DOCUMENTED `-highways` flag
+    behavior (pbf2json.go:171, 226-232, 1076-1081): when a highway-value
+    allowlist is given, a way whose highway type is not in the set is
+    excluded from the dictionary ENTIRELY (early `return false`,
+    go:1080 — no street entry, no translations, and no waterway entry
+    either). Default None = filter off. Note the reference's flag is dead
+    code in Go (the inner `hwMap :=` at go:227 shadows the outer variable,
+    so config.highways is always nil); per SURVEY §2.10 we implement the
+    documented behavior behind this flag, default off — divergence
+    recorded in COVERAGE.md.
     """
     tags = F.col("tags")
     name_prefix_match = _any_prefix_match(tags, names)
+
+    hw_excluded = F.lit(False)
+    if highways is not None:
+        hw_excluded = F.map_contains_key(tags, F.lit("highway")) & ~F.element_at(
+            tags, F.lit("highway")
+        ).isin(*[str(v) for v in highways])
 
     primary = F.coalesce(
         F.element_at(tags, F.lit("name")),
@@ -72,7 +108,7 @@ def dictionary_names(entities: DataFrame, names: Iterable[str] = ("name",)) -> D
     namesv = F.element_at(tags, F.lit("name:sv"))
 
     is_highway = F.map_contains_key(tags, F.lit("highway"))
-    street_name = F.when(is_highway & (F.size(tags) > 0), primary)
+    street_name = F.when(is_highway & (F.size(tags) > 0) & ~hw_excluded, primary)
 
     t_primary = F.when(
         street_name.isNotNull() & name_prefix_match(lambda v: v != primary), primary
@@ -97,7 +133,8 @@ def dictionary_names(entities: DataFrame, names: Iterable[str] = ("name",)) -> D
     water_name = F.when(
         F.map_contains_key(tags, F.lit("waterway"))
         & (F.size(tags) > 0)
-        & ~is_dict,  # highway branch claimed the row (early return, go:1117-1120)
+        & ~is_dict  # highway branch claimed the row (early return, go:1117-1120)
+        & ~hw_excluded,  # disallowed highway type exits the whole fn (go:1080)
         F.element_at(tags, F.lit("name")),
     )
     return entities.select(
@@ -185,11 +222,20 @@ def translate_address(
     loc: tuple[str, str] | None = None,
     key: str = "id",
     with_counters: bool = False,
+    broadcast_transl: bool | None = None,
 ) -> DataFrame:
     """Apply amenity-name injection + street-name translations to output rows
     (translateAddress, pbf2json.go:1134-1215). `rows` must have `tags`, a
     unique `key` column, and a location; `loc` names the (lat, lon) columns —
     default uses centroid.lat/centroid.lon if present, else lat/lon.
+
+    `broadcast_transl` gates the broadcast of the translation-geometry
+    build side (see maybe_broadcast): default None lets AQE size it at
+    runtime — transl_geo is every named way/relation with alt names, which
+    is dictionary-sized for one region but unbounded at planet scale, so
+    an unconditional hint is not 100 TB-safe. Pass True when the caller
+    knows the dictionary is small. The static amenity dictionary (8 rows,
+    go:78-90) stays unconditionally broadcast.
 
     with_counters adds the reference's counters (pbf2json.go:125-127,
     1155, 1193-1207) as per-row columns `_n_amenity`, `_n_trans`,
@@ -270,7 +316,7 @@ def translate_address(
 
     cands = (
         addressed.join(
-            F.broadcast(transl_geo),
+            maybe_broadcast(transl_geo, broadcast_transl),
             addressed["_street"] == transl_geo["transl_name"],
         )
         .filter(inside)
@@ -431,11 +477,105 @@ def _merge_one_name(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _merge_one_name_cc(pdf: pd.DataFrame, slack: float = STREET_HIT_DISTANCE) -> pd.DataFrame:
+    """Near-linear fallback for pathological hot names (a worldwide 'Main
+    Street' at 100× scale turns the reference's O(n²) greedy scan into a
+    single-task quadratic straggler).
+
+    Components = connected components of the pairwise
+    bbox-intersects-with-slack graph, via union-find over a shared grid:
+    each bbox expanded by slack/2 is assigned to every grid cell it covers
+    and boxes sharing a cell are unioned. Two boxes that intersect (with
+    slack) share the cell containing a common point, so a true component is
+    NEVER split; boxes closer than ~2 cell widths may be over-merged, and
+    greedy's growing-bbox absorption can differ near component boundaries —
+    a deterministic CC-superset divergence, documented per SURVEY §7 (the
+    greedy path below `greedy_limit` is untouched and byte-exact).
+    Seed / absorbed-tag / merged_ids ordering is (is_way, id) — the
+    reference's scan order."""
+    import numpy as np
+
+    pdf = pdf.sort_values(["is_way", "id"], kind="mergesort").reset_index(drop=True)
+    n = len(pdf)
+    lat0 = np.array([b["lat"] for b in pdf["bbox_min"]], dtype=np.float64)
+    lon0 = np.array([b["lon"] for b in pdf["bbox_min"]], dtype=np.float64)
+    lat1 = np.array([b["lat"] for b in pdf["bbox_max"]], dtype=np.float64)
+    lon1 = np.array([b["lon"] for b in pdf["bbox_max"]], dtype=np.float64)
+    h = slack / 2.0
+    # cell width: median box extent (≥ slack) keeps cells-per-box ~O(1)
+    g = max(
+        slack,
+        float(np.median(lat1 - lat0)),
+        float(np.median(lon1 - lon0)),
+    )
+
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(i: int) -> int:
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:  # path compression
+            parent[i], i = root, parent[i]
+        return root
+
+    first_in_cell: dict[tuple[int, int], int] = {}
+    x0 = np.floor((lon0 - h) / g).astype(np.int64)
+    x1 = np.floor((lon1 + h) / g).astype(np.int64)
+    y0 = np.floor((lat0 - h) / g).astype(np.int64)
+    y1 = np.floor((lat1 + h) / g).astype(np.int64)
+    for i in range(n):
+        for cx in range(x0[i], x1[i] + 1):
+            for cy in range(y0[i], y1[i] + 1):
+                key = (cx, cy)
+                j = first_in_cell.setdefault(key, i)
+                if j != i:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        # union by smaller index → deterministic roots
+                        parent[max(ri, rj)] = min(ri, rj)
+    comps: dict[int, list[int]] = {}
+    for i in range(n):
+        comps.setdefault(find(i), []).append(i)
+
+    items = pdf.to_dict("records")
+    out = []
+    for root in sorted(comps):
+        members = comps[root]  # already in (is_way, id) order
+        seed = items[members[0]]
+        tags = dict(seed["tags"])
+        for m in members[1:]:
+            for k, v in items[m]["tags"].items():
+                if k.startswith("name:"):
+                    tags[k] = v
+        out.append(
+            {
+                "id": seed["id"],
+                "type": seed["type"],
+                "tags": tags,
+                "centroid": seed["centroid"],
+                "bbox_min": {
+                    "lat": float(lat0[members].min()),
+                    "lon": float(lon0[members].min()),
+                },
+                "bbox_max": {
+                    "lat": float(lat1[members].max()),
+                    "lon": float(lon1[members].max()),
+                },
+                "merged_ids": [items[m]["id"] for m in members],
+            }
+        )
+    return pd.DataFrame(
+        out, columns=["id", "type", "tags", "centroid", "bbox_min", "bbox_max", "merged_ids"]
+    )
+
+
 def merge_segments(
     dict_df: DataFrame,
     fmt_ways: DataFrame,
     fmt_rels: DataFrame | None,
     name_col: str,
+    greedy_limit: int = 20_000,
 ) -> DataFrame:
     """Group same-named segments (streets: name_col='street_name'; waterways:
     'water_name') and merge per name. Only entities that were actually
@@ -443,7 +583,11 @@ def merge_segments(
     pbf2json.go:1240-1246). Output: merged rows + merged_ids (the seed id is
     merged_ids[0]). As in the reference, only SEED ids are suppressed from
     the main output (mergedStreets holds seeds only, pbf2json.go:1240); the
-    absorbed members still print individually when query-valid."""
+    absorbed members still print individually when query-valid.
+
+    Name groups larger than `greedy_limit` rows take the near-linear
+    union-find path (_merge_one_name_cc) instead of the reference's O(n²)
+    greedy scan — the hot-name straggler guard for planet-scale inputs."""
     named = dict_df.filter(F.col(name_col).isNotNull()).select(
         "id", F.col(name_col).alias("name")
     )
@@ -458,6 +602,10 @@ def merge_segments(
     if fmt_rels is not None:
         sides = sides.unionByName(side(fmt_rels, False))
     rows = named.join(sides, "id")
-    return rows.groupBy("name").applyInPandas(
-        lambda pdf: _merge_one_name(pdf), schema=_MERGE_SCHEMA
-    )
+
+    def dispatch(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > greedy_limit:
+            return _merge_one_name_cc(pdf)
+        return _merge_one_name(pdf)
+
+    return rows.groupBy("name").applyInPandas(dispatch, schema=_MERGE_SCHEMA)

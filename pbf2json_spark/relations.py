@@ -138,9 +138,18 @@ def resolve_relations(
             F.filter("members", lambda m: m["mtype"] == F.lit("relation"))
         ).alias("m"),
     ).select("id", F.col("m.ref").alias("sub"))
-    # metadata-scale collect: only relation→relation edges + relation ids
+    # BOTH collects are bounded by the relation→relation edge count, never
+    # the relation table: edges themselves, plus the edge-endpoint ids that
+    # actually exist as relations (semi-join before collecting — a sub ref
+    # to a missing relation resolves to 'skip' and carries no constraint).
+    # Source ids are relation ids by construction. The earlier full
+    # relations.select("id").collect() was a needless driver-OOM risk at
+    # planet scale (~12M relations); membership only matters for endpoints.
     edges = [(r["id"], r["sub"]) for r in rel_edges_df.collect()]
-    rel_ids = {r["id"] for r in relations.select("id").collect()}
+    subs_present = relations.join(
+        rel_edges_df.select(F.col("sub").alias("id")).distinct(), "id", "left_semi"
+    ).select("id")
+    rel_ids = {a for a, _ in edges} | {r["id"] for r in subs_present.collect()}
     levels = _strata(rel_ids, edges)
     n_levels = (max(levels.values()) + 1) if levels else 1
     if n_levels > max_levels:
@@ -180,14 +189,14 @@ def resolve_relations(
         out_k = _resolve_level(rels_k, node_side, way_side, resolved)
         if n_levels > 1:
             # each level is referenced twice (final union + next level's
-            # member join): persist avoids recomputing the whole subtree.
-            # For DEEP nesting also cut the lineage — the plan otherwise
-            # grows multiplicatively with depth.
-            out_k = (
-                out_k.localCheckpoint(eager=True)
-                if n_levels > 3
-                else out_k.persist()
-            )
+            # member join): a LAZY localCheckpoint materializes the level on
+            # first use, cuts the lineage (the plan otherwise grows
+            # multiplicatively with depth), and — unlike persist(), whose
+            # CacheManager entry lives until an explicit unpersist — is
+            # freed by the ContextCleaner when the returned frame is
+            # released, so repeated Engine.query calls in a long-lived
+            # session don't leak executor storage.
+            out_k = out_k.localCheckpoint(eager=False)
         resolved = out_k if resolved is None else resolved.unionByName(out_k)
     return resolved
 

@@ -117,6 +117,41 @@ def _pip_verify_udf(
     return pd.Series(out)
 
 
+def _pip_verify_col(plat: Column, plon: Column, ring: Column) -> Column:
+    """Even-odd ray cast as a pure Column expression — the whole verify
+    stays inside WholeStageCodegen (no Python workers at all, which is
+    what the north-rule scaling-efficiency target needs: a Python-UDF
+    stage pays per-core worker startup + Arrow IPC that scales
+    sub-linearly with task parallelism).
+
+    Bit-identical to geo.points_in_ring: same closing-point drop, the same
+    `>` straddle test, and the crossing abscissa computed with the same
+    IEEE op order (x1 + (py-y1)*(x2-x1)/(y2-y1)); double division by zero
+    yields ±Inf/NaN, never throws, and the straddle conjunct is already
+    false on horizontal edges. Ring sizes are small (4-100 vertices), so
+    the per-row edge array is cheap."""
+    rr = F.when(
+        (F.size(ring) > 1)
+        & (F.element_at(ring, 1)["lat"] == F.element_at(ring, F.size(ring))["lat"])
+        & (F.element_at(ring, 1)["lon"] == F.element_at(ring, F.size(ring))["lon"]),
+        F.slice(ring, 1, F.size(ring) - 1),
+    ).otherwise(ring)
+    # successor vertex, wrapping (numpy's np.roll(ring, -1))
+    nxt = F.concat(F.slice(rr, 2, F.size(rr)), F.array(F.element_at(rr, 1)))
+    edges = F.zip_with(
+        rr, nxt, lambda p, q: F.struct(p.alias("p"), q.alias("q"))
+    )
+
+    def crossed(e: Column) -> Column:
+        y1, x1 = e["p"]["lat"], e["p"]["lon"]
+        y2, x2 = e["q"]["lat"], e["q"]["lon"]
+        straddle = (y1 > plat) != (y2 > plat)
+        xcross = x1 + (plat - y1) * (x2 - x1) / (y2 - y1)
+        return straddle & (plon < xcross)
+
+    return F.size(F.filter(edges, crossed)) % 2 == 1
+
+
 def point_in_polygon_join(
     points: DataFrame,
     polygons: DataFrame,
@@ -125,6 +160,7 @@ def point_in_polygon_join(
     lon_col: str = "lon",
     broadcast_polygons: bool = True,
     salt: int | None = None,
+    verify: str = "column",
 ) -> DataFrame:
     """points ⋈ polygons with cell prefilter + exact ray-cast verify.
 
@@ -139,7 +175,13 @@ def point_in_polygon_join(
     hash of its coordinates, the (small) polygon-cell side is replicated ×S
     — task sizes even out at the cost of S× the build side. Only relevant
     when the join is NOT broadcast (a broadcast join has no shuffle to
-    skew); ignored otherwise."""
+    skew); ignored otherwise.
+
+    `verify`: 'column' (default) runs the exact ray cast as a pure Column
+    expression inside codegen — zero Python in the whole join; 'arrow'
+    uses the batched pandas-UDF kernel (geo.points_in_ring). Both are
+    bit-identical; 'arrow' exists as the parity twin and for rings large
+    enough that a vectorized numpy edge loop beats codegen'd array HOFs."""
     if res is None:
         res = pick_polygon_res(polygons)
     pc = _polygon_cells(polygons, res)
@@ -164,15 +206,22 @@ def point_in_polygon_join(
         ).drop("_salt")
     else:
         cand = pts.join(pc, pts["_cell"] == pc["cell"], "inner")
-    verified = cand.filter(
-        _pip_verify_udf(
-            F.col(lat_col),
-            F.col(lon_col),
-            F.col("polygon_id"),
-            F.transform("ring", lambda p: p["lat"]),
-            F.transform("ring", lambda p: p["lon"]),
+    if verify == "column":
+        verified = cand.filter(
+            _pip_verify_col(F.col(lat_col), F.col(lon_col), F.col("ring"))
         )
-    )
+    elif verify == "arrow":
+        verified = cand.filter(
+            _pip_verify_udf(
+                F.col(lat_col),
+                F.col(lon_col),
+                F.col("polygon_id"),
+                F.transform("ring", lambda p: p["lat"]),
+                F.transform("ring", lambda p: p["lon"]),
+            )
+        )
+    else:
+        raise ValueError(f"unknown verify mode {verify!r}")
     return verified.drop("_cell", "cell", "ring")
 
 

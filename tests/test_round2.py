@@ -1,0 +1,341 @@
+"""Round-2 hardening tests: stream error semantics (index.js:48-60),
+the documented -highways flag (pbf2json.go:171, 226-232, 1076-1081),
+broadcast gating, zero counters on empty output, the hot-name merge guard,
+checkpoint lineage invalidation, and the relations driver-collect removal."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from pbf2json_spark import enrich
+from pbf2json_spark.engine import Engine, StreamError
+
+from tests.test_enrich_engine import build_engine, grid_nodes
+
+
+# --- stream error semantics (index.js:48-60) ----------------------------------
+
+
+def test_stream_setup_failure_raises_and_surfaces(spark):
+    eng = build_engine(spark, [(1, 60.0, 24.0, {"a": "b"})], [])
+    errs: list[str] = []
+    with pytest.raises(StreamError, match="setup failed"):
+        # empty DSL → parse error: the wrapper's kill path, never a clean
+        # empty stream
+        list(eng.stream_records("", on_error=errs.append))
+    assert errs and errs[0]
+
+
+def test_stream_midflight_failure_raises(spark):
+    # a plan that analyzes fine but fails at execution time: force a
+    # runtime error through a UDF that throws on evaluation
+    from pyspark.sql.types import StringType
+
+    @F.udf(StringType())
+    def boom(x):
+        raise RuntimeError("decoder exploded")
+
+    eng = build_engine(spark, [(1, 60.0, 24.0, {"amenity": "pub"})], [])
+    res = eng.query("amenity~pub")
+    res.nodes = res.nodes.withColumn("tags", F.create_map(F.lit("k"), boom("type")))
+    errs: list[str] = []
+    gen = None
+    with pytest.raises(StreamError, match="mid-flight|setup failed"):
+        # reuse the facade's iteration path via a fresh engine whose query
+        # output fails at run time
+        eng2 = build_engine(spark, [(1, 60.0, 24.0, {"amenity": "pub"})], [])
+        orig_query = eng2.query
+        eng2.query = lambda *a, **k: res  # inject the poisoned result
+        gen = eng2.stream_records("amenity~pub", on_error=errs.append)
+        list(gen)
+    assert errs
+
+
+def test_stream_happy_path_unchanged(spark):
+    eng = build_engine(spark, [(1, 60.0, 24.0, {"amenity": "pub"})], [])
+    recs = list(eng.stream_records("amenity~pub"))
+    assert len(recs) == 1 and recs[0]["id"] == 1
+
+
+# --- the documented -highways behavior (go:1076-1081) --------------------------
+
+
+def _dict_rows(spark, rows):
+    df = spark.createDataFrame(rows, "id long, tags map<string,string>")
+    return df
+
+
+def test_highways_filter_off_by_default(spark):
+    d = enrich.dictionary_names(
+        _dict_rows(
+            spark,
+            [(1, {"highway": "residential", "name": "A", "name:sv": "B"})],
+        )
+    ).collect()[0]
+    assert d["street_name"] == "A" and d["is_dict"]
+
+
+def test_highways_filter_excludes_disallowed_type_entirely(spark):
+    rows = [
+        # allowed type: classified as usual
+        (1, {"highway": "residential", "name": "A", "name:sv": "B"}),
+        # disallowed type: early `return false` (go:1080) — no street, no
+        # translations, and NO waterway entry either
+        (2, {"highway": "track", "name": "C", "name:sv": "D", "waterway": "x"}),
+        # no highway tag at all: waterway branch unaffected by the filter
+        (3, {"waterway": "river", "name": "E"}),
+    ]
+    out = {
+        r["id"]: r
+        for r in enrich.dictionary_names(
+            _dict_rows(spark, rows), highways=["residential", "primary"]
+        ).collect()
+    }
+    assert out[1]["street_name"] == "A" and out[1]["is_dict"]
+    assert out[2]["street_name"] is None
+    assert out[2]["water_name"] is None
+    assert not out[2]["is_dict"] and out[2]["transl_names"] == []
+    assert out[3]["water_name"] == "E"
+
+
+def test_engine_highways_flag_threads_through(spark):
+    nodes = grid_nodes()
+    ways = [
+        (500, {"highway": "residential", "name": "Kirkkotie", "name:sv": "Kyrkov"}, [1, 2]),
+        (501, {"highway": "track", "name": "Polku", "name:sv": "Stig"}, [3, 4]),
+    ]
+    eng = build_engine(spark, nodes, ways, highways=("residential",))
+    res = eng.query("highway")
+    merged = {r["id"] for r in res.merged_streets.collect()}
+    assert 500 in merged and 501 not in merged
+
+
+# --- broadcast gating ----------------------------------------------------------
+
+
+def test_translate_address_broadcast_modes_equal(spark):
+    rows = spark.createDataFrame(
+        [(1, 60.0, 24.0, {"addr:street": "Kirkkotie", "addr:housenumber": "7"})],
+        "id long, lat double, lon double, tags map<string,string>",
+    )
+    tg = spark.createDataFrame(
+        [
+            (
+                "Kirkkotie",
+                True,
+                9,
+                {"name": "Kirkkotie", "name:sv": "Kyrkovagen"},
+                {"lat": 59.99, "lon": 23.99},
+                {"lat": 60.01, "lon": 24.01},
+            )
+        ],
+        "transl_name string, is_way boolean, id long, wr_tags map<string,string>,"
+        " bbox_min struct<lat:double,lon:double>, bbox_max struct<lat:double,lon:double>",
+    )
+    outs = []
+    for mode in (True, False, None):
+        out = enrich.translate_address(
+            rows, tg, loc=("lat", "lon"), broadcast_transl=mode
+        ).collect()
+        outs.append(sorted((r["id"], dict(r["tags"])) for r in out))
+    assert outs[0] == outs[1] == outs[2]
+    assert outs[0][0][1]["addr:street:sv"] == "Kyrkovagen"
+
+
+# --- counters: zero (not NULL) when the query matches nothing ------------------
+
+
+def test_counters_zero_on_empty_match(spark):
+    eng = build_engine(spark, grid_nodes(), [])
+    res = eng.query("amenity~does_not_exist", with_counters=True)
+    row = res.counters.collect()[0]
+    assert row["amenitycount"] == 0
+    assert row["transcount"] == 0
+    assert row["fitranscount"] == 0
+
+
+# --- hot-name merge guard ------------------------------------------------------
+
+
+def _mk_merge_frames(spark, n, name="Main Street"):
+    """n same-named way segments in well-separated pairwise-overlapping
+    clusters of 4 (layout where greedy == connected components)."""
+    rows = []
+    for i in range(n):
+        c, p = divmod(i, 4)
+        lat = float(c)  # clusters 1 degree apart ≫ extent+slack
+        lon = p * 0.004  # within-cluster boxes pairwise overlap
+        rows.append(
+            (
+                i + 1,
+                "way",
+                {"name": name, f"name:x{i % 3}": f"v{i}"},
+                {"lat": lat, "lon": lon},
+                {"lat": lat - 0.01, "lon": lon - 0.01},
+                {"lat": lat + 0.01, "lon": lon + 0.01},
+            )
+        )
+    fmt = spark.createDataFrame(
+        rows,
+        "id long, type string, tags map<string,string>,"
+        " centroid struct<lat:double,lon:double>,"
+        " bbox_min struct<lat:double,lon:double>, bbox_max struct<lat:double,lon:double>",
+    )
+    dict_df = fmt.select("id", F.lit(name).alias("street_name"))
+    return dict_df, fmt
+
+
+def test_merge_cc_guard_matches_greedy_on_clustered_layout(spark):
+    dict_df, fmt = _mk_merge_frames(spark, 64)
+    greedy = enrich.merge_segments(dict_df, fmt, None, "street_name", greedy_limit=10**9)
+    cc = enrich.merge_segments(dict_df, fmt, None, "street_name", greedy_limit=1)
+
+    def canon(df):
+        return sorted(
+            (
+                r["id"],
+                tuple(sorted(r["merged_ids"])),
+                round(r["bbox_min"]["lat"], 9),
+                round(r["bbox_max"]["lon"], 9),
+            )
+            for r in df.collect()
+        )
+
+    assert canon(greedy) == canon(cc)
+
+
+def test_merge_cc_guard_handles_50k_hot_name_fast(spark):
+    dict_df, fmt = _mk_merge_frames(spark, 50_000)
+    t0 = time.time()
+    out = enrich.merge_segments(dict_df, fmt, None, "street_name", greedy_limit=20_000)
+    n = out.count()
+    wall = time.time() - t0
+    assert n == 50_000 / 4  # one merged row per 4-segment cluster
+    assert wall < 120, f"hot-name CC path took {wall:.1f}s"
+
+
+# --- checkpoint lineage invalidation ------------------------------------------
+
+
+def test_run_stages_invalidates_on_upstream_rerun(spark, tmp_path):
+    from pbf2json_spark.checkpoint import CheckpointManager, run_stages
+
+    mgr = CheckpointManager(spark, str(tmp_path), "p")
+    calls: list[str] = []
+
+    def stage_a(_):
+        calls.append("a")
+        return spark.range(3).withColumnRenamed("id", "v")
+
+    def stage_b(prev):
+        calls.append("b")
+        return prev.withColumn("w", F.col("v") * 2)
+
+    run_stages(mgr, [("a", stage_a), ("b", stage_b)], mode="resume")
+    assert calls == ["a", "b"]
+
+    # plain resume: both served from snapshots
+    calls.clear()
+    out = run_stages(mgr, [("a", stage_a), ("b", stage_b)], mode="resume")
+    assert calls == [] and out.count() == 3
+
+    # upstream re-run under a different invocation → b's recorded input
+    # run_id no longer matches → b recomputes on the next resume
+    mgr.write_stage("a", spark.range(5).withColumnRenamed("id", "v"), mode="overwrite")
+    calls.clear()
+    out = run_stages(mgr, [("a", stage_a), ("b", stage_b)], mode="resume")
+    assert calls == ["b"]  # a served from its (new) snapshot, b rebuilt
+    assert out.count() == 5
+
+
+def test_snapshot_consistent_rejects_pre_lineage_snapshots(spark, tmp_path):
+    from pbf2json_spark.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(spark, str(tmp_path), "p")
+    mgr.write_stage("a", spark.range(2), mode="overwrite")
+    # hand-commit b without input_run_ids (a pre-upgrade snapshot)
+    mgr.write_stage("b", spark.range(2), mode="overwrite")
+    log = mgr._read_log("b")
+    log[-1].pop("input_run_ids", None)
+    import json, os
+
+    with open(mgr._log_path("b"), "w") as f:
+        json.dump(log, f)
+    assert not mgr.snapshot_consistent("b", ["a"])
+    assert mgr.snapshot_consistent("a", [])
+
+
+# --- relations: no full-table driver collect ----------------------------------
+
+
+def test_resolve_relations_wide_frame_no_nesting(spark):
+    """100k-relation frame with zero relation-members: the driver must only
+    collect the (empty) relation→relation edge set, never the id column of
+    the whole table — this finishes fast and resolves level-0 only."""
+    from pbf2json_spark import denorm, relations as rel_mod
+
+    n = 100_000
+    nodes = spark.range(1, 4).select(
+        F.col("id"),
+        (F.lit(60.0) + F.col("id") * 0.001).alias("lat"),
+        (F.lit(24.0) + F.col("id") * 0.001).alias("lon"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    rels = spark.range(1, n + 1).select(
+        "id",
+        F.create_map(F.lit("type"), F.lit("multipolygon")).alias("tags"),
+        F.array(
+            F.struct(
+                F.lit(1).cast("long").alias("ref"),
+                F.lit("node").alias("mtype"),
+                F.lit("").alias("role"),
+            ),
+            F.struct(
+                F.lit(2).cast("long").alias("ref"),
+                F.lit("node").alias("mtype"),
+                F.lit("").alias("role"),
+            ),
+        ).alias("members"),
+    )
+    fmt_ways = denorm.format_ways(
+        spark.createDataFrame([], "id long, tags map<string,string>, refs array<long>"),
+        nodes,
+        with_entrances=False,
+    ).drop("pts")
+    out = rel_mod.resolve_relations(rels, fmt_ways, nodes)
+    assert out.count() == n
+
+
+def test_resolve_relations_edge_membership_via_semijoin(spark):
+    """A sub ref pointing at a NON-existent relation must still resolve to
+    'skip' (not fatal), proving endpoint membership is derived correctly
+    without the full-table collect."""
+    from pbf2json_spark import denorm, relations as rel_mod
+
+    nodes = spark.createDataFrame(
+        [(1, 60.0, 24.0, {}), (2, 60.1, 24.1, {})],
+        "id long, lat double, lon double, tags map<string,string>",
+    )
+    rels = spark.createDataFrame(
+        [
+            # 10 → {node 1, missing relation 999}: member skipped, resolves
+            (10, {}, [(1, "node", ""), (999, "relation", "")]),
+            # 11 → {node 2, relation 10}: true nesting still works
+            (11, {}, [(2, "node", ""), (10, "relation", "")]),
+        ],
+        "id long, tags map<string,string>,"
+        " members array<struct<ref:long,mtype:string,role:string>>",
+    )
+    fmt_ways = denorm.format_ways(
+        spark.createDataFrame([], "id long, tags map<string,string>, refs array<long>"),
+        nodes,
+        with_entrances=False,
+    ).drop("pts")
+    out = {r["id"]: r for r in rel_mod.resolve_relations(rels, fmt_ways, nodes).collect()}
+    assert set(out) == {10, 11}
+    # 11's bbox includes 10's centroid contribution (node 1)
+    assert out[11]["bbox_min"]["lat"] == 60.0
+    assert out[11]["bbox_max"]["lat"] == 60.1

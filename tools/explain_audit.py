@@ -72,15 +72,26 @@ def main() -> int:
         ],
     ))
 
-    # 3. PIP join: polygon side broadcast, verify via ArrowEvalPython only
+    # 3. PIP join: polygon side broadcast; default verify is the pure-Column
+    # ray cast — ZERO Python in the whole join (the scaling-efficiency
+    # lever); the Arrow twin must still be vectorized-only
     pts = entry_mod._points_customer(spark, sf_dir)
     polys = entry_mod._rects_nation(spark, sf_dir)
     hits = spatial.point_in_polygon_join(pts, polys)
     p = plan_text(hits)
     sections.append((
-        "point-in-polygon join", p,
+        "point-in-polygon join (column verify, default)", p,
         [
             ("polygon side broadcast", "BroadcastHashJoin" in p or "BroadcastNestedLoop" in p, ""),
+            ("NO Python anywhere (codegen ray cast)", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+    hits_a = spatial.point_in_polygon_join(pts, polys, verify="arrow")
+    p = plan_text(hits_a)
+    sections.append((
+        "point-in-polygon join (arrow verify twin)", p,
+        [
             ("vectorized Python (Arrow) only", "ArrowEvalPython" in p, ""),
             ("no row-at-a-time Python", "BatchEvalPython" not in p, ""),
         ],
