@@ -52,6 +52,33 @@ def _consume(df) -> int:
     return df.select(F.count(F.lit(1))).collect()[0][0]
 
 
+def _host_idle_frac(interval: float = 1.0) -> float:
+    try:
+        def snap():
+            with open("/proc/stat") as f:
+                parts = f.readline().split()[1:]
+            vals = [int(x) for x in parts]
+            return vals[3] + vals[4], sum(vals)
+
+        i0, t0 = snap()
+        time.sleep(interval)
+        i1, t1 = snap()
+        return (i1 - i0) / max(t1 - t0, 1)
+    except OSError:
+        return 1.0
+
+
+def _wait_idle(threshold: float = 0.85, deadline: float = 90.0) -> None:
+    """Gate a timed measurement on the host being idle. The box is
+    multi-tenant (tenant CPU bursts swing identical runs up to 3×, see
+    BENCH/BASELINE.md); a bounded wait keeps the suite from hanging when
+    the neighbor never quiets down."""
+    start = time.time()
+    while time.time() - start < deadline:
+        if _host_idle_frac() >= threshold:
+            return
+
+
 def build_pages_pipeline(spark: SparkSession, n_pages: int):
     """North-star pipeline plan: pages → geocode → cell → PIP join → tile
     agg. Building is separate from running so steady-state measurements can
@@ -153,11 +180,13 @@ def main() -> None:
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        _wait_idle()
         t0 = time.time()
         _consume(queries[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
     run_pages(spark, 100_000)  # warm-up: codegen + Python worker pools
+    _wait_idle()
     page_sec, _ = run_pages(spark, n_pages)
     timings["pages_pipeline"] = round(page_sec, 3)
 

@@ -179,6 +179,37 @@ def cell_col(lat: Column, lon: Column, res: int) -> Column:
     return F.lit(res << _RES_SHIFT).bitwiseOR(m).cast("long")
 
 
+def xy_cols(lat: Column, lon: Column, res: int) -> tuple[Column, Column]:
+    """(x, y) grid coordinate Columns at `res` — same floor/clamp as xy()."""
+    n = 1 << res
+    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    y = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    x = F.greatest(F.lit(0), F.least(F.lit(n - 1), x)).cast("long")
+    y = F.greatest(F.lit(0), F.least(F.lit(n - 1), y)).cast("long")
+    return x, y
+
+
+def disk_col(x: Column, y: Column, res: int, radius: Column) -> Column:
+    """All cells within Chebyshev distance `radius` (a per-row Column) of
+    grid position (x, y) — the pure-Column twin of disk(): longitude wraps
+    (pmod), latitude clamps, same bit layout. sequence × transform ×
+    flatten keeps the whole expansion inside codegen — no Python worker,
+    no Arrow crossing; this is what lets the kNN join run UDF-free."""
+    n = 1 << res
+    r = radius.cast("long")
+    dxs = F.sequence(-r, r)
+
+    def cell_of(dx: Column, dy: Column) -> Column:
+        gx = F.pmod(x + dx, F.lit(n))
+        gy = F.greatest(F.lit(0), F.least(F.lit(n - 1), y + dy))
+        m = _spread_col(gx).bitwiseOR(F.shiftleft(_spread_col(gy), 1))
+        return F.lit(res << _RES_SHIFT).bitwiseOR(m).cast("long")
+
+    return F.flatten(
+        F.transform(dxs, lambda dx: F.transform(F.sequence(-r, r), lambda dy: cell_of(dx, dy)))
+    )
+
+
 def cell_parent_col(cell: Column, cell_res: int, parent_res: int) -> Column:
     """Parent cell at a coarser resolution, pure bit math: drop 2 morton bits
     per resolution step and rewrite the res field."""

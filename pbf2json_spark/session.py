@@ -69,7 +69,16 @@ def get_spark(
 
 
 def _local_cores(master: str | None) -> int | None:
-    if master and master.startswith("local["):
+    if master is None:
+        # no master and no spark-submit → Spark resolves to local[*]; size
+        # the shuffle for the local machine. Under spark-submit the master
+        # comes from the environment and this branch is not local[*] — but
+        # there the deployment sets spark.sql.shuffle.partitions itself
+        # (and AQE coalesces at runtime regardless).
+        if os.environ.get("SPARK_SUBMIT_OPTS") or os.environ.get("SPARK_MASTER_URL"):
+            return None
+        return os.cpu_count() or 8
+    if master.startswith("local["):
         inner = master[len("local[") : -1]
         if inner == "*":
             return os.cpu_count() or 8

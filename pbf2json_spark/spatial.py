@@ -230,9 +230,10 @@ def point_in_polygon_join(
 
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def _disk_udf(cell: pd.Series, k: pd.Series) -> pd.Series:
-    """Per-row Chebyshev cell disk; rows sharing a radius are batched into
-    one vectorized cells.disk call (radii are identical within an expansion
-    round, per-query only in the confirm pass)."""
+    """numpy twin of cells.disk_col, kept for cross-checking the Column
+    path in tests (knn_join itself is UDF-free: the disk expansion runs as
+    sequence×transform×flatten inside codegen). Rows sharing a radius are
+    batched into one vectorized cells.disk call."""
     c = cell.to_numpy(dtype=np.int64)
     kk = k.to_numpy(dtype=np.int64)
     out: list = [None] * len(c)
@@ -301,11 +302,13 @@ def knn_join(
         F.col("lon").alias("_plon"),
         cells.cell_col(F.col("lat"), F.col("lon"), res).alias("_pcell"),
     )
+    qx, qy = cells.xy_cols(F.col("lat"), F.col("lon"), res)
     remaining = queries.select(
         F.col(query_id),
         F.col("lat").alias("_qlat"),
         F.col("lon").alias("_qlon"),
-        cells.cell_col(F.col("lat"), F.col("lon"), res).alias("_qcell"),
+        qx.alias("_qx"),
+        qy.alias("_qy"),
     )
     if metric == "haversine":
         dist = _haversine_col(
@@ -327,6 +330,7 @@ def knn_join(
     par = points.sparkSession.sparkContext.defaultParallelism
     remaining = remaining.repartition(par).localCheckpoint(eager=True)
     qframe = remaining
+    n_remaining = remaining.count()  # cheap: counts the materialized blocks
 
     # bounded per-query top-k distance sketch: salt candidates into _STATS_B
     # buckets, keep only the k smallest distances per bucket (partial-agg
@@ -361,7 +365,11 @@ def knn_join(
         radius = 2**rnd
         cand = remaining.withColumn(
             "_cells",
-            F.explode(F.array_distinct(_disk_udf(F.col("_qcell"), F.lit(radius)))),
+            F.explode(
+                F.array_distinct(
+                    cells.disk_col(F.col("_qx"), F.col("_qy"), res, F.lit(radius))
+                )
+            ),
         ).join(pts, F.col("_cells") == pts["_pcell"], "inner")
         # metadata-scale per-query stats row; checkpoint cuts the round's
         # join out of every later lineage
@@ -373,12 +381,16 @@ def knn_join(
         if last_round:
             break
         satisfied = stats.filter(F.col("_m") >= k).select(query_id)
-        remaining = remaining.join(satisfied, query_id, "left_anti").localCheckpoint(
-            eager=True
-        )
-        # cheap emptiness probe: remaining is materialized
-        if remaining.isEmpty():
+        # termination bookkeeping stays driver-side off the ALREADY
+        # materialized stats frame (narrow count, no exchange) — an
+        # isEmpty() on the anti-join would pay a full multi-stage job per
+        # round just to learn a number we can subtract
+        n_remaining -= satisfied.count()
+        if n_remaining <= 0:
             break
+        # lazy: one shallow anti-join over two checkpointed frames — cheaper
+        # to recompute per round than to run a materialization job for it
+        remaining = remaining.join(satisfied, query_id, "left_anti")
     kth = kth_frames[0]
     for f in kth_frames[1:]:
         kth = kth.unionByName(f)
@@ -412,7 +424,12 @@ def knn_join(
             )
     final_cand = (
         confirm_q.withColumn(
-            "_cells", F.explode(F.array_distinct(_disk_udf(F.col("_qcell"), conf_r)))
+            "_cells",
+            F.explode(
+                F.array_distinct(
+                    cells.disk_col(F.col("_qx"), F.col("_qy"), res, conf_r)
+                )
+            ),
         )
         .join(pts, F.col("_cells") == pts["_pcell"], "inner")
         .withColumn("dist_m", dist)

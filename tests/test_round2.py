@@ -145,6 +145,87 @@ def test_translate_address_broadcast_modes_equal(spark):
     assert outs[0][0][1]["addr:street:sv"] == "Kyrkovagen"
 
 
+# --- PIP verify modes ----------------------------------------------------------
+
+
+def test_pip_column_and_arrow_verify_identical(spark):
+    """The codegen ray cast (default) and the Arrow kernel must agree
+    bit-for-bit, including on a concave ring."""
+    from pbf2json_spark import spatial
+
+    concave = [  # U-shape: (2.5, 2.5)-ish notch points are OUTSIDE
+        {"lat": 0.0, "lon": 0.0},
+        {"lat": 0.0, "lon": 5.0},
+        {"lat": 5.0, "lon": 5.0},
+        {"lat": 5.0, "lon": 4.0},
+        {"lat": 1.0, "lon": 4.0},
+        {"lat": 1.0, "lon": 1.0},
+        {"lat": 5.0, "lon": 1.0},
+        {"lat": 5.0, "lon": 0.0},
+        {"lat": 0.0, "lon": 0.0},
+    ]
+    polys = spark.createDataFrame(
+        [(1, concave)], "polygon_id long, ring array<struct<lat:double,lon:double>>"
+    )
+    pts = spark.createDataFrame(
+        [(i, 0.5 * (i % 13), 0.37 * (i % 17)) for i in range(200)],
+        "pt long, lat double, lon double",
+    )
+    col = {
+        (r["pt"], r["polygon_id"])
+        for r in spatial.point_in_polygon_join(pts, polys, verify="column").collect()
+    }
+    arr = {
+        (r["pt"], r["polygon_id"])
+        for r in spatial.point_in_polygon_join(pts, polys, verify="arrow").collect()
+    }
+    assert col == arr and len(col) > 0
+    # notch interior points excluded (concavity respected)
+    assert (5, 1) not in {p for p, _ in col} or True  # membership by brute force below
+    import numpy as np
+
+    from pbf2json_spark import geo
+
+    rl = np.array([v["lat"] for v in concave])
+    ro = np.array([v["lon"] for v in concave])
+    plat = np.array([0.5 * (i % 13) for i in range(200)])
+    plon = np.array([0.37 * (i % 17) for i in range(200)])
+    truth = {(i, 1) for i in np.nonzero(geo.points_in_ring(plat, plon, rl, ro))[0]}
+    assert col == truth
+
+
+# --- Column disk expansion == numpy disk ---------------------------------------
+
+
+def test_disk_col_matches_numpy_disk(spark):
+    """cells.disk_col (codegen expansion used by knn_join) must produce the
+    same cell sets as cells.disk, including lon wrap and lat clamp."""
+    import numpy as np
+
+    from pbf2json_spark import cells
+
+    res = 4
+    rows = [
+        (i, float(lat), float(lon), int(r))
+        for i, (lat, lon, r) in enumerate(
+            [(0.0, 0.0, 1), (89.9, 179.9, 2), (-89.9, -179.9, 3), (45.0, -120.0, 0),
+             (88.0, 10.0, 2), (-88.0, 170.0, 1)]
+        )
+    ]
+    df = spark.createDataFrame(rows, "i long, lat double, lon double, r int")
+    from pyspark.sql import functions as F
+
+    x, y = cells.xy_cols(F.col("lat"), F.col("lon"), res)
+    out = df.select(
+        "i", F.array_distinct(cells.disk_col(x, y, res, F.col("r"))).alias("d")
+    ).collect()
+    for row in out:
+        lat, lon, r = rows[row["i"]][1:]
+        cell = cells.encode(np.array([lat]), np.array([lon]), res)
+        expect = set(np.unique(cells.disk(cell, r)[0]).tolist())
+        assert set(row["d"]) == expect, f"row {row['i']}"
+
+
 # --- counters: zero (not NULL) when the query matches nothing ------------------
 
 

@@ -132,7 +132,7 @@ def main() -> int:
         "kNN (knn_grid)", p,
         [
             ("window top-k", "Window" in p, ""),
-            ("arrow-vectorized disk UDF", "ArrowEvalPython" in p, ""),
+            ("NO Python anywhere (codegen disk expansion)", "EvalPython" not in p, ""),
         ],
     ))
 
