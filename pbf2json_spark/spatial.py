@@ -4,8 +4,11 @@ cell-neighborhood expansion, tile aggregation, raster↔vector.
 These generalize the reference's bbox-containment pattern (insideBBox with
 0.01° slack as a street-hit prefilter, pbf2json.go:20,779-784, 1182-1184)
 into proper scale-out operators: a cell equi-join is the prefilter (hash
--partitionable, AQE-skew-splittable), an exact numpy kernel is the verify
-step.
+-partitionable, AQE-skew-splittable); cover cells provably interior to the
+polygon accept their points outright (the exact verify cost scales with
+boundary length, not area); boundary candidates get an exact even-odd ray
+cast that runs as a pure Column expression inside codegen by default (an
+Arrow-batched numpy twin is kept for parity and very large rings).
 
 Polygon sets come from the same tag-DSL selection the reference uses
 (`leisure~dog_park`-style queries over closed ways — north_star)."""
@@ -39,20 +42,61 @@ def polygons_from_ways(fmt_ways: DataFrame) -> DataFrame:
 # --- bbox cell cover ----------------------------------------------------------------
 
 
-@F.pandas_udf(T.ArrayType(T.LongType()))
+_COVER_SCHEMA = T.ArrayType(
+    T.StructType(
+        [T.StructField("cell", T.LongType()), T.StructField("full", T.BooleanType())]
+    )
+)
+
+
+@F.pandas_udf(_COVER_SCHEMA)
 def _cover_udf(
-    lat0: pd.Series, lon0: pd.Series, lat1: pd.Series, lon1: pd.Series, res: pd.Series
+    lat0: pd.Series, lon0: pd.Series, lat1: pd.Series, lon1: pd.Series,
+    res: pd.Series, ring_lat: pd.Series, ring_lon: pd.Series,
 ) -> pd.Series:
-    """All cells at `res` whose bbox intersects [lat0..lat1]×[lon0..lon1]."""
+    """All cells at `res` whose bbox intersects [lat0..lat1]×[lon0..lon1],
+    each classified FULL when the cell is provably entirely inside the
+    ring: all 4 cell corners inside AND no ring edge's bbox overlaps the
+    cell (if any interior point were outside, the segment from an inside
+    corner to it would cross the boundary inside the cell — impossible
+    when no edge comes near). Points landing in FULL cells skip the exact
+    verify entirely — the boundary, not the area, pays the ray cast."""
     out = []
-    for a0, o0, a1, o1, r in zip(lat0, lon0, lat1, lon1, res):
+    for a0, o0, a1, o1, r, rl, ro in zip(
+        lat0, lon0, lat1, lon1, res, ring_lat, ring_lon
+    ):
         r = int(r)
         x0, y0 = (int(v[0]) for v in cells.xy(np.array([a0]), np.array([o0]), r))
         x1, y1 = (int(v[0]) for v in cells.xy(np.array([a1]), np.array([o1]), r))
         xs = np.arange(x0, x1 + 1)
         ys = np.arange(y0, y1 + 1)
         gx, gy = np.meshgrid(xs, ys)
-        out.append(cells.from_xy(gx.ravel(), gy.ravel(), r).tolist())
+        cids = cells.from_xy(gx.ravel(), gy.ravel(), r)
+        c_lat0, c_lon0, c_lat1, c_lon1 = cells.cell_bounds(cids)
+
+        rl = np.asarray(rl, dtype=np.float64)
+        ro = np.asarray(ro, dtype=np.float64)
+        # 4 corners of every cell against the ring (one vectorized ray cast)
+        n_c = len(cids)
+        corner_lat = np.concatenate([c_lat0, c_lat0, c_lat1, c_lat1])
+        corner_lon = np.concatenate([c_lon0, c_lon1, c_lon0, c_lon1])
+        inside = geo.points_in_ring(corner_lat, corner_lon, rl, ro)
+        corners_in = inside.reshape(4, n_c).all(axis=0)
+        # edge-bbox vs cell-bbox overlap (conservative: overlap ⇒ partial)
+        e_lat_min = np.minimum(rl[:-1], rl[1:])[:, None] if len(rl) > 1 else np.empty((0, 1))
+        e_lat_max = np.maximum(rl[:-1], rl[1:])[:, None] if len(rl) > 1 else np.empty((0, 1))
+        e_lon_min = np.minimum(ro[:-1], ro[1:])[:, None] if len(ro) > 1 else np.empty((0, 1))
+        e_lon_max = np.maximum(ro[:-1], ro[1:])[:, None] if len(ro) > 1 else np.empty((0, 1))
+        overlap = (
+            (e_lat_min <= c_lat1[None, :])
+            & (e_lat_max >= c_lat0[None, :])
+            & (e_lon_min <= c_lon1[None, :])
+            & (e_lon_max >= c_lon0[None, :])
+        ).any(axis=0)
+        full = corners_in & ~overlap
+        out.append(
+            [{"cell": int(c), "full": bool(f)} for c, f in zip(cids, full)]
+        )
     return pd.Series(out)
 
 
@@ -88,8 +132,15 @@ def _polygon_cells(polygons: DataFrame, res: int) -> DataFrame:
         "polygon_id",
         "ring",
         F.explode(
-            _cover_udf("lat0", "lon0", "lat1", "lon1", F.lit(res))
-        ).alias("cell"),
+            _cover_udf(
+                "lat0", "lon0", "lat1", "lon1", F.lit(res),
+                F.transform("ring", lambda p: p["lat"]),
+                F.transform("ring", lambda p: p["lon"]),
+            )
+        ).alias("_cf"),
+    ).select(
+        "polygon_id", "ring", F.col("_cf.cell").alias("cell"),
+        F.col("_cf.full").alias("_full"),
     )
 
 
@@ -98,6 +149,8 @@ def _polygon_cells(polygons: DataFrame, res: int) -> DataFrame:
 
 _VERIFY_SCHEMA = T.BooleanType()
 
+_RING_TYPE = "array<struct<lat:double,lon:double>>"
+
 
 @F.pandas_udf(_VERIFY_SCHEMA)
 def _pip_verify_udf(
@@ -105,12 +158,18 @@ def _pip_verify_udf(
     ring_lat: pd.Series, ring_lon: pd.Series,
 ) -> pd.Series:
     """Batch verify: group candidate rows by polygon id inside the Arrow
-    batch, run the vectorized ray-cast once per polygon."""
+    batch, run the vectorized ray-cast once per polygon. NULL rings
+    (interior-cell candidates, accepted upstream by an IS NULL test)
+    return False here."""
     out = np.zeros(len(plat), dtype=bool)
     plat_np = plat.to_numpy(dtype=np.float64)
     plon_np = plon.to_numpy(dtype=np.float64)
-    for p, idx in pd.Series(range(len(pid))).groupby(pid.to_numpy()).groups.items():
-        ii = np.asarray(idx)
+    # a pid can appear with BOTH null (interior) and real rings in one
+    # batch — group only the non-null rows, so an interior row can never
+    # shadow a boundary row's ring
+    nn = np.nonzero(~ring_lat.isna().to_numpy())[0]
+    for p, idx in pd.Series(nn).groupby(pid.to_numpy()[nn]).groups.items():
+        ii = nn[np.asarray(idx)]
         rl = np.asarray(ring_lat.iloc[ii[0]], dtype=np.float64)
         ro = np.asarray(ring_lon.iloc[ii[0]], dtype=np.float64)
         out[ii] = geo.points_in_ring(plat_np[ii], plon_np[ii], rl, ro)
@@ -161,6 +220,7 @@ def point_in_polygon_join(
     broadcast_polygons: bool = True,
     salt: int | None = None,
     verify: str = "column",
+    refine: int = 2,
 ) -> DataFrame:
     """points ⋈ polygons with cell prefilter + exact ray-cast verify.
 
@@ -181,20 +241,42 @@ def point_in_polygon_join(
     expression inside codegen — zero Python in the whole join; 'arrow'
     uses the batched pandas-UDF kernel (geo.points_in_ring). Both are
     bit-identical; 'arrow' exists as the parity twin and for rings large
-    enough that a vectorized numpy edge loop beats codegen'd array HOFs."""
+    enough that a vectorized numpy edge loop beats codegen'd array HOFs.
+
+    `refine` sharpens the auto-selected cover resolution by that many
+    levels: finer cover cells mean more of the polygon INTERIOR is covered
+    by provably-full cells whose points skip the exact verify entirely
+    (the classification happens once per polygon in the metadata-scale
+    cover pass) — the verify cost then scales with the boundary length,
+    not the polygon area. Cover size grows ~4× per level; irrelevant when
+    `res` is given explicitly."""
+    if verify not in ("column", "arrow"):
+        raise ValueError(f"unknown verify mode {verify!r}")
     if res is None:
-        res = pick_polygon_res(polygons)
+        res = min(pick_polygon_res(polygons) + refine, cells.MAX_RES)
     pc = _polygon_cells(polygons, res)
+    # one pass over the points (the big side is scanned exactly once), but
+    # interior (full) cells join with a NULL ring: candidate rows for the
+    # bulk of the points never materialize the ring array (per-row array
+    # copies were the join stage's allocation bottleneck at high
+    # parallelism) and skip the verify on an IS NULL test; only
+    # boundary-cell candidates carry the ring into the exact ray cast.
+    build = pc.select(
+        "polygon_id",
+        F.when(~F.col("_full"), F.col("ring")).alias("ring"),
+        "cell",
+    )
     pts = points.withColumn("_cell", cells.cell_col(F.col(lat_col), F.col(lon_col), res))
+
     if broadcast_polygons:
-        pc = F.broadcast(pc)
-        cand = pts.join(pc, pts["_cell"] == pc["cell"], "inner")
+        build = F.broadcast(build)
+        cand = pts.join(build, pts["_cell"] == build["cell"], "inner")
     elif salt:
         spark = points.sparkSession
         salts = F.broadcast(
             spark.range(salt).select(F.col("id").cast("int").alias("_salt"))
         )
-        pc = pc.crossJoin(salts)
+        b = build.crossJoin(salts)
         pts = pts.withColumn(
             "_salt",
             F.pmod(
@@ -202,17 +284,21 @@ def point_in_polygon_join(
             ).cast("int"),
         )
         cand = pts.join(
-            pc, (pts["_cell"] == pc["cell"]) & (pts["_salt"] == pc["_salt"]), "inner"
+            b, (pts["_cell"] == b["cell"]) & (pts["_salt"] == b["_salt"]), "inner"
         ).drop("_salt")
     else:
-        cand = pts.join(pc, pts["_cell"] == pc["cell"], "inner")
+        cand = pts.join(build, pts["_cell"] == build["cell"], "inner")
+
+    interior = F.col("ring").isNull()
     if verify == "column":
+        # Or short-circuits in codegen: interior rows never touch the cast
         verified = cand.filter(
-            _pip_verify_col(F.col(lat_col), F.col(lon_col), F.col("ring"))
+            interior | _pip_verify_col(F.col(lat_col), F.col(lon_col), F.col("ring"))
         )
-    elif verify == "arrow":
+    else:  # arrow twin: the UDF is null-ring-safe (returns False there)
         verified = cand.filter(
-            _pip_verify_udf(
+            interior
+            | _pip_verify_udf(
                 F.col(lat_col),
                 F.col(lon_col),
                 F.col("polygon_id"),
@@ -220,8 +306,6 @@ def point_in_polygon_join(
                 F.transform("ring", lambda p: p["lon"]),
             )
         )
-    else:
-        raise ValueError(f"unknown verify mode {verify!r}")
     return verified.drop("_cell", "cell", "ring")
 
 
