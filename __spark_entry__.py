@@ -21,7 +21,7 @@ Operator → query map:
   ANN                            → cosine_topk (+ lsh_cosine_topk,
                                    ivf_cosine_topk, embedding_near_dup rows-only)
   text analysis                  → token_count / quality_score / lang_detect
-                                   (+ fingerprint rows-only)
+                                   / fingerprint (portable md5 pair)
 """
 
 from __future__ import annotations
@@ -759,8 +759,12 @@ def _q_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable md5-derived fingerprint columns (Spark md5 == DuckDB md5 on
+    the same UTF-8 bytes → value-exact oracle); the engine-internal xxhash64
+    columns (fp64/fp64_norm) exist on the same frame but are not comparable
+    cross-engine, so the driver query projects the portable pair."""
     d = _t(spark, sf_dir, "documents")
-    return textops.fingerprint(d).select("doc_id", "fp64", "fp64_norm")
+    return textops.fingerprint(d).select("doc_id", "fp_hex", "fp_hex_norm")
 
 
 # --------------------------------------------------------------------------
@@ -1169,5 +1173,15 @@ def oracle_sql() -> dict[str, str]:
             "(CASE WHEN s_sv = best THEN 'sv' WHEN s_fr = best THEN 'fr' "
             " WHEN s_fi = best THEN 'fi' WHEN s_en = best THEN 'en' ELSE 'de' END) "
             "ELSE 'und' END AS lang_pred, best AS lang_conf FROM b"
+        ),
+        # md5 hex is byte-identical across Spark and DuckDB on the same
+        # UTF-8 input, so the portable fingerprint is value-exact; the
+        # normalization (trim → collapse \s+ → lower) mirrors
+        # textops.fingerprint exactly ('g' flag: DuckDB replaces first
+        # match only by default, Spark replaces all).
+        "fingerprint": (
+            "SELECT doc_id, substr(md5(text), 1, 16) AS fp_hex, "
+            r"substr(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 16) AS fp_hex_norm "
+            "FROM documents"
         ),
     }

@@ -107,9 +107,21 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic 64-bit document fingerprint (content hash) + a
     normalized variant that ignores whitespace runs and case — the cheap
-    near-dup key (rolling-hash-class fingerprinting)."""
+    near-dup key (rolling-hash-class fingerprinting).
+
+    Two hash families, same normalization:
+      fp64/fp64_norm   — xxhash64, the JVM-cheapest path (engine-internal);
+      fp_hex/fp_hex_norm — first 64 bits of md5 as hex, identical across
+        engines (Spark md5 == DuckDB md5 on the same UTF-8 bytes), so the
+        fingerprint is portable and oracle-checkable value-for-value.
+    """
     t = F.col(text_col)
     norm = F.lower(F.regexp_replace(F.trim(t), r"\s+", " "))
-    return df.withColumn("fp64", F.xxhash64(t)).withColumn(
-        "fp64_norm", F.xxhash64(norm)
+    return (
+        df.withColumn("fp64", F.xxhash64(t))
+        .withColumn("fp64_norm", F.xxhash64(norm))
+        .withColumn("fp_hex", F.substring(F.md5(t.cast("binary")), 1, 16))
+        .withColumn(
+            "fp_hex_norm", F.substring(F.md5(norm.cast("binary")), 1, 16)
+        )
     )
