@@ -62,6 +62,76 @@ def streaming_tile_counts(
     )
 
 
+def streaming_dedup(
+    pages_stream: DataFrame,
+    text_col: str = "text",
+    state_ttl: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup with cross-micro-batch state: the first page
+    with a given content fingerprint is emitted, every later arrival —
+    same batch or any later batch — is dropped. The custom-stateful-operator
+    path (applyInPandasWithState); nothing built-in expresses "emit first
+    occurrence ever, keep a seen-set forever" (dropDuplicates on a stream
+    keys state by the dedup columns too, but can't report duplicate counts
+    or apply TTL semantics per key — this operator carries both).
+
+    Scale shape for an unbounded 10^12-page stream:
+      * group key = xxhash64(text): uniform by construction, no hot keys;
+        the shuffle carries (fp64, url, warc_ts) — never the document body;
+      * state per distinct document = one long (arrival count), ~16 B/key
+        in RocksDB state store;
+      * `state_ttl` (e.g. '30 days') bounds state for truly unbounded runs:
+        a key idle longer is evicted and a later duplicate would re-emit —
+        the standard freshness/state tradeoff, off by default.
+
+    Output: url, warc_ts, fp64 of each kept (first-seen) page. Determinism
+    within a batch: min (warc_ts, url) wins.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    hashed = pages_stream.select(
+        "url", "warc_ts", F.xxhash64(F.col(text_col)).alias("fp64")
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl
+        else GroupStateTimeout.NoTimeout
+    )
+    ttl_ms = None
+    if state_ttl:
+        qty, unit = state_ttl.split()
+        ttl_ms = int(qty) * {
+            "seconds": 1_000, "minutes": 60_000, "hours": 3_600_000,
+            "days": 86_400_000,
+        }[unit if unit.endswith("s") else unit + "s"]
+
+    def _dedup(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first = None
+        n = 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+            if len(pdf) and first is None:
+                first = pdf.sort_values(["warc_ts", "url"]).head(1)
+        fresh = not state.exists
+        seen = 0 if fresh else state.get[0]
+        state.update((seen + n,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if fresh and first is not None:
+            yield first[["url", "warc_ts", "fp64"]]
+
+    return hashed.groupBy("fp64").applyInPandasWithState(
+        _dedup,
+        "url string, warc_ts timestamp, fp64 long",
+        "seen long",
+        "append",
+        timeout,
+    )
+
+
 def run_stream_to_memory(
     tiles: DataFrame, query_name: str, timeout_s: float = 60.0,
     output_mode: str = "append",

@@ -60,3 +60,31 @@ def test_streaming_is_incremental(spark, pages_dir):
     q = streaming.run_stream_to_memory(tiles, "tiles_inc")
     # availableNow + maxFilesPerTrigger=1 ⇒ >1 micro-batch processed
     assert q.recentProgress and len(q.recentProgress) > 1
+
+
+def test_streaming_dedup_first_seen_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps cross-batch state: a text repeated in a
+    LATER micro-batch is dropped, each distinct text emits exactly once."""
+    import datetime as dt
+
+    p = str(tmp_path / "dd")
+    ts = dt.datetime(2024, 1, 1)
+    rows1 = [("u1", ts, "alpha"), ("u2", ts, "beta"), ("u2b", ts, "beta")]
+    rows2 = [("u3", ts, "beta"), ("u4", ts, "gamma"), ("u5", ts, "alpha")]
+    schema = "url string, warc_ts timestamp, text string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(p)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(p)
+
+    src = (
+        spark.readStream.schema(spark.read.parquet(p).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(p)
+    )
+    q = streaming.run_stream_to_memory(
+        streaming.streaming_dedup(src), "dedup_test"
+    )
+    assert q.recentProgress and len(q.recentProgress) > 1  # ≥2 micro-batches
+    got = {r["url"] for r in spark.sql("select * from dedup_test").collect()}
+    # one url per distinct text; within a batch min (warc_ts, url) wins, and
+    # batch-2 repeats of alpha/beta never re-emit
+    assert got == {"u1", "u2", "u4"}
