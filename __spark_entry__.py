@@ -731,6 +731,23 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "vec_id", F.col("rank").cast("long").alias("rnk"))
 
 
+def _q_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with every inverted list probed (n_probe == n_centroids) is
+    exactly brute-force top-k — same (desc cos, id) ranking — so the whole
+    IVF machinery (bounded driver-sample k-means train, centroid
+    assignment, list equi-join, re-rank) is value-exact against the
+    cosine_topk oracle. The realistic partial-probe config stays a separate
+    rows-only query (ivf_cosine_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = ann.ivf_cosine_topk(
+        emb, qs, k=10, n_centroids=16, n_probe=16, query_id="qid"
+    )
+    return out.select("qid", "vec_id", F.col("rank").cast("long").alias("rnk"))
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     # the synthetic embeddings have no true near-dups (max pairwise cosine
@@ -809,12 +826,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "lsh_cosine_topk": _q_lsh_topk,
         "ivf_cosine_topk": _q_ivf_topk,
+        "ivf_full_probe": _q_ivf_full_probe,
         "embedding_near_dup": _q_embedding_near_dup,
         "token_count": _q_token_count,
         "quality_score": _q_quality,
         "lang_detect": _q_lang,
         "fingerprint": _q_fingerprint,
     }
+
+
+_COSINE_TOPK_SQL = (
+    "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv "
+    "FROM embeddings WHERE vec_id < 5), "
+    "p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS pv FROM embeddings), "
+    "s AS (SELECT q.qid, p.vec_id, list_cosine_similarity(p.pv, q.qv) AS cos FROM p, q), "
+    "r AS (SELECT qid, vec_id, CAST(row_number() OVER "
+    "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk FROM s) "
+    "SELECT qid, vec_id, rnk FROM r WHERE rnk <= 10"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1132,15 +1161,10 @@ def oracle_sql() -> dict[str, str]:
             " UNION SELECT e.y, w.r FROM e JOIN walk w ON e.x = w.x) "
             "SELECT x AS id, min(r) AS rep FROM walk GROUP BY x"
         ),
-        "cosine_topk": (
-            "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv "
-            "FROM embeddings WHERE vec_id < 5), "
-            "p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS pv FROM embeddings), "
-            "s AS (SELECT q.qid, p.vec_id, list_cosine_similarity(p.pv, q.qv) AS cos FROM p, q), "
-            "r AS (SELECT qid, vec_id, CAST(row_number() OVER "
-            "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk FROM s) "
-            "SELECT qid, vec_id, rnk FROM r WHERE rnk <= 10"
-        ),
+        "cosine_topk": _COSINE_TOPK_SQL,
+        # full-probe IVF ≡ brute force (every inverted list scanned), so it
+        # shares the exact-top-k oracle
+        "ivf_full_probe": _COSINE_TOPK_SQL,
         "token_count": (
             "SELECT doc_id, "
             "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
