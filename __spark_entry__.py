@@ -748,6 +748,15 @@ def _q_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "vec_id", F.col("rank").cast("long").alias("rnk"))
 
 
+def _q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs near-dup on a capped corpus (the jaccard_pairs
+    precedent: quadratic semantics, cap mirrored in the oracle) — makes
+    the near-dup semantics value-exact in the gate while the LSH variant
+    stays the scale path."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    return ann.embedding_near_dup_pairs_exact(emb, threshold=0.4)
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     # the synthetic embeddings have no true near-dups (max pairwise cosine
@@ -828,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cosine_topk": _q_ivf_topk,
         "ivf_full_probe": _q_ivf_full_probe,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_exact": _q_embedding_near_dup_exact,
         "token_count": _q_token_count,
         "quality_score": _q_quality,
         "lang_detect": _q_lang,
@@ -1165,6 +1175,13 @@ def oracle_sql() -> dict[str, str]:
         # full-probe IVF ≡ brute force (every inverted list scanned), so it
         # shares the exact-top-k oracle
         "ivf_full_probe": _COSINE_TOPK_SQL,
+        "embedding_near_dup_exact": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings WHERE vec_id < 2000) "
+            "SELECT x.vec_id AS a, y.vec_id AS b FROM e x, e y "
+            "WHERE x.vec_id < y.vec_id "
+            "AND list_cosine_similarity(x.v, y.v) >= 0.4"
+        ),
         "token_count": (
             "SELECT doc_id, "
             "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "

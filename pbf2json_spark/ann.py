@@ -222,6 +222,29 @@ def ivf_cosine_topk(
     return ranked.select(query_id, id_col, "cos", "rank")
 
 
+def embedding_near_dup_pairs_exact(
+    points: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force near-dup pairs (a<b, cosine ≥ threshold) — the exactness
+    baseline for embedding_near_dup_pairs. Quadratic by construction: run
+    it only on bounded corpora (tests, the capped driver query, recall
+    audits of the LSH path); the LSH variant is the scale path."""
+    a = points.select(
+        F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("_va")
+    )
+    b = points.select(
+        F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("_vb")
+    )
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .select("a", "b")
+    )
+
+
 def embedding_near_dup_pairs(
     points: DataFrame,
     threshold: float,
