@@ -41,6 +41,18 @@ def plan_text(df, execute: bool = True) -> str:
     return buf.getvalue()
 
 
+def python_only_on_build_side(plan: str) -> bool:
+    """True iff every ArrowEvalPython sits on a join BUILD side (no ':'
+    tree-prefix before the node name — probe/streaming subtrees print with
+    ':' continuation markers in formatted explain). Structural, so it's
+    robust to AQE printing Initial+Final plan copies, unlike counting nodes
+    against a separately-planned fragment."""
+    lines = [ln for ln in plan.splitlines() if "ArrowEvalPython" in ln]
+    return bool(lines) and all(
+        ":" not in ln.split("ArrowEvalPython")[0] for ln in lines
+    )
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("explain-audit")
@@ -81,14 +93,13 @@ def main() -> int:
     polys = entry_mod._rects_nation(spark, sf_dir)
     hits = spatial.point_in_polygon_join(pts, polys)
     p = plan_text(hits)
-    cover_p = plan_text(spatial._polygon_cells(polys, 8))
     sections.append((
         "point-in-polygon join (column verify, default)", p,
         [
             ("polygon side broadcast", "BroadcastHashJoin" in p or "BroadcastNestedLoop" in p, ""),
             (
                 "Python ONLY in the per-polygon cover pass (none per point)",
-                p.count("ArrowEvalPython") == cover_p.count("ArrowEvalPython") > 0,
+                python_only_on_build_side(p),
                 "",
             ),
             ("no row-at-a-time Python", "BatchEvalPython" not in p, ""),
