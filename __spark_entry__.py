@@ -704,6 +704,18 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(sim, "doc_id", max_hamming=3)
 
 
+def _q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with the portable md5-derived word-hash family: DuckDB can
+    compute the identical 60-bit simhash and brute-force all pairs, so
+    BOTH the bit-majority hash computation AND the banded pair-finding
+    (pigeonhole recall 1.0 + bit_count verify) are value-exact in the
+    gate. The xxhash64 family (simhash_pairs) stays the cheap JVM path."""
+    d = _t(spark, sf_dir, "documents")
+    sim = dedup.simhash(d, "doc_id", "text", hash="md5_60")
+    out = dedup.simhash_pairs(sim, "doc_id", max_hamming=3)
+    return out.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5).select(
@@ -832,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": _q_dedup_groups,
         "minhash_pairs": _q_minhash,
         "simhash_pairs": _q_simhash,
+        "simhash_portable": _q_simhash_portable,
         "cosine_topk": _q_cosine_topk,
         "lsh_cosine_topk": _q_lsh_topk,
         "ivf_cosine_topk": _q_ivf_topk,
@@ -843,6 +856,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_detect": _q_lang,
         "fingerprint": _q_fingerprint,
     }
+
+
+def _simhash_portable_sql() -> str:
+    """DuckDB mirror of dedup.simhash(hash='md5_60') + exact all-pairs
+    hamming ≤ 3 (the Spark side's banded path has recall 1.0 by pigeonhole,
+    so banded == brute force). 60 bit-majority sums generated here exactly
+    as the Spark loop generates its 64 (bits 60-63 are always 0)."""
+    bits = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    orred = " | ".join(
+        f"(CASE WHEN b{i} > 0 THEN 1::BIGINT ELSE 0::BIGINT END << {i})"
+        for i in range(60)
+    )
+    return (
+        "WITH t AS (SELECT doc_id, "
+        r"unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS w "
+        "FROM documents), "
+        "h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM t), "
+        f"bs AS (SELECT doc_id, {bits} FROM h GROUP BY doc_id), "
+        f"s AS (SELECT doc_id, {orred} AS sim FROM bs) "
+        "SELECT x.doc_id AS a, y.doc_id AS b, "
+        "CAST(bit_count(xor(x.sim, y.sim)) AS BIGINT) AS hamming "
+        "FROM s x, s y "
+        "WHERE x.doc_id < y.doc_id AND bit_count(xor(x.sim, y.sim)) <= 3"
+    )
 
 
 _COSINE_TOPK_SQL = (
@@ -1175,6 +1215,7 @@ def oracle_sql() -> dict[str, str]:
         # full-probe IVF ≡ brute force (every inverted list scanned), so it
         # shares the exact-top-k oracle
         "ivf_full_probe": _COSINE_TOPK_SQL,
+        "simhash_portable": _simhash_portable_sql(),
         "embedding_near_dup_exact": (
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
             "FROM embeddings WHERE vec_id < 2000) "

@@ -259,14 +259,30 @@ def dedup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
 # --- SimHash ------------------------------------------------------------------------
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+def simhash(
+    df: DataFrame, id_col: str, text_col: str = "text", hash: str = "xxhash64"
+) -> DataFrame:
     """64-bit SimHash: bit i of the hash = majority vote of bit i over the
-    xxhash64 of each distinct word. Explode + 64 conditional sums: one
-    shuffle, all JVM."""
+    hash of each distinct word. Explode + 64 conditional sums: one
+    shuffle, all JVM.
+
+    hash='xxhash64' (default) is the cheapest JVM path; hash='md5_60'
+    derives a 60-bit word hash from md5 hex (conv base16→10), which is
+    computable bit-for-bit in other engines (DuckDB: '0x'||substr(md5(w))
+    cast) — the portable family the value-exact oracle uses. Bits 60-63
+    of an md5_60 simhash are always 0 (every word votes -1)."""
+    if hash == "xxhash64":
+        h = F.xxhash64("_w")
+    elif hash == "md5_60":
+        h = F.conv(
+            F.substring(F.md5(F.col("_w").cast("binary")), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        raise ValueError(f"unknown hash family {hash!r}")
     words = df.select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(F.col(text_col), 1)).alias("_w"),
-    ).withColumn("_h", F.xxhash64("_w"))
+    ).withColumn("_h", h)
     bit_sums = [
         F.sum(
             F.when(F.shiftrightunsigned("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
