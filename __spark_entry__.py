@@ -704,6 +704,26 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(sim, "doc_id", max_hamming=3)
 
 
+def _q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minhash signatures with the portable hash family ((a·h+b) mod 2^31-1
+    over 32-bit md5-derived word hashes): DuckDB computes the identical 16
+    signature values per document, so the minhash computation itself is
+    value-exact in the gate. The banded pair-finding on top is the same
+    machinery simhash_portable checks end-to-end; production LSH keeps the
+    xxhash64 family (minhash_pairs, rows-only)."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", dedup.word_shingles(F.col("text"), 1).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    sig = sh.withColumn(
+        "_sig", dedup.minhash_signature_portable(F.col("_sh"), 16)
+    )
+    return sig.select(
+        "doc_id",
+        *[F.element_at("_sig", j + 1).alias(f"m{j}") for j in range(16)],
+    )
+
+
 def _q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash with the portable md5-derived word-hash family: DuckDB can
     compute the identical 60-bit simhash and brute-force all pairs, so
@@ -843,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard,
         "dedup_groups": _q_dedup_groups,
         "minhash_pairs": _q_minhash,
+        "minhash_portable": _q_minhash_portable,
         "simhash_pairs": _q_simhash,
         "simhash_portable": _q_simhash_portable,
         "cosine_topk": _q_cosine_topk,
@@ -856,6 +877,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_detect": _q_lang,
         "fingerprint": _q_fingerprint,
     }
+
+
+def _minhash_portable_sql() -> str:
+    """DuckDB mirror of dedup.minhash_signature_portable over word (1-gram)
+    shingles — same coefficients from dedup.minhash_coeffs, same 32-bit
+    md5-derived hash, all arithmetic exact in BIGINT."""
+    from pbf2json_spark.dedup import _MINHASH_P, minhash_coeffs
+
+    mins = ", ".join(
+        f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {_MINHASH_P})) AS m{j}"
+        for j, (a, b) in enumerate(minhash_coeffs(16))
+    )
+    return (
+        "WITH sh AS (SELECT doc_id, "
+        r"list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS s "
+        "FROM documents), "
+        "h AS (SELECT doc_id, "
+        "list_transform(s, g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hs "
+        "FROM sh WHERE len(s) > 0) "
+        f"SELECT doc_id, {mins} FROM h"
+    )
 
 
 def _simhash_portable_sql() -> str:
@@ -1215,6 +1257,7 @@ def oracle_sql() -> dict[str, str]:
         # full-probe IVF ≡ brute force (every inverted list scanned), so it
         # shares the exact-top-k oracle
         "ivf_full_probe": _COSINE_TOPK_SQL,
+        "minhash_portable": _minhash_portable_sql(),
         "simhash_portable": _simhash_portable_sql(),
         "embedding_near_dup_exact": (
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "

@@ -147,6 +147,47 @@ def ngram_jaccard_pairs(
 # --- MinHash + LSH --------------------------------------------------------------------
 
 
+_MINHASH_P = 2147483647  # 2^31-1 (Mersenne prime)
+
+
+def minhash_coeffs(num_perm: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) permutation coefficients, a ∈ [1, p), b ∈ [0, p);
+    shared by the Spark column builder and the DuckDB oracle generator."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MINHASH_P), rng.randrange(0, _MINHASH_P))
+        for _ in range(num_perm)
+    ]
+
+
+def minhash_signature_portable(
+    shingles: Column, num_perm: int, seed: int = 7
+) -> Column:
+    """Portable minhash: 32-bit md5-derived shingle hash, permutations
+    (a·h + b) mod 2^31-1. Every intermediate stays < 2^63 (a < 2^31,
+    h < 2^32), so plain 64-bit integer arithmetic is exact and identical
+    in any engine — the value-exact-oracle family. The xxhash64 family
+    (minhash_signature) stays the cheap JVM path for production LSH."""
+    hs = F.transform(
+        shingles,
+        lambda g: F.conv(
+            F.substring(F.md5(g.cast("binary")), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    hs, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MINHASH_P)
+                )
+            )
+            for a, b in minhash_coeffs(num_perm, seed)
+        ]
+    )
+
+
 def minhash_signature(shingles: Column, num_perm: int) -> Column:
     """num_perm minhash values, each = min over shingles of xxhash64(g, i).
     Pure higher-order functions — evaluated JVM-side per row."""
