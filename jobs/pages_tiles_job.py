@@ -24,10 +24,17 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+# on a cluster --py-files puts the package on the path; for a local
+# `python jobs/pages_tiles_job.py` run, the repo root does
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from pbf2json_spark import iceberg
 from pbf2json_spark import pages as pages_mod
 from pbf2json_spark import spatial
 from pbf2json_spark.checkpoint import CheckpointManager, run_stages
@@ -53,6 +60,12 @@ def city_polygons(spark: SparkSession):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-pages", type=int, default=1_000_000)
+    ap.add_argument(
+        "--input",
+        default=None,
+        help="pages table to read (Iceberg identifier or parquet path, via "
+        "iceberg.read_pages); default: deterministic synthetic pages",
+    )
     ap.add_argument("--res", type=int, default=12)
     ap.add_argument("--checkpoint-root", required=True)
     ap.add_argument("--output", required=True)
@@ -69,9 +82,13 @@ def main() -> None:
         [
             (
                 "pages",
-                lambda _: pages_mod.generate_pages(
-                    spark, args.n_pages,
-                    partitions=spark.sparkContext.defaultParallelism * 4,
+                lambda _: (
+                    iceberg.read_pages(spark, args.input)
+                    if args.input
+                    else pages_mod.generate_pages(
+                        spark, args.n_pages,
+                        partitions=spark.sparkContext.defaultParallelism * 4,
+                    )
                 ),
             ),
             (
