@@ -14,6 +14,7 @@ Operator → query map:
   relation fixpoint J2 + A2      → relation_bbox (2-level nesting + skip)
   cell index (§2.13)             → cell_assign / tile_aggregate / tile_rollup
   geocode (north star)           → geocode_tile (flagship), geocode_arrow
+  html→text extraction           → extract_text (byte-identical per url)
   point-in-polygon join          → pip_join_rect (ray-cast == SQL ranges)
   kNN via cell rings             → knn_grid (exact confirm, sq_deg metric)
   dedup family                   → exact_dedup / jaccard_pairs / dedup_groups
@@ -627,6 +628,30 @@ def _q_geocode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages.geocode_arrow(pg).select("doc_id", "lat", "lon")
 
 
+_HTML_TAIL = (
+    '<script a="b">var skip = 1 &amp; 2;</script>'
+    "<div>tail &lt;kept&gt; &amp; more</div>"
+)
+
+
+def _q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pages.extract_text (html binary → text, pure JVM): the input_hint
+    per-row invariant "byte-identical extracted text per url". Every 4th doc
+    carries a script block and entity-bearing tail so block-dropping, tag
+    stripping, and entity decoding are all exercised, not just round-trip."""
+    pg = _synth_pages(spark, sf_dir)
+    tail = F.when(F.col("doc_id") % 4 == 0, F.lit(_HTML_TAIL)).otherwise(F.lit(""))
+    html = F.encode(
+        F.concat(
+            F.lit("<html><body><p>"), F.col("text"), F.lit("</p>"),
+            tail, F.lit("</body></html>"),
+        ),
+        "utf-8",
+    )
+    withh = pg.select("doc_id", html.alias("html"))
+    return pages.extract_text(withh).select("doc_id", "text_extracted")
+
+
 def _q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _points_customer(spark, sf_dir)
     polys = _rects_nation(spark, sf_dir)
@@ -857,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_polygons": _q_tile_polygons,
         "geocode_tile": _q_geocode_tile,
         "geocode_arrow": _q_geocode_arrow,
+        "extract_text": _q_extract_text,
         "pip_join_rect": _q_pip,
         "knn_grid": _q_knn,
         "exact_dedup": _q_exact_dedup,
@@ -1214,6 +1240,21 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(NULLIF(regexp_extract(text, '{_GEO_RE_SQL}', 1), '') AS DOUBLE) AS lat, "
             f"CAST(NULLIF(regexp_extract(text, '{_GEO_RE_SQL}', 2), '') AS DOUBLE) AS lon "
             "FROM pg"
+        ),
+        "extract_text": (
+            f"WITH pg AS ({pages_cte}), "
+            "h AS (SELECT doc_id, encode('<html><body><p>' || text || '</p>' || "
+            "CASE WHEN doc_id % 4 = 0 THEN "
+            "'<script a=\"b\">var skip = 1 &amp; 2;</script>"
+            "<div>tail &lt;kept&gt; &amp; more</div>' "
+            "ELSE '' END || '</body></html>') AS html FROM pg), "
+            "s AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
+            "decode(html), '(?is)<script[^>]*>.*?</script>', '', 'g'), "
+            "'(?is)<style[^>]*>.*?</style>', '', 'g'), "
+            "'<[^>]*>', '', 'g') AS t FROM h) "
+            "SELECT doc_id, replace(replace(replace(replace(replace(t, "
+            "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), "
+            "'&amp;', '&') AS text_extracted FROM s"
         ),
         "pip_join_rect": (
             f"WITH pts AS ({_PTS_SQL}), r AS ({_RECT_SQL}) "

@@ -118,6 +118,58 @@ def generate_pages(
     )
 
 
+# --- text extraction -------------------------------------------------------------
+
+
+# Java-regex AND RE2 compatible (no backreferences) so the DuckDB oracle can
+# run the identical patterns: script/style handled as two separate literals.
+_SCRIPT_RE = r"(?is)<script[^>]*>.*?</script>"
+_STYLE_RE = r"(?is)<style[^>]*>.*?</style>"
+_TAG_RE = r"<[^>]*>"
+# &amp; deliberately last so "&amp;lt;" decodes to "&lt;" not "<".
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
+
+
+def extract_text(
+    pages: DataFrame, html_col: str = "html", out_col: str = "text_extracted"
+) -> DataFrame:
+    """HTML → text extraction, pure JVM (stays in WholeStageCodegen).
+
+    Closes the input_hint per-row invariant literally: "byte-identical
+    extracted text per url" — extraction is a pure function of the html
+    bytes (UTF-8 decode → drop <script>/<style> blocks → strip tags →
+    decode the five XML entities), so the same bytes produce the same text
+    on any executor, any partitioning, any cluster size. Round-trips the
+    generator: extract_text(generate_pages(...).html) == text, byte-equal
+    (tests/test_webscale.py)."""
+    s = F.decode(F.col(html_col), "utf-8")
+    s = F.regexp_replace(s, _SCRIPT_RE, "")
+    s = F.regexp_replace(s, _STYLE_RE, "")
+    s = F.regexp_replace(s, _TAG_RE, "")
+    for ent, ch in _ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return pages.withColumn(out_col, s)
+
+
+@F.pandas_udf(T.StringType())
+def _extract_text_udf(html: pd.Series) -> pd.Series:
+    s = html.apply(lambda b: b.decode("utf-8") if b is not None else None)
+    s = s.str.replace(_SCRIPT_RE, "", regex=True)
+    s = s.str.replace(_STYLE_RE, "", regex=True)
+    s = s.str.replace(_TAG_RE, "", regex=True)
+    for ent, ch in _ENTITIES:
+        s = s.str.replace(ent, ch, regex=False)
+    return s
+
+
+def extract_text_arrow(
+    pages: DataFrame, html_col: str = "html", out_col: str = "text_extracted"
+) -> DataFrame:
+    """Arrow-batched pandas-UDF twin of `extract_text` (input_hint mandates
+    the vectorized-UDF surface); tests assert both agree byte-for-byte."""
+    return pages.withColumn(out_col, _extract_text_udf(F.col(html_col)))
+
+
 # --- geocode -------------------------------------------------------------------
 
 

@@ -34,6 +34,37 @@ def test_pages_schema_and_langs(pages_df):
     assert row["text"].encode() in bytes(row["html"])
 
 
+def test_extract_text_roundtrip_byte_identical(pages_df):
+    # input_hint invariant: byte-identical extracted text per url
+    got = (
+        pages.extract_text(pages_df)
+        .select("url", "text", "text_extracted")
+        .collect()
+    )
+    assert len(got) == 2000
+    for r in got:
+        assert r["text_extracted"] == r["text"]
+
+
+def test_extract_text_jvm_matches_arrow(pages_df):
+    a = pages.extract_text(pages_df).select("url", "text_extracted").orderBy("url").collect()
+    b = pages.extract_text_arrow(pages_df).select("url", "text_extracted").orderBy("url").collect()
+    assert a == b
+
+
+def test_extract_text_strips_blocks_and_entities(spark):
+    html = (
+        '<html><head><style media="x">p{color:red}</style>'
+        '<SCRIPT type="t">var a = "<p>not text</p>";</SCRIPT></head>'
+        "<body><p>keep &lt;this&gt; &amp;amp; &quot;that&quot; &#39;too&#39;</p></body></html>"
+    )
+    df = spark.createDataFrame([("u", html.encode())], "url string, html binary")
+    out = pages.extract_text(df).collect()[0]["text_extracted"]
+    # script/style bodies dropped (case-insensitive), tags stripped, the five
+    # entities decoded with &amp; last ("&amp;amp;" -> "&amp;", not "&")
+    assert out == 'keep <this> &amp; "that" \'too\''
+
+
 def test_geocode_jvm_matches_arrow(pages_df):
     a = pages.geocode(pages_df).select("url", "lat", "lon").orderBy("url").collect()
     b = pages.geocode_arrow(pages_df).select("url", "lat", "lon").orderBy("url").collect()
