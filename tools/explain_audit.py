@@ -131,6 +131,18 @@ def main() -> int:
         ],
     ))
 
+    # 4b. html→text extraction: pure string expressions over the binary
+    # column — must stay entirely inside codegen, zero Python crossings
+    ext = pages_mod.extract_text(pg).select("url", "text_extracted")
+    p = plan_text(ext)
+    sections.append((
+        "html→text extraction (extract_text)", p,
+        [
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
     # 5. parquet filter pushdown: a typed-column predicate reaches the scan
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
         F.col("l_quantity") > 40
