@@ -65,6 +65,15 @@ def test_extract_text_strips_blocks_and_entities(spark):
     assert out == 'keep <this> &amp; "that" \'too\''
 
 
+def test_geocode_over_extracted_text_matches_original(pages_df):
+    # raw-html ingestion path: html → extract_text → geocode must equal
+    # geocode over the stored text column
+    ext = pages.extract_text(pages_df)
+    a = pages.geocode(ext, text_col="text_extracted").select("url", "lat", "lon").orderBy("url").collect()
+    b = pages.geocode(pages_df).select("url", "lat", "lon").orderBy("url").collect()
+    assert a == b
+
+
 def test_geocode_jvm_matches_arrow(pages_df):
     a = pages.geocode(pages_df).select("url", "lat", "lon").orderBy("url").collect()
     b = pages.geocode_arrow(pages_df).select("url", "lat", "lon").orderBy("url").collect()
