@@ -32,7 +32,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pbf2json_spark import ann, cells, dedup, denorm, dsl, pages, relations, spatial, textops
+from pbf2json_spark import (
+    ann, cells, dedup, denorm, dsl, pages, relations, spatial, textops, weburl,
+)
 
 # --------------------------------------------------------------------------
 # shared deterministic derivations (Spark side + the SQL mirror fragments)
@@ -850,6 +852,143 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.fingerprint(d).select("doc_id", "fp_hex", "fp_hex_norm")
 
 
+def _synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Messy crawl URLs derived from documents: 4 doc_ids share each base
+    path under 4 surface variants (case, www, default port, fragment,
+    trailing slash, query), so normalization must collapse exactly the
+    variants that are RFC-equivalent and keep the ?query ones apart."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    base = k % 120
+    host = base % 30
+    v = k % 4
+    url = (
+        F.when(v == 0, F.format_string("https://host%d.example/p/%d", host, base))
+        .when(v == 1, F.format_string("HTTPS://WWW.Host%d.EXAMPLE:443/p/%d#s%d", host, base, k))
+        .when(v == 2, F.format_string("https://host%d.example/p/%d/", host, base))
+        .otherwise(F.format_string("http://host%d.example:80/p/%d?x=%d", host, base, k % 3))
+    )
+    ts = (F.lit(1_600_000_000) + (k * 37) % 100_000).cast("long")
+    return d.select(url.alias("url"), ts.alias("warc_ts"))
+
+
+_URLS_SQL = (
+    "SELECT CASE doc_id % 4 "
+    "WHEN 0 THEN printf('https://host%d.example/p/%d', (doc_id % 120) % 30, doc_id % 120) "
+    "WHEN 1 THEN printf('HTTPS://WWW.Host%d.EXAMPLE:443/p/%d#s%d', (doc_id % 120) % 30, doc_id % 120, doc_id) "
+    "WHEN 2 THEN printf('https://host%d.example/p/%d/', (doc_id % 120) % 30, doc_id % 120) "
+    "ELSE printf('http://host%d.example:80/p/%d?x=%d', (doc_id % 120) % 30, doc_id % 120, doc_id % 3) END AS url, "
+    "CAST(1600000000 + (doc_id * 37) % 100000 AS BIGINT) AS warc_ts "
+    "FROM documents"
+)
+
+
+def _norm_url_sql(u: str) -> str:
+    """DuckDB mirror of weburl.normalize_url (same regexes, same CASE)."""
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    hostport = f"lower(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))"
+    host = rf"regexp_replace(regexp_replace({hostport}, ':[0-9]+$', ''), '^www\.', '')"
+    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    keep_port = (
+        f"CASE WHEN {port} = '' OR ({scheme} = 'http' AND {port} = '80') "
+        f"OR ({scheme} = 'https' AND {port} = '443') THEN '' "
+        f"ELSE ':' || {port} END"
+    )
+    rest = f"regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1)"
+    path = rf"regexp_replace(CASE WHEN {rest} = '' THEN '/' ELSE {rest} END, '^([^?]*[^/?])/$', '\1')"
+    return (
+        f"CASE WHEN {scheme} = '' THEN {u} "
+        f"ELSE {scheme} || '://' || {host} || {keep_port} || {path} END"
+    )
+
+
+def _host_sql(u: str) -> str:
+    hostport = f"lower(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))"
+    return rf"regexp_replace(regexp_replace({hostport}, ':[0-9]+$', ''), '^www\.', '')"
+
+
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl dedup: canonical URL → latest capture (struct-max groupBy)."""
+    return weburl.latest_per_url(_synth_urls(spark, sf_dir))
+
+
+def _q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weburl.host_stats(_synth_urls(spark, sf_dir))
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return textops.repetition_features(d).select(
+        "doc_id", "n_words", "top_word_ratio", "dup_word_char_ratio",
+        "top_bigram_ratio",
+    )
+
+
+def _part_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small axis-aligned boxes derived from part (integer-valued doubles →
+    closed-interval comparisons are exact in both engines)."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    lat0 = ((k * 11 % 150) - 75).cast("double")
+    lon0 = ((k * 29 % 320) - 160).cast("double")
+    return p.select(
+        k.cast("long").alias("box_id"),
+        lat0.alias("lat0"), (lat0 + 2.0).alias("lat1"),
+        lon0.alias("lon0"), (lon0 + 3.0).alias("lon1"),
+    )
+
+
+_PART_BOX_SQL = (
+    "SELECT CAST(p_partkey AS BIGINT) AS box_id, "
+    "CAST((p_partkey * 11 % 150) - 75 AS DOUBLE) AS lat0, "
+    "CAST((p_partkey * 11 % 150) - 75 AS DOUBLE) + 2.0 AS lat1, "
+    "CAST((p_partkey * 29 % 320) - 160 AS DOUBLE) AS lon0, "
+    "CAST((p_partkey * 29 % 320) - 160 AS DOUBLE) + 3.0 AS lon1 "
+    "FROM part"
+)
+
+
+def _q_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-accelerated rectangle-intersects range join: nation rects ×
+    part boxes; the oracle is the plain theta join, the engine runs the
+    cell-cover equi-join with reporting-cell dedup (spatial.py)."""
+    rects = _rects_nation(spark, sf_dir).select(
+        F.col("polygon_id").alias("rect_id"),
+        F.element_at("ring", 1)["lat"].alias("lat0"),
+        F.element_at("ring", 3)["lat"].alias("lat1"),
+        F.element_at("ring", 1)["lon"].alias("lon0"),
+        F.element_at("ring", 3)["lon"].alias("lon1"),
+    )
+    boxes = _part_boxes(spark, sf_dir)
+    return spatial.bbox_intersect_join(
+        rects, boxes, res=4, left_id="rect_id", right_id="box_id"
+    ).select("rect_id", "box_id")
+
+
+def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation (the batch twin of
+    streaming.streaming_tile_counts' groupBy(window, key) shape — Spark
+    guarantees a streaming query is the incrementalized batch query, so
+    this is the oracle-checkable face of the windowed streaming operator).
+    Sums are exact integer cents (round(value*100)::long) to avoid float
+    aggregation-order dependence."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+        .select(
+            # ts is TIMESTAMP_NTZ: window math is pure wall-clock micros, so
+            # emitting the NTZ start compares exactly vs the oracle's
+            # make_timestamp(floor(epoch/3600)*3600) — no session-tz term.
+            F.col("win.start").alias("win_start"),
+            "event_type", "n", "sum_cents",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -898,6 +1037,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_full_probe": _q_ivf_full_probe,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_exact": _q_embedding_near_dup_exact,
+        "url_latest_dedup": _q_url_dedup,
+        "host_stats": _q_host_stats,
+        "repetition": _q_repetition,
+        "bbox_intersect": _q_bbox_join,
+        "windowed_events": _q_windowed_events,
         "token_count": _q_token_count,
         "quality_score": _q_quality,
         "lang_detect": _q_lang,
@@ -1306,6 +1450,54 @@ def oracle_sql() -> dict[str, str]:
             "SELECT x.vec_id AS a, y.vec_id AS b FROM e x, e y "
             "WHERE x.vec_id < y.vec_id "
             "AND list_cosine_similarity(x.v, y.v) >= 0.4"
+        ),
+        "url_latest_dedup": (
+            f"WITH u AS ({_URLS_SQL}), "
+            f"n AS (SELECT {_norm_url_sql('url')} AS norm_url, url, warc_ts FROM u), "
+            "r AS (SELECT norm_url, url, warc_ts, row_number() OVER "
+            "(PARTITION BY norm_url ORDER BY warc_ts DESC, url DESC) AS rn FROM n) "
+            "SELECT norm_url, url, warc_ts FROM r WHERE rn = 1"
+        ),
+        "host_stats": (
+            f"WITH u AS ({_URLS_SQL}), "
+            f"n AS (SELECT {_host_sql('url')} AS host, "
+            f"{_norm_url_sql('url')} AS norm_url, warc_ts FROM u) "
+            "SELECT host, CAST(count(*) AS BIGINT) AS captures, "
+            "CAST(count(DISTINCT norm_url) AS BIGINT) AS distinct_urls, "
+            "max(warc_ts) AS last_seen FROM n GROUP BY host"
+        ),
+        "repetition": (
+            "WITH w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 "
+            "THEN CAST([] AS VARCHAR[]) "
+            r"ELSE string_split_regex(trim(text), '\s+') END AS ws FROM documents), "
+            "e AS (SELECT doc_id, unnest(ws) AS w FROM w), "
+            "wc AS (SELECT doc_id, w, count(*) AS c FROM e GROUP BY doc_id, w), "
+            "wd AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_w, "
+            "sum(CASE WHEN c > 1 THEN length(w) * c ELSE 0 END) AS dup_chars, "
+            "sum(length(w) * c) AS tot_chars FROM wc GROUP BY doc_id), "
+            "bgl AS (SELECT doc_id, list_transform(range(1, len(ws)), "
+            "i -> ws[i] || ' ' || ws[i+1]) AS bgs FROM w WHERE len(ws) >= 2), "
+            "be AS (SELECT doc_id, unnest(bgs) AS bg FROM bgl), "
+            "bc AS (SELECT doc_id, bg, count(*) AS c FROM be GROUP BY doc_id, bg), "
+            "bd AS (SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM bc GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(wd.n_words, 0) AS BIGINT) AS n_words, "
+            "CASE WHEN coalesce(wd.n_words, 0) > 0 THEN CAST(wd.top_w AS DOUBLE) / wd.n_words ELSE 0.0 END AS top_word_ratio, "
+            "CASE WHEN coalesce(wd.tot_chars, 0) > 0 THEN CAST(wd.dup_chars AS DOUBLE) / wd.tot_chars ELSE 0.0 END AS dup_word_char_ratio, "
+            "CASE WHEN coalesce(bd.n_bg, 0) > 0 THEN CAST(bd.top_bg AS DOUBLE) / bd.n_bg ELSE 0.0 END AS top_bigram_ratio "
+            "FROM documents d LEFT JOIN wd ON d.doc_id = wd.doc_id "
+            "LEFT JOIN bd ON d.doc_id = bd.doc_id"
+        ),
+        "bbox_intersect": (
+            f"WITH r AS ({_RECT_SQL}), b AS ({_PART_BOX_SQL}) "
+            "SELECT r.polygon_id AS rect_id, b.box_id "
+            "FROM r, b WHERE r.lat0 <= b.lat1 AND b.lat0 <= r.lat1 "
+            "AND r.lon0 <= b.lon1 AND b.lon0 <= r.lon1"
+        ),
+        "windowed_events": (
+            "SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000) AS win_start, "
+            "event_type, CAST(count(*) AS BIGINT) AS n, "
+            "SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents "
+            "FROM events GROUP BY 1, 2"
         ),
         "token_count": (
             "SELECT doc_id, "

@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "cosine_topk",
     "quality_score",
     "lang_detect",
+    "url_latest_dedup",
+    "repetition",
+    "bbox_intersect",
+    "windowed_events",
 ]
 
 

@@ -604,3 +604,73 @@ def tiles_to_polygons(tiles: DataFrame) -> DataFrame:
     """Raster→vector: reconstruct each tile's boundary ring (closed,
     first==last — same convention as the reference's closed ways)."""
     return tiles.withColumn("ring", _tile_ring_udf(F.col("tile")))
+
+
+# --- bbox range join (rectangle ∩ rectangle) -----------------------------------------
+
+
+def _grid_cover(df: DataFrame, res: int, prefix: str) -> DataFrame:
+    """Explode a bbox frame into one row per covering grid cell at `res`.
+
+    Expects columns lat0 <= lat1, lon0 <= lon1. Emits the corner grid
+    coordinates alongside (needed by the reporting-cell dedup) and the
+    exploded (cx, cy) join key. Pure Column sequence/explode — stays in
+    codegen, no Python."""
+    x0, y0 = cells.xy_cols(F.col("lat0"), F.col("lon0"), res)
+    x1, y1 = cells.xy_cols(F.col("lat1"), F.col("lon1"), res)
+    g = df.select(
+        *[F.col(c).alias(f"{prefix}{c}") for c in df.columns],
+        x0.alias(f"{prefix}x0g"), y0.alias(f"{prefix}y0g"),
+        x1.alias(f"{prefix}x1g"), y1.alias(f"{prefix}y1g"),
+    )
+    g = g.select("*", F.explode(F.sequence(f"{prefix}x0g", f"{prefix}x1g")).alias("cx"))
+    return g.select("*", F.explode(F.sequence(f"{prefix}y0g", f"{prefix}y1g")).alias("cy"))
+
+
+def bbox_intersect_join(
+    left: DataFrame,
+    right: DataFrame,
+    res: int,
+    left_id: str = "l_id",
+    right_id: str = "r_id",
+) -> DataFrame:
+    """All (left, right) bbox pairs whose rectangles intersect (closed
+    intervals, touching edges count — the reference's insideBBox uses the
+    same closed comparison, pbf2json.go:779-784).
+
+    Inputs: frames with (<id>, lat0, lat1, lon0, lon1), corners ordered.
+    Output: (left_id, right_id) plus both bboxes.
+
+    Scale shape — the canonical grid spatial join:
+      * each side explodes to its covering cells at `res` (sequence ×
+        explode, codegen); the join is a plain (cx, cy) hash equi-join —
+        partitionable, AQE-skew-splittable, broadcastable when one side is
+        small. Never an all-pairs theta join (Spark would otherwise run
+        BroadcastNestedLoopJoin — quadratic at 10^12 rows).
+      * duplicate hits (a pair sharing several cells) are eliminated by the
+        REPORTING-CELL rule, not a distinct shuffle: a pair is emitted only
+        in the cell that contains the intersection's min corner
+        (max of the two boxes' min grid corners) — each intersecting pair
+        has exactly one such cell, so no post-join dedup exchange exists.
+      * `res` trades replication (finer → more cover rows) against join
+        selectivity (coarser → more false candidates); the exact interval
+        predicate filters false candidates in the same stage.
+    """
+    lg = _grid_cover(left, res, "l_")
+    rg = _grid_cover(right, res, "r_")
+    j = lg.join(rg, ["cx", "cy"])
+    report = (F.col("cx") == F.greatest("l_x0g", "r_x0g")) & (
+        F.col("cy") == F.greatest("l_y0g", "r_y0g")
+    )
+    overlap = (
+        (F.col("l_lat0") <= F.col("r_lat1"))
+        & (F.col("r_lat0") <= F.col("l_lat1"))
+        & (F.col("l_lon0") <= F.col("r_lon1"))
+        & (F.col("r_lon0") <= F.col("l_lon1"))
+    )
+    return j.filter(report & overlap).select(
+        F.col(f"l_{left_id}").alias(left_id),
+        F.col(f"r_{right_id}").alias(right_id),
+        "l_lat0", "l_lat1", "l_lon0", "l_lon1",
+        "r_lat0", "r_lat1", "r_lon0", "r_lon1",
+    )

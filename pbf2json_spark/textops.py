@@ -104,6 +104,80 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, adapted to
+    word granularity since the corpus has no line structure): per document
+
+      n_words             whitespace token count
+      top_word_ratio      occurrences of the most frequent word / n_words
+      dup_word_char_ratio chars inside words that occur >1 time / chars in
+                          all words (the "fraction of characters in
+                          duplicated lines" analogue)
+      top_bigram_ratio    occurrences of the most frequent word bigram /
+                          (n_words - 1); 0 when fewer than 2 words
+
+    High values on any of these mark boilerplate / degenerate pages for a
+    training-data filter; thresholds are the caller's policy.
+
+    Shape: explode → two map-side-combinable groupBys keyed by
+    (doc, token) then (doc) — the classic distributed word-count; the only
+    exchanged payload is (id, token, count). No Python anywhere, and the
+    DuckDB oracle (unnest + GROUP BY) recomputes every ratio exactly.
+    """
+    t = F.col(text_col)
+    empty = F.length(F.trim(t)) == 0
+    words = F.when(empty, F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(t), r"\s+")
+    )
+    base = df.select(F.col(id_col).alias("_id"), words.alias("_ws"))
+
+    wc = (
+        base.select("_id", F.explode("_ws").alias("w"))
+        .groupBy("_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.max("c").alias("top_w"),
+            F.sum(F.when(F.col("c") > 1, F.length("w") * F.col("c")).otherwise(F.lit(0))).alias("dup_chars"),
+            F.sum(F.length("w") * F.col("c")).alias("tot_chars"),
+        )
+    )
+    n = F.size("_ws")
+    bigrams = F.zip_with(
+        F.slice("_ws", 1, n - 1),
+        F.slice("_ws", 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bc = (
+        base.filter(n >= 2)
+        .select("_id", F.explode(bigrams).alias("bg"))
+        .groupBy("_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("_id")
+        .agg(F.max("c").alias("top_bg"), F.sum("c").alias("n_bg"))
+    )
+
+    out = (
+        df.join(wc, df[id_col] == wc["_id"], "left")
+        .drop("_id")
+        .join(bc, df[id_col] == bc["_id"], "left")
+        .drop("_id")
+    )
+    nw = F.coalesce(F.col("n_words"), F.lit(0))
+    return out.select(
+        *df.columns,
+        nw.cast("long").alias("n_words"),
+        F.when(nw > 0, F.col("top_w") / nw).otherwise(F.lit(0.0)).cast("double").alias("top_word_ratio"),
+        F.when(F.col("tot_chars") > 0, F.col("dup_chars") / F.col("tot_chars"))
+        .otherwise(F.lit(0.0)).cast("double").alias("dup_word_char_ratio"),
+        F.when(F.col("n_bg") > 0, F.col("top_bg") / F.col("n_bg"))
+        .otherwise(F.lit(0.0)).cast("double").alias("top_bigram_ratio"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic 64-bit document fingerprint (content hash) + a
     normalized variant that ignores whitespace runs and case — the cheap

@@ -1,0 +1,120 @@
+"""URL normalization + crawl-dedup operators for the web-pages table.
+
+Extension layer for the north-star workload (Common-Crawl-style pages,
+BASELINE.json input_hint): before any content dedup, a crawl pipeline
+canonicalizes URLs and keeps one row per canonical URL (the latest capture).
+The reference has no URL layer (it keys on OSM ids); these operators fill
+the same role its LevelDB id-keying plays — a canonical join/dedup key —
+for the webtext payload.
+
+Everything is pure Column regexp/string expressions (WholeStageCodegen, no
+Python), and every regex is RE2/Java-compatible so the DuckDB oracle in
+__spark_entry__.py recomputes the identical normalization value-for-value.
+
+Scale shape (10^12 rows): `latest_per_url` is ONE shuffle carrying only
+(norm_url, warc_ts, url) — never html/text; the struct-max aggregation is
+map-side combinable, so the exchange volume is the distinct-key count, not
+the row count. `host_stats` is the same shape keyed by host.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# authority = everything between "://" and the first of / ? #
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+_REST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)"
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def url_parts(url: Column) -> dict[str, Column]:
+    """Decompose a URL into (scheme, host, port, rest) Columns.
+
+    scheme/host are lowercased (case-insensitive per RFC 3986 §3.1/§3.2.2);
+    a leading "www." is dropped from host; port is '' when absent; rest is
+    path+query with the fragment already excluded by _REST_RE.
+    """
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(url, _AUTH_RE, 1))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r":[0-9]+$", ""), r"^www\.", ""
+    )
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    rest = F.regexp_extract(url, _REST_RE, 1)
+    return {"scheme": scheme, "host": host, "port": port, "rest": rest}
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical form: lowercase scheme+host, strip "www.", drop the
+    fragment, drop scheme-default ports (http:80 / https:443), empty path
+    → "/", and a trailing "/" on a query-less non-root path is dropped.
+
+    Unparseable URLs (no scheme://authority) pass through unchanged — the
+    caller still gets a grouping key, just a degenerate one.
+    """
+    p = url_parts(url)
+    scheme, host, port, rest = p["scheme"], p["host"], p["port"], p["rest"]
+    keep_port = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == _DEFAULT_PORTS["http"]))
+        | ((scheme == "https") & (port == _DEFAULT_PORTS["https"])),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.when(rest == "", F.lit("/")).otherwise(rest)
+    # "/a/b/" -> "/a/b" but "/" and any "?query" part stay untouched
+    path = F.regexp_replace(path, r"^([^?]*[^/?])/$", "$1")
+    norm = F.concat(scheme, F.lit("://"), host, keep_port, path)
+    return F.when(scheme == "", url).otherwise(norm)
+
+
+def host_of(url: Column) -> Column:
+    """Registrable host of a URL (lowercased, www-stripped, port dropped)."""
+    return url_parts(url)["host"]
+
+
+def with_norm_url(df: DataFrame, url_col: str = "url") -> DataFrame:
+    return df.withColumn("norm_url", normalize_url(F.col(url_col))).withColumn(
+        "host", host_of(F.col(url_col))
+    )
+
+
+def latest_per_url(
+    df: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"
+) -> DataFrame:
+    """Crawl dedup: one row per canonical URL — the latest capture wins,
+    ties broken by the lexicographically greatest raw URL (deterministic on
+    any partitioning). Output: (norm_url, url, warc_ts).
+
+    Shape: struct-max groupBy — map-side combinable, the exchange carries
+    one (norm_url, ts, url) triple per distinct key per map task. This is
+    the 10^12-row-safe form of `ROW_NUMBER() OVER (PARTITION BY ...) = 1`
+    (a window would sort full partitions; max needs no sort).
+    """
+    n = with_norm_url(df, url_col)
+    best = n.groupBy("norm_url").agg(
+        F.max(F.struct(F.col(ts_col), F.col(url_col))).alias("b")
+    )
+    return best.select(
+        "norm_url",
+        F.col(f"b.{url_col}").alias(url_col),
+        F.col(f"b.{ts_col}").alias(ts_col),
+    )
+
+
+def host_stats(df: DataFrame, url_col: str = "url", ts_col: str = "warc_ts") -> DataFrame:
+    """Per-host crawl stats: captures, distinct canonical URLs, last-seen.
+
+    approx(distinct) is deliberately NOT used: the oracle compares values
+    exactly, and exact distinct-in-agg is one extra shuffle of (host,
+    norm_url) pairs — tiny relative to page bodies. A 100 TB caller who
+    can tolerate ±2% should swap in approx_count_distinct.
+    """
+    n = with_norm_url(df, url_col)
+    return n.groupBy("host").agg(
+        F.count(F.lit(1)).alias("captures"),
+        F.countDistinct("norm_url").alias("distinct_urls"),
+        F.max(F.col(ts_col)).alias("last_seen"),
+    )

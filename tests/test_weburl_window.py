@@ -1,0 +1,181 @@
+"""URL normalization / crawl dedup, repetition features, bbox range join,
+and the windowed event aggregation — property tests with brute-force
+Python oracles (the driver-side DuckDB oracles live in __spark_entry__)."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from pbf2json_spark import spatial, textops, weburl
+
+
+# --- weburl -----------------------------------------------------------------
+
+
+CASES = [
+    # (raw, expected_norm, expected_host)
+    ("HTTPS://WWW.Example.COM:443/a/b/?q=1#frag", "https://example.com/a/b/?q=1", "example.com"),
+    ("https://example.com/a/b?q=1", "https://example.com/a/b?q=1", "example.com"),
+    ("http://example.com:8080/a/", "http://example.com:8080/a", "example.com"),
+    ("http://example.com:80", "http://example.com/", "example.com"),
+    ("http://example.com:80/", "http://example.com/", "example.com"),
+    ("ftp://Files.example.org:21/x", "ftp://files.example.org:21/x", "files.example.org"),
+    ("not a url", "not a url", ""),
+    ("https://a.b/p/", "https://a.b/p", "a.b"),
+]
+
+
+def test_normalize_url_cases(spark):
+    df = spark.createDataFrame([(u,) for u, _, _ in CASES], "url string")
+    got = weburl.with_norm_url(df).orderBy("url").collect()
+    want = {u: (n, h) for u, n, h in CASES}
+    for r in got:
+        n, h = want[r["url"]]
+        assert r["norm_url"] == n, r["url"]
+        assert r["host"] == h, r["url"]
+
+
+def test_latest_per_url_picks_max_ts_then_url(spark):
+    rows = [
+        ("https://x.io/a", 10),
+        ("https://X.IO/a#z", 30),          # same canonical, later → wins
+        ("https://x.io/a/", 20),           # same canonical (trailing slash)
+        ("https://x.io/b", 5),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts long")
+    out = {r["norm_url"]: r for r in weburl.latest_per_url(df).collect()}
+    assert len(out) == 2
+    assert out["https://x.io/a"]["warc_ts"] == 30
+    assert out["https://x.io/a"]["url"] == "https://X.IO/a#z"
+    # tie on ts → lexicographically greatest raw url wins (deterministic)
+    tie = spark.createDataFrame(
+        [("https://t.io/p", 7), ("https://T.IO/p", 7)], "url string, warc_ts long"
+    )
+    r = weburl.latest_per_url(tie).collect()[0]
+    assert r["url"] == "https://t.io/p"  # 't' > 'T' in binary collation
+
+
+def test_host_stats_counts(spark):
+    rows = [
+        ("https://a.io/1", 1), ("https://a.io/1/", 2), ("https://a.io/2", 3),
+        ("https://b.io/1", 4),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts long")
+    out = {r["host"]: r for r in weburl.host_stats(df).collect()}
+    assert out["a.io"]["captures"] == 3
+    assert out["a.io"]["distinct_urls"] == 2  # /1 and /1/ collapse
+    assert out["a.io"]["last_seen"] == 3
+    assert out["b.io"]["captures"] == 1
+
+
+# --- repetition features ------------------------------------------------------
+
+
+def _brute_rep(text: str):
+    ws = text.split()
+    n = len(ws)
+    if n == 0:
+        return (0, 0.0, 0.0, 0.0)
+    from collections import Counter
+
+    wc = Counter(ws)
+    top_w = max(wc.values()) / n
+    tot = sum(len(w) * c for w, c in wc.items())
+    dup = sum(len(w) * c for w, c in wc.items() if c > 1)
+    bgs = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+    top_bg = (max(Counter(bgs).values()) / len(bgs)) if bgs else 0.0
+    return (n, top_w, dup / tot if tot else 0.0, top_bg)
+
+
+@pytest.mark.parametrize(
+    "text",
+    ["a a a b", "x y z w", "", "q", "ab ab ab ab", "one two one two one", "  pad  ws  "],
+)
+def test_repetition_matches_bruteforce(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = textops.repetition_features(df).collect()[0]
+    n, tw, dc, tb = _brute_rep(text)
+    assert r["n_words"] == n
+    assert r["top_word_ratio"] == pytest.approx(tw)
+    assert r["dup_word_char_ratio"] == pytest.approx(dc)
+    assert r["top_bigram_ratio"] == pytest.approx(tb)
+
+
+# --- bbox range join -----------------------------------------------------------
+
+
+def test_bbox_intersect_join_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(7)
+    L = [(i, *sorted([rng.uniform(-80, 80) for _ in range(2)]),
+          *sorted([rng.uniform(-170, 170) for _ in range(2)])) for i in range(60)]
+    R = [(i, *sorted([rng.uniform(-80, 80) for _ in range(2)]),
+          *sorted([rng.uniform(-170, 170) for _ in range(2)])) for i in range(80)]
+    schema = "{} long, lat0 double, lat1 double, lon0 double, lon1 double"
+    ldf = spark.createDataFrame(L, schema.format("l_id"))
+    rdf = spark.createDataFrame(R, schema.format("r_id"))
+    want = {
+        (l[0], r[0])
+        for l, r in itertools.product(L, R)
+        if l[1] <= r[2] and r[1] <= l[2] and l[3] <= r[4] and r[3] <= l[4]
+    }
+    for res in (2, 4, 6):
+        got = {
+            (x["l_id"], x["r_id"])
+            for x in spatial.bbox_intersect_join(ldf, rdf, res=res).collect()
+        }
+        assert got == want, f"res={res}"
+
+
+def test_bbox_intersect_no_duplicate_pairs(spark):
+    # one big box overlapping many cells of a fine grid must emit each pair once
+    L = [(1, -50.0, 50.0, -100.0, 100.0)]
+    R = [(i, -45.0 + i, -44.0 + i, -90.0 + i, -89.0 + i) for i in range(60)]
+    schema = "{} long, lat0 double, lat1 double, lon0 double, lon1 double"
+    out = spatial.bbox_intersect_join(
+        spark.createDataFrame(L, schema.format("l_id")),
+        spark.createDataFrame(R, schema.format("r_id")),
+        res=6,
+    ).collect()
+    pairs = [(r["l_id"], r["r_id"]) for r in out]
+    assert len(pairs) == len(set(pairs)) == 60
+
+
+# --- windowed events ------------------------------------------------------------
+
+
+def test_windowed_batch_matches_streaming(spark, tmp_path):
+    """The batch F.window aggregation and the incrementalized streaming run
+    of the same plan produce identical rows (Spark's core streaming
+    guarantee, asserted for our window shape)."""
+    from pbf2json_spark.streaming import run_stream_to_memory
+
+    rows = [
+        (i, f"2024-01-01 0{i % 4}:{i % 60:02d}:00", "t" + str(i % 3)) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts string, k string").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    path = str(tmp_path / "evt")
+    df.write.parquet(path)
+
+    def agg(frame):
+        return (
+            frame.groupBy(F.window("ts", "1 hour").alias("win"), "k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("win.start").alias("ws"), "k", "n")
+        )
+
+    batch = {(r["ws"], r["k"]): r["n"] for r in agg(spark.read.parquet(path)).collect()}
+    stream = spark.readStream.schema("id long, ts timestamp_ntz, k string").parquet(path)
+    q = run_stream_to_memory(agg(stream), "win_batch_eq", output_mode="complete")
+    got = {
+        (r["ws"], r["k"]): r["n"]
+        for r in spark.sql("select * from win_batch_eq").collect()
+    }
+    q.stop()
+    assert got == batch
