@@ -91,7 +91,10 @@ def latest_per_url(
     Shape: struct-max groupBy — map-side combinable, the exchange carries
     one (norm_url, ts, url) triple per distinct key per map task. This is
     the 10^12-row-safe form of `ROW_NUMBER() OVER (PARTITION BY ...) = 1`
-    (a window would sort full partitions; max needs no sort).
+    (a window sorts and materializes full partitions; the aggregate keeps
+    one row per key). Struct-max is not hash-bufferable so Spark plans
+    partial+final SortAggregate — same exchange volume, sort is per-task;
+    max_by plans identically (verified), so there is no cheaper arg-max.
     """
     n = with_norm_url(df, url_col)
     best = n.groupBy("norm_url").agg(

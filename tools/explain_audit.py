@@ -167,6 +167,65 @@ def main() -> int:
         ],
     ))
 
+    # 7. bbox range join: the cover-cell equi-join must plan as a hash join
+    # (broadcast or shuffled) — NEVER a nested-loop/cartesian theta join —
+    # and the whole pipeline is JVM-only
+    b = entry_mod.queries()["bbox_intersect"](spark, sf_dir)
+    p = plan_text(b)
+    sections.append((
+        "bbox range join (bbox_intersect)", p,
+        [
+            ("hash equi-join on cover cells", "HashJoin" in p, ""),
+            ("no nested-loop / cartesian join",
+             "NestedLoop" not in p and "CartesianProduct" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
+    # 8. crawl dedup: struct-max groupBy must keep map-side combine
+    # (partial+final HashAggregate) and read only the columns it needs
+    u = entry_mod.queries()["url_latest_dedup"](spark, sf_dir)
+    p = plan_text(u)
+    sections.append((
+        "crawl dedup (url_latest_dedup)", p,
+        [
+            # struct-max is not hash-bufferable, so Spark plans SortAggregate;
+            # the scale property is the map-side combine (partial agg BELOW
+            # the exchange) — the exchange carries ≤1 row per key per task
+            ("partial+final aggregate (map-side combine)",
+             p.count("SortAggregate") + p.count("HashAggregate") >= 2, ""),
+            ("column-pruned scan (doc_id only)",
+             "ReadSchema: struct<doc_id:bigint>" in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
+    # 9. repetition features: both token groupBys (word + bigram) keep
+    # partial aggregation; everything JVM
+    r = entry_mod.queries()["repetition"](spark, sf_dir)
+    p = plan_text(r)
+    sections.append((
+        "repetition features (repetition)", p,
+        [
+            ("partial aggregation on both token groupBys",
+             p.count("HashAggregate") >= 4, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
+    # 10. windowed event agg: tumbling-window groupBy keeps partial
+    # aggregation; integer-cent sums stay in codegen
+    w = entry_mod.queries()["windowed_events"](spark, sf_dir)
+    p = plan_text(w)
+    sections.append((
+        "windowed event agg (windowed_events)", p,
+        [
+            ("hash aggregate partial+final", p.count("HashAggregate") >= 2, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
     failed = 0
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     for title, plan, props in sections:
