@@ -886,7 +886,10 @@ _URLS_SQL = (
 def _norm_url_sql(u: str) -> str:
     """DuckDB mirror of weburl.normalize_url (same regexes, same CASE)."""
     scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
-    hostport = f"lower(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))"
+    hostport = (
+        f"regexp_replace(lower(regexp_extract({u}, "
+        f"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^[^@]*@', '')"
+    )
     host = rf"regexp_replace(regexp_replace({hostport}, ':[0-9]+$', ''), '^www\.', '')"
     port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
     keep_port = (
@@ -903,7 +906,10 @@ def _norm_url_sql(u: str) -> str:
 
 
 def _host_sql(u: str) -> str:
-    hostport = f"lower(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))"
+    hostport = (
+        f"regexp_replace(lower(regexp_extract({u}, "
+        f"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^[^@]*@', '')"
+    )
     return rf"regexp_replace(regexp_replace({hostport}, ':[0-9]+$', ''), '^www\.', '')"
 
 

@@ -38,7 +38,11 @@ def url_parts(url: Column) -> dict[str, Column]:
     path+query with the fragment already excluded by _REST_RE.
     """
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
-    hostport = F.lower(F.regexp_extract(url, _AUTH_RE, 1))
+    # authority may carry userinfo (user:pass@host) — dropped from the
+    # canonical form (it is not part of the resource identity)
+    hostport = F.regexp_replace(
+        F.lower(F.regexp_extract(url, _AUTH_RE, 1)), r"^[^@]*@", ""
+    )
     host = F.regexp_replace(
         F.regexp_replace(hostport, r":[0-9]+$", ""), r"^www\.", ""
     )

@@ -25,6 +25,8 @@ CASES = [
     ("ftp://Files.example.org:21/x", "ftp://files.example.org:21/x", "files.example.org"),
     ("not a url", "not a url", ""),
     ("https://a.b/p/", "https://a.b/p", "a.b"),
+    ("https://User:Pw@Secure.example.com/x", "https://secure.example.com/x", "secure.example.com"),
+    ("http://alice@example.com:80/y", "http://example.com/y", "example.com"),
 ]
 
 
