@@ -33,7 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pbf2json_spark import (
-    ann, cells, dedup, denorm, dsl, pages, relations, spatial, textops, weburl,
+    ann, cells, dedup, denorm, dsl, pages, relations, spatial, temporal,
+    textops, weburl,
 )
 
 # --------------------------------------------------------------------------
@@ -995,6 +996,38 @@ def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each 'click' event joined to the user's latest
+    'signup' at-or-before it (right side pre-aggregated to one row per
+    (user, ts) for tie determinism). Oracle: DuckDB's native ASOF LEFT
+    JOIN — an independent implementation of the same semantics."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", F.col("user_id").alias("key"), "ts"
+    )
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy(F.col("user_id").alias("key"), "ts")
+        .agg(F.max("value").alias("v"))
+    )
+    # inner form for the gate: NULL timestamps (NaT) defeat exact-equality
+    # comparators (NaT != NaT); the left-outer path is pytest-covered
+    return (
+        temporal.asof_join(clicks, signups, on="ts", by="key")
+        .filter(F.col("ts_matched").isNotNull())
+        .select("event_id", "key", "ts_matched", "v_matched")
+    )
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via the native session_window (the
+    batch+streaming operator); the oracle reconstructs sessions with the
+    lag/cumulative-sum window idiom — two independent formulations that
+    must agree exactly."""
+    e = _t(spark, sf_dir, "events")
+    return temporal.sessionize(e, key="user_id", ts="ts", gap="30 minutes")
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -1048,6 +1081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": _q_repetition,
         "bbox_intersect": _q_bbox_join,
         "windowed_events": _q_windowed_events,
+        "asof_match": _q_asof,
+        "sessionize": _q_sessionize,
         "token_count": _q_token_count,
         "quality_score": _q_quality,
         "lang_detect": _q_lang,
@@ -1504,6 +1539,27 @@ def oracle_sql() -> dict[str, str]:
             "event_type, CAST(count(*) AS BIGINT) AS n, "
             "SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents "
             "FROM events GROUP BY 1, 2"
+        ),
+        "asof_match": (
+            "WITH c AS (SELECT event_id, user_id AS key, ts FROM events "
+            "WHERE event_type = 'click'), "
+            "s AS (SELECT user_id AS key, ts, max(value) AS v FROM events "
+            "WHERE event_type = 'signup' GROUP BY user_id, ts) "
+            "SELECT c.event_id, c.key, s.ts AS ts_matched, s.v AS v_matched "
+            "FROM c ASOF JOIN s ON c.key = s.key AND c.ts >= s.ts"
+        ),
+        "sessionize": (
+            # session_window's merge boundary is CLOSED (an event exactly
+            # `gap` after the last one merges) — hence <=, not <
+            "WITH l AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) <= INTERVAL 30 MINUTE "
+            "THEN 0 ELSE 1 END AS new_s FROM events), "
+            "s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id "
+            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM l) "
+            "SELECT user_id, min(ts) AS session_start, "
+            "max(ts) + INTERVAL 30 MINUTE AS session_end, "
+            "CAST(count(*) AS BIGINT) AS n_events "
+            "FROM s GROUP BY user_id, sid"
         ),
         "token_count": (
             "SELECT doc_id, "

@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "repetition",
     "bbox_intersect",
     "windowed_events",
+    "asof_match",
+    "sessionize",
 ]
 
 

@@ -1,0 +1,115 @@
+"""Temporal operators: as-of join and gap-based sessionization.
+
+Extension layer for the event/pages tables (the reference is a bounded
+batch tool with no time axis; these cover the time-series side of a
+training-data pipeline — joining crawl captures to the latest-known state,
+segmenting event streams into sessions).
+
+Both operators are single-shuffle window/aggregate plans — never a
+range theta join (Spark would plan BroadcastNestedLoopJoin, quadratic at
+10^12 rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "key",
+    tolerance=None,
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the LATEST right row
+    with the same `by` key and right.ts <= left.ts (ties on ts: right rows
+    sort before left rows, so an exactly-simultaneous right row matches).
+    Right payload columns come back NULL when no earlier right row exists
+    (left-outer semantics). `tolerance` (a Column/literal in the same units
+    as `on`, e.g. F.expr("INTERVAL 1 HOUR")) voids matches older than
+    left.ts - tolerance.
+
+    Shape — the distributed merge-as-of, NOT a range join: union both
+    sides tagged, ONE shuffle on `by`, per-key sort by (ts, side), then a
+    running `last(right_payload, ignorenulls)` carries each right row
+    forward to the left rows it serves. Cost is sort+scan per key —
+    shuffle volume is |left| + |right| rows of payload width, zero
+    replication (a range-bucketed join would replicate per bucket).
+    A single hot key serializes into one task; pre-split such keys
+    upstream if the key histogram is known to be degenerate.
+
+    Determinism: right rows should be unique per (by, on) — when several
+    right rows share a timestamp, which one wins depends on sort-tie order.
+    Pre-aggregate the right side (as the driver query does) if duplicates
+    are possible.
+    """
+    r_payload = [c for c in right.columns if c not in (on, by)]
+    l_cols = left.columns
+    rt = right.select(
+        F.col(by),
+        F.col(on),
+        F.lit(0).alias("_side"),
+        F.struct(
+            F.col(on).alias(f"_r_{on}"), *[F.col(c).alias(c) for c in r_payload]
+        ).alias("_rv"),
+    )
+    lt = left.select(
+        F.col(by), F.col(on), F.lit(1).alias("_side"),
+        F.lit(None).cast(rt.schema["_rv"].dataType).alias("_rv"),
+        F.struct(*[F.col(c) for c in l_cols]).alias("_lv"),
+    )
+    rt = rt.withColumn("_lv", F.lit(None).cast(lt.schema["_lv"].dataType))
+    u = lt.unionByName(rt)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("_match", F.last("_rv", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 1)
+    match = F.col("_match")
+    if tolerance is not None:
+        match = F.when(
+            F.col("_match").isNotNull()
+            & (F.col(f"_match._r_{on}") >= F.col(on) - tolerance),
+            F.col("_match"),
+        )
+    return out.select(
+        *[F.col(f"_lv.{c}").alias(c) for c in l_cols],
+        match[f"_r_{on}"].alias(f"{on}_matched"),
+        *[match[c].alias(f"{c}_matched") for c in r_payload],
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap: str = "30 minutes",
+    aggs: list | None = None,
+) -> DataFrame:
+    """Gap-based sessions per key: events closer than `gap` merge into one
+    session. Built on F.session_window — the NATIVE operator that runs
+    identically over a batch frame and a watermarked stream (state-store
+    backed, sessions evicted when the watermark passes), so a backfill and
+    the live pipeline share this exact plan.
+
+    Output: key, session_start, session_end (last event + gap, Spark's
+    convention), n_events (+ caller aggs). One shuffle on (key); session
+    merging is Spark's built-in state machine, not a Python UDF.
+    """
+    aggs = aggs or []
+    g = events.groupBy(
+        F.session_window(F.col(ts), gap).alias("sw"), F.col(key)
+    ).agg(F.count(F.lit(1)).alias("n_events"), *aggs)
+    extra = [c for c in g.columns if c not in ("sw", key, "n_events")]
+    return g.select(
+        F.col(key),
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "n_events",
+        *extra,
+    )
