@@ -226,6 +226,34 @@ def main() -> int:
         ],
     ))
 
+    # 11. as-of join: the merge shape — exactly ONE exchange for the
+    # union'd sides (hashpartitioning on the key), a window, no join
+    # node at all, no Python
+    a = entry_mod.queries()["asof_match"](spark, sf_dir)
+    p = plan_text(a)
+    sections.append((
+        "as-of join (asof_match)", p,
+        [
+            ("window-based merge (no join node on the asof path)",
+             "Window" in p and "NestedLoop" not in p and "CartesianProduct" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
+    # 12. sessionization: session_window aggregation with partial
+    # aggregation, JVM-only
+    s = entry_mod.queries()["sessionize"](spark, sf_dir)
+    p = plan_text(s)
+    sections.append((
+        "sessionization (sessionize)", p,
+        [
+            ("session-window aggregate",
+             "SessionWindow" in p or "session_window" in p or "HashAggregate" in p
+             or "SortAggregate" in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
     failed = 0
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     for title, plan, props in sections:
