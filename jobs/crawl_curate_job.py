@@ -1,0 +1,141 @@
+"""spark-submit entry point for the webtext curation pipeline — the
+training-data path over the Common-Crawl-shaped pages table (BASELINE.json
+input_hint schema: url, warc_ts, html, text, lang).
+
+    zip -r /tmp/pbf2json_spark.zip pbf2json_spark
+    spark-submit --py-files /tmp/pbf2json_spark.zip \
+        jobs/crawl_curate_job.py \
+        --n-pages 1000000 --checkpoint-root /tmp/ckpt --output /tmp/curated
+
+Stages (resumable snapshots with per-partition lineage + metrics, same
+contract as pages_tiles_job):
+
+    pages     → Iceberg/parquet scan via --input, else deterministic synth
+    extracted → html → text (byte-identical per url, the input_hint
+                invariant) + canonical URL
+    canon     → crawl dedup: ONE row per canonical URL (latest capture) —
+                the id-keyed dedup the reference's LevelDB keying plays,
+                re-expressed as a struct-max groupBy
+    scored    → language ID + quality + repetition signals, filtered by
+                --min-quality / --max-top-word
+    deduped   → exact content dedup on the normalized fingerprint (first
+                occurrence per fp64_norm wins, deterministic by (ts, url))
+
+Every stage is a pure DataFrame plan (no Python except none at all — the
+whole pipeline is JVM Column expressions), so the job scales with
+executors; checkpoints make each stage a restart point at 10^12 rows.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from pbf2json_spark import iceberg, textops, weburl
+from pbf2json_spark import pages as pages_mod
+from pbf2json_spark.checkpoint import CheckpointManager, run_stages
+
+STAGES = ("pages", "extracted", "canon", "scored", "deduped")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-pages", type=int, default=1_000_000)
+    ap.add_argument(
+        "--input", default=None,
+        help="pages table (Iceberg identifier or parquet path); default synth",
+    )
+    ap.add_argument("--min-quality", type=float, default=0.3)
+    ap.add_argument("--max-top-word", type=float, default=0.5,
+                    help="drop pages whose most frequent word exceeds this share")
+    ap.add_argument("--checkpoint-root", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--mode", choices=["resume", "overwrite"], default="resume")
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("crawl-curate").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    mgr = CheckpointManager(spark, args.checkpoint_root, "crawl_curate")
+
+    def extract(p):
+        e = pages_mod.extract_text(p)  # html -> text_extracted, byte-exact
+        return weburl.with_norm_url(e).select(
+            "url", "norm_url", "host", "warc_ts", "lang",
+            F.col("text_extracted").alias("text"),
+        )
+
+    def canon(p):
+        # latest capture per canonical URL, then rejoin the payload by the
+        # WINNING raw url (ids-only through the aggregate, text joined back
+        # — the same shape as the LSH joins)
+        best = p.groupBy("norm_url").agg(
+            F.max(F.struct("warc_ts", "url")).alias("b")
+        ).select("norm_url", F.col("b.url").alias("url"))
+        return best.join(p, ["norm_url", "url"]).select(
+            "url", "norm_url", "host", "warc_ts", "lang", "text"
+        )
+
+    def score(p):
+        q = textops.quality_features(textops.detect_language(p))
+        r = textops.repetition_features(q, id_col="url")
+        return r.filter(
+            (F.col("quality_score") >= args.min_quality)
+            & (F.col("top_word_ratio") <= args.max_top_word)
+        ).select(
+            "url", "norm_url", "host", "warc_ts", "lang", "lang_pred",
+            "quality_score", "top_word_ratio", "text",
+        )
+
+    def dedup_exact(p):
+        f = textops.fingerprint(p)
+        keep = f.groupBy("fp64_norm").agg(
+            F.min(F.struct("warc_ts", "url")).alias("b")
+        ).select(F.col("b.url").alias("url"))
+        return f.join(keep, "url", "left_semi")
+
+    curated = run_stages(
+        mgr,
+        [
+            (
+                "pages",
+                lambda _: (
+                    iceberg.read_pages(spark, args.input)
+                    if args.input
+                    else pages_mod.generate_pages(
+                        spark, args.n_pages,
+                        partitions=spark.sparkContext.defaultParallelism * 4,
+                    )
+                ),
+            ),
+            ("extracted", extract),
+            ("canon", canon),
+            ("scored", score),
+            ("deduped", dedup_exact),
+        ],
+        mode=args.mode,
+    )
+    curated.write.mode("overwrite").parquet(args.output)
+
+    report = {}
+    for stage in STAGES:
+        m = mgr.read_metrics(stage).agg(
+            F.sum("rows").alias("rows"),
+            F.count(F.lit(1)).alias("partitions"),
+            F.sum("bytes_est").alias("bytes_est"),
+        ).collect()[0]
+        report[stage] = {
+            "rows": int(m["rows"]), "partitions": int(m["partitions"]),
+            "bytes_est": int(m["bytes_est"]),
+        }
+    print("STAGE_METRICS " + json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -139,7 +139,7 @@ def repetition_features(
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("_id")
         .agg(
-            F.sum("c").alias("n_words"),
+            F.sum("c").alias("_rep_nw"),
             F.max("c").alias("top_w"),
             F.sum(F.when(F.col("c") > 1, F.length("w") * F.col("c")).otherwise(F.lit(0))).alias("dup_chars"),
             F.sum(F.length("w") * F.col("c")).alias("tot_chars"),
@@ -166,9 +166,11 @@ def repetition_features(
         .join(bc, df[id_col] == bc["_id"], "left")
         .drop("_id")
     )
-    nw = F.coalesce(F.col("n_words"), F.lit(0))
+    nw = F.coalesce(F.col("_rep_nw"), F.lit(0))
+    ours = {"n_words", "top_word_ratio", "dup_word_char_ratio", "top_bigram_ratio"}
+    carried = [c for c in df.columns if c not in ours]
     return out.select(
-        *df.columns,
+        *carried,
         nw.cast("long").alias("n_words"),
         F.when(nw > 0, F.col("top_w") / nw).otherwise(F.lit(0.0)).cast("double").alias("top_word_ratio"),
         F.when(F.col("tot_chars") > 0, F.col("dup_chars") / F.col("tot_chars"))
