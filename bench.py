@@ -186,10 +186,19 @@ def main() -> None:
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        _wait_idle()
-        t0 = time.time()
-        _consume(queries[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        # best-of-2 per query: the first execution carries analysis/codegen
+        # and any residual tenant-CPU burst; the min of two runs of the
+        # identical plan is the steady-state figure cross-round deltas can
+        # be trusted on (single-shot timings on this box vary up to 2×,
+        # BENCH/BASELINE.md methodology)
+        best = None
+        for _ in range(2):
+            _wait_idle()
+            t0 = time.time()
+            _consume(queries[name](spark, sf_dir))
+            sec = time.time() - t0
+            best = sec if best is None or sec < best else best
+        timings[name] = round(best, 3)
 
     run_pages(spark, 100_000)  # warm-up: codegen + Python worker pools
     # best-of-2 at full size: the first full-size execution still pays
