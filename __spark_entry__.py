@@ -33,8 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pbf2json_spark import (
-    ann, cells, dedup, denorm, dsl, pages, relations, spatial, temporal,
-    textops, weburl,
+    ann, cells, dedup, denorm, dsl, pages, relations, sampling, spatial,
+    temporal, textops, weburl,
 )
 
 # --------------------------------------------------------------------------
@@ -996,6 +996,37 @@ def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-to-crawl delta over two synthetic dumps of the documents
+    corpus: old = ids not divisible by 5, new = ids not divisible by 7,
+    every third page's content changed in the new dump."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    fp_a = F.substring(F.md5(F.col("text").cast("binary")), 1, 16)
+    fp_b = F.substring(
+        F.md5(F.concat(F.lit("v2:"), F.col("text")).cast("binary")), 1, 16
+    )
+    old = d.filter(k % 5 != 0).select(k.alias("key"), fp_a.alias("fp"))
+    new = d.filter(k % 7 != 0).select(
+        k.alias("key"), F.when(k % 3 == 0, fp_b).otherwise(fp_a).alias("fp")
+    )
+    return weburl.snapshot_diff(old, new, key="key", fp="fp")
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling (portable md5-threshold
+    membership — DuckDB re-derives the exact same sample)."""
+    d = _t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        d,
+        {"en": 0.5, "fr": 0.25, "zh": 0.1},
+        stratum_col="lang",
+        id_col="doc_id",
+        seed=7,
+        default_fraction=0.05,
+    ).select("doc_id", "lang")
+
+
 def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: each 'click' event joined to the user's latest
     'signup' at-or-before it (right side pre-aggregated to one row per
@@ -1083,6 +1114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_events": _q_windowed_events,
         "asof_match": _q_asof,
         "sessionize": _q_sessionize,
+        "snapshot_diff": _q_snapshot_diff,
+        "stratified_sample": _q_stratified_sample,
         "token_count": _q_token_count,
         "quality_score": _q_quality,
         "lang_detect": _q_lang,
@@ -1539,6 +1572,27 @@ def oracle_sql() -> dict[str, str]:
             "event_type, CAST(count(*) AS BIGINT) AS n, "
             "SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents "
             "FROM events GROUP BY 1, 2"
+        ),
+        "snapshot_diff": (
+            "WITH o AS (SELECT doc_id AS key, substr(md5(text), 1, 16) AS fp "
+            "FROM documents WHERE doc_id % 5 <> 0), "
+            "n AS (SELECT doc_id AS key, CASE WHEN doc_id % 3 = 0 "
+            "THEN substr(md5('v2:' || text), 1, 16) "
+            "ELSE substr(md5(text), 1, 16) END AS fp "
+            "FROM documents WHERE doc_id % 7 <> 0) "
+            "SELECT coalesce(o.key, n.key) AS key, "
+            "CASE WHEN o.fp IS NULL THEN 'added' "
+            "WHEN n.fp IS NULL THEN 'removed' "
+            "WHEN o.fp <> n.fp THEN 'changed' ELSE 'unchanged' END AS status "
+            "FROM o FULL OUTER JOIN n ON o.key = n.key"
+        ),
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            "('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 8))::BIGINT < "
+            "CASE lang WHEN 'en' THEN " + str(int(0.5 * (1 << 32)))
+            + " WHEN 'fr' THEN " + str(int(0.25 * (1 << 32)))
+            + " WHEN 'zh' THEN " + str(int(0.1 * (1 << 32)))
+            + " ELSE " + str(int(0.05 * (1 << 32))) + " END"
         ),
         "asof_match": (
             "WITH c AS (SELECT event_id, user_id AS key, ts FROM events "

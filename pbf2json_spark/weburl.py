@@ -125,3 +125,32 @@ def host_stats(df: DataFrame, url_col: str = "url", ts_col: str = "warc_ts") -> 
         F.countDistinct("norm_url").alias("distinct_urls"),
         F.max(F.col(ts_col)).alias("last_seen"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "norm_url",
+    fp: str = "fp",
+) -> DataFrame:
+    """Crawl-to-crawl delta: per canonical URL, is it added (only in the
+    new dump), removed (only in the old), changed (in both, content
+    fingerprint differs) or unchanged. The incremental-ingest primitive —
+    at 10^12 rows only `added`+`changed` flow into downstream curation,
+    so the diff is what makes re-processing a new dump O(delta) instead of
+    O(corpus).
+
+    Inputs must be unique per `key` (run latest_per_url first). Shape: one
+    full-outer hash equi-join on the key, carrying (key, fp) only — never
+    page bodies; join the bodies back onto `added`/`changed` keys after.
+    """
+    o = old.select(F.col(key), F.col(fp).alias("_fp_old"))
+    n = new.select(F.col(key), F.col(fp).alias("_fp_new"))
+    j = o.join(n, key, "full_outer")
+    status = (
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(F.col(key), status.alias("status"))

@@ -181,3 +181,39 @@ def test_windowed_batch_matches_streaming(spark, tmp_path):
     }
     q.stop()
     assert got == batch
+
+
+# --- snapshot diff / stratified sampling -------------------------------------
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [("a", "f1"), ("b", "f2"), ("c", "f3")], "norm_url string, fp string"
+    )
+    new = spark.createDataFrame(
+        [("b", "f2"), ("c", "f3x"), ("d", "f4")], "norm_url string, fp string"
+    )
+    got = {r["norm_url"]: r["status"] for r in weburl.snapshot_diff(old, new).collect()}
+    assert got == {"a": "removed", "b": "unchanged", "c": "changed", "d": "added"}
+
+
+def test_stratified_sample_deterministic_and_partition_independent(spark):
+    from pbf2json_spark import sampling
+
+    rows = [(i, "en" if i % 3 == 0 else "fr") for i in range(2000)]
+    df1 = spark.createDataFrame(rows, "doc_id long, lang string")
+    df8 = df1.repartition(8)
+    frac = {"en": 0.5, "fr": 0.1}
+    s1 = {r["doc_id"] for r in sampling.stratified_sample(df1, frac).collect()}
+    s8 = {r["doc_id"] for r in sampling.stratified_sample(df8, frac).collect()}
+    assert s1 == s8  # membership is a pure row function, not layout-dependent
+    # seeds decorrelate
+    s_alt = {r["doc_id"] for r in sampling.stratified_sample(df1, frac, seed=9).collect()}
+    assert s1 != s_alt
+    # rates are in the right ballpark per stratum
+    en = sum(1 for i in s1 if i % 3 == 0) / len([i for i, _ in rows if i % 3 == 0])
+    fr = sum(1 for i in s1 if i % 3 != 0) / len([i for i, _ in rows if i % 3 != 0])
+    assert 0.4 < en < 0.6 and 0.05 < fr < 0.16
+    # unlisted strata follow default_fraction (0 -> dropped entirely)
+    only_en = sampling.stratified_sample(df1, {"en": 1.0}).collect()
+    assert all(r["lang"] == "en" for r in only_en)
