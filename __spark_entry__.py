@@ -33,8 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pbf2json_spark import (
-    ann, cells, dedup, denorm, dsl, pages, relations, sampling, spatial,
-    temporal, textops, weburl,
+    ann, cells, corpus, dedup, denorm, dsl, pages, relations, sampling,
+    spatial, temporal, textops, weburl,
 )
 
 # --------------------------------------------------------------------------
@@ -996,6 +996,22 @@ def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters: top-100 word bigrams, deterministic
+    tie-break on the gram."""
+    d = _t(spark, sf_dir, "documents")
+    return corpus.top_ngrams(d, n=2, k=100)
+
+
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bigram → document frequency + canonical posting string; unigrams in
+    this corpus are all stop-word-dense, so the index is over 2-grams with
+    the >40%-of-corpus head dropped via max_df."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    return corpus.inverted_index(d, min_df=2, max_df=int(n_docs * 0.4), n=2)
+
+
 def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-to-crawl delta over two synthetic dumps of the documents
     corpus: old = ids not divisible by 5, new = ids not divisible by 7,
@@ -1116,6 +1132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "snapshot_diff": _q_snapshot_diff,
         "stratified_sample": _q_stratified_sample,
+        "top_bigrams": _q_top_bigrams,
+        "inverted_index": _q_inverted_index,
         "token_count": _q_token_count,
         "quality_score": _q_quality,
         "lang_detect": _q_lang,
@@ -1572,6 +1590,27 @@ def oracle_sql() -> dict[str, str]:
             "event_type, CAST(count(*) AS BIGINT) AS n, "
             "SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents "
             "FROM events GROUP BY 1, 2"
+        ),
+        "top_bigrams": (
+            "WITH w AS (SELECT CASE WHEN length(trim(text)) = 0 "
+            "THEN CAST([] AS VARCHAR[]) "
+            r"ELSE string_split_regex(trim(text), '\s+') END AS ws FROM documents), "
+            "g AS (SELECT unnest(list_transform(range(1, len(ws)), "
+            "i -> ws[i] || ' ' || ws[i+1])) AS gram FROM w WHERE len(ws) >= 2) "
+            "SELECT gram, CAST(count(*) AS BIGINT) AS occurrences FROM g "
+            "GROUP BY gram ORDER BY occurrences DESC, gram ASC LIMIT 100"
+        ),
+        "inverted_index": (
+            "WITH w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 "
+            "THEN CAST([] AS VARCHAR[]) "
+            r"ELSE string_split_regex(trim(text), '\s+') END AS ws FROM documents), "
+            "p AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws)), "
+            "i -> ws[i] || ' ' || ws[i+1])) AS token FROM w WHERE len(ws) >= 2), "
+            "a AS (SELECT token, CAST(count(*) AS BIGINT) AS df_count, "
+            "string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings "
+            "FROM p GROUP BY token) "
+            "SELECT token, df_count, postings FROM a WHERE df_count >= 2 "
+            "AND df_count <= (SELECT CAST(floor(count(*) * 0.4) AS BIGINT) FROM documents)"
         ),
         "snapshot_diff": (
             "WITH o AS (SELECT doc_id AS key, substr(md5(text), 1, 16) AS fp "

@@ -1,0 +1,95 @@
+"""Corpus-level text aggregations: heavy-hitter n-grams and an inverted
+index. These are the whole-corpus statistics a training-data pipeline runs
+besides per-document scoring (vocabulary building, boilerplate phrase
+discovery, contamination lookups).
+
+Shapes at 10^12 documents:
+  * top_ngrams — explode → ONE map-side-combinable groupBy keyed by the
+    gram (the exchange carries (gram, partial_count), bounded by distinct
+    grams per task, not token volume) → global top-k. The final ordering
+    sorts only the distinct-gram table, and the TakeOrderedAndProject
+    physical operator keeps k rows per partition before the single-partition
+    merge — no full global sort materializes.
+  * inverted_index — explode → distinct (token, doc) pairs → per-token
+    sorted posting list. Postings for stop-words are unbounded; `min_df`/
+    `max_df` bounds exist precisely to drop the degenerate head (the same
+    reason the jaccard prefix filter drops hot shingles, dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _words(text_col: str) -> Column:
+    t = F.col(text_col)
+    return F.when(
+        F.length(F.trim(t)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(t), r"\s+"))
+
+
+def ngrams_col(words: Column, n: int) -> Column:
+    """Sliding n-grams (space-joined) of a words array, pure Column."""
+    if n == 1:
+        return words
+    # docs shorter than n words yield an empty gram array (slice length
+    # must be >= 0, so clamp)
+    length = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    parts = [F.slice(words, i + 1, length) for i in range(n)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.zip_with(out, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    return out
+
+
+def top_ngrams(
+    df: DataFrame, n: int = 2, k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide top-k n-grams by occurrence count; ties broken by the
+    gram itself (deterministic on any partitioning).
+
+    Output: (gram, occurrences), exactly k rows (fewer if the corpus has
+    fewer distinct grams)."""
+    grams = df.select(F.explode(ngrams_col(_words(text_col), n)).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("occurrences"))
+    return counts.orderBy(F.col("occurrences").desc(), F.col("gram").asc()).limit(k)
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_df: int | None = None,
+    n: int = 1,
+) -> DataFrame:
+    """token → (document frequency, comma-joined sorted posting list).
+
+    Postings are distinct doc ids in ascending order, serialized to a
+    string so the result is engine-portable (array columns compare
+    differently across drivers; a canonical string is bit-stable).
+    `min_df`/`max_df` bound the vocabulary: max_df drops stop-word tokens
+    whose posting lists would otherwise be corpus-sized.
+    """
+    pairs = (
+        df.select(
+            F.col(id_col),
+            F.explode(ngrams_col(_words(text_col), n)).alias("token"),
+        )
+        .distinct()
+    )
+    agg = pairs.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df_count"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list(F.col(id_col))),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("postings"),
+    )
+    out = agg.filter(F.col("df_count") >= min_df)
+    if max_df is not None:
+        out = out.filter(F.col("df_count") <= max_df)
+    return out
