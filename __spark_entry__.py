@@ -23,6 +23,11 @@ Operator → query map:
                                    ivf_cosine_topk, embedding_near_dup rows-only)
   text analysis                  → token_count / quality_score / lang_detect
                                    / fingerprint (portable md5 pair)
+  webtext layer                  → url_latest_dedup / host_stats / repetition
+                                   / snapshot_diff / stratified_sample
+                                   / top_bigrams / inverted_index
+  range + temporal               → bbox_intersect / windowed_events
+                                   / asof_match / sessionize
 """
 
 from __future__ import annotations
