@@ -242,24 +242,34 @@ def test_textops_langid_quality_tokens(spark):
 
 
 def test_multimodal_plumbing(spark):
+    from pbf2json_spark import codecs
+
     media = multimodal.generate_media(spark, 30).cache()
     assert media.count() == 30
     feats = multimodal.decode_features(media)
     rows = {r["media_id"]: r for r in feats.collect()}
     assert len(rows) == 30
-    for r in rows.values():
-        assert r["width"] >= 4 and r["height"] >= 4
-        assert 0 <= r["mean_value"] <= 255
-        assert r["n_bytes"] == 9 + r["width"] * r["height"]
+    for mid, r in rows.items():
+        if r["kind"] == "image":        # real PNG decode
+            assert r["width"] >= 4 and r["height"] >= 4
+            assert 0 <= r["mean_value"] <= 255
+        elif r["kind"] == "audio":      # real WAV decode
+            assert r["height"] == 1     # mono channels
+            assert r["width"] >= 4 * 4 * 16
+            assert 0.0 <= r["mean_value"] <= 1.0
+        else:                           # FAKE video container
+            assert r["n_bytes"] == 9 + r["width"] * r["height"]
     # deterministic regeneration
     again = {r["media_id"]: r for r in multimodal.decode_features(multimodal.generate_media(spark, 30)).collect()}
     assert {k: (v["width"], v["mean_value"]) for k, v in rows.items()} == {
         k: (v["width"], v["mean_value"]) for k, v in again.items()
     }
 
+    # resize emits REAL PNGs at the target geometry
     resized = multimodal.resize_images(media, 8, 8)
     for r in resized.collect():
-        assert len(bytes(r["blob"])) == 9 + 64
+        img = codecs.decode_png(bytes(r["blob"]))
+        assert img.shape[:2] == (8, 8)
 
     frames = multimodal.sample_frames(media, every=2)
     f = frames.collect()
@@ -267,11 +277,11 @@ def test_multimodal_plumbing(spark):
     kinds = {r["media_id"] % 3 for r in f}
     assert kinds == {2}  # only 'video' rows fan out
 
-    # real codecs are stubbed: non-FAKE blobs raise NotImplementedError
+    # unknown containers surface per-row errors (no silent garbage)
     bad = spark.createDataFrame(
         [(99, "image", bytearray(b"JPEGnotreally"), {})], multimodal.MEDIA_SCHEMA
     )
-    with pytest.raises(Exception, match="NotImplementedError|FAKE"):
+    with pytest.raises(Exception, match="NotImplementedError|unrecognized"):
         multimodal.decode_features(bad).collect()
 
 
