@@ -1001,6 +1001,18 @@ def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode path (rows-only: PNG/WAV bytes are not expressible
+    in SQL): real PNG + WAV decode inside mapInPandas over generated media
+    blobs, one feature row per blob. Scales with sf via the documents
+    rowcount."""
+    from pbf2json_spark import multimodal
+
+    n = _t(spark, sf_dir, "documents").count()
+    media = multimodal.generate_media(spark, min(int(n), 2000))
+    return multimodal.decode_features(media)
+
+
 def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide heavy hitters: top-100 word bigrams, deterministic
     tie-break on the gram."""
@@ -1139,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "top_bigrams": _q_top_bigrams,
         "inverted_index": _q_inverted_index,
+        "media_features": _q_media_features,
         "token_count": _q_token_count,
         "quality_score": _q_quality,
         "lang_detect": _q_lang,

@@ -254,6 +254,34 @@ def main() -> int:
         ],
     ))
 
+    # 13. corpus top-k: the global top-k must be TakeOrderedAndProject
+    # (k rows per partition then a single merge), never a full global Sort
+    t = entry_mod.queries()["top_bigrams"](spark, sf_dir)
+    p = plan_text(t)
+    sections.append((
+        "corpus top-k n-grams (top_bigrams)", p,
+        [
+            ("TakeOrderedAndProject (no global sort)",
+             "TakeOrderedAndProject" in p, ""),
+            ("partial aggregation on gram counts",
+             p.count("HashAggregate") >= 2, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
+    # 14. stratified sample: a pure scan-level filter — no exchange, no
+    # aggregate, no Python anywhere
+    ss = entry_mod.queries()["stratified_sample"](spark, sf_dir)
+    p = plan_text(ss)
+    sections.append((
+        "stratified sample (stratified_sample)", p,
+        [
+            ("no shuffle (scan-level filter)", "Exchange" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
     failed = 0
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     for title, plan, props in sections:
