@@ -867,7 +867,10 @@ def _synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.col("doc_id")
     base = k % 120
     host = base % 30
-    v = k % 4
+    # variant from the quotient, NOT k % 4 (4 divides 120, so a residue-
+    # based pick would be constant per base and the gate would never test
+    # collapsing different surface forms of the same path)
+    v = F.expr("doc_id div 120") % 4
     url = (
         F.when(v == 0, F.format_string("https://host%d.example/p/%d", host, base))
         .when(v == 1, F.format_string("HTTPS://WWW.Host%d.EXAMPLE:443/p/%d#s%d", host, base, k))
@@ -879,7 +882,7 @@ def _synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _URLS_SQL = (
-    "SELECT CASE doc_id % 4 "
+    "SELECT CASE (doc_id // 120) % 4 "
     "WHEN 0 THEN printf('https://host%d.example/p/%d', (doc_id % 120) % 30, doc_id % 120) "
     "WHEN 1 THEN printf('HTTPS://WWW.Host%d.EXAMPLE:443/p/%d#s%d', (doc_id % 120) % 30, doc_id % 120, doc_id) "
     "WHEN 2 THEN printf('https://host%d.example/p/%d/', (doc_id % 120) % 30, doc_id % 120) "
@@ -904,7 +907,11 @@ def _norm_url_sql(u: str) -> str:
         f"ELSE ':' || {port} END"
     )
     rest = f"regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1)"
-    path = rf"regexp_replace(CASE WHEN {rest} = '' THEN '/' ELSE {rest} END, '^([^?]*[^/?])/$', '\1')"
+    path = (
+        f"regexp_replace(CASE WHEN {rest} = '' THEN '/' "
+        f"WHEN {rest} LIKE '?%' THEN '/' || {rest} "
+        rf"ELSE {rest} END, '^([^?]*[^/?])/$', '\1')"
+    )
     return (
         f"CASE WHEN {scheme} = '' THEN {u} "
         f"ELSE {scheme} || '://' || {host} || {keep_port} || {path} END"

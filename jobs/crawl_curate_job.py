@@ -45,6 +45,59 @@ from pbf2json_spark.checkpoint import CheckpointManager, run_stages
 STAGES = ("pages", "extracted", "canon", "scored", "deduped")
 
 
+# stage functions are module-level so tests can pin each stage's contract
+# (tests/test_crawl_job.py) — main() only wires them into run_stages
+
+
+def extract(p):
+    e = pages_mod.extract_text(p)  # html -> text_extracted, byte-exact
+    return weburl.with_norm_url(e).select(
+        "url", "norm_url", "host", "warc_ts", "lang",
+        F.col("text_extracted").alias("text"),
+    )
+
+
+def canon(p):
+    # latest capture per canonical URL, then rejoin the payload by the
+    # FULL winning key (norm_url, url, warc_ts) — joining on url alone
+    # would resurrect every duplicate capture of the winning raw URL
+    # (same page crawled in two segments) and break the one-row-per-
+    # canonical-URL stage contract. Ids-only through the aggregate,
+    # text joined back — the same shape as the LSH joins. A same-(url,
+    # ts) re-capture is byte-identical by construction, so the residual
+    # dropDuplicates is a no-op except on pathological inputs.
+    best = p.groupBy("norm_url").agg(
+        F.max(F.struct("warc_ts", "url")).alias("b")
+    ).select(
+        "norm_url", F.col("b.url").alias("url"), F.col("b.warc_ts").alias("warc_ts")
+    )
+    return (
+        best.join(p, ["norm_url", "url", "warc_ts"])
+        .select("url", "norm_url", "host", "warc_ts", "lang", "text")
+        .dropDuplicates(["norm_url"])
+    )
+
+
+def score(p, min_quality: float = 0.3, max_top_word: float = 0.5):
+    q = textops.quality_features(textops.detect_language(p))
+    r = textops.repetition_features(q, id_col="url")
+    return r.filter(
+        (F.col("quality_score") >= min_quality)
+        & (F.col("top_word_ratio") <= max_top_word)
+    ).select(
+        "url", "norm_url", "host", "warc_ts", "lang", "lang_pred",
+        "quality_score", "top_word_ratio", "text",
+    )
+
+
+def dedup_exact(p):
+    f = textops.fingerprint(p)
+    keep = f.groupBy("fp64_norm").agg(
+        F.min(F.struct("warc_ts", "url")).alias("b")
+    ).select(F.col("b.url").alias("url"))
+    return f.join(keep, "url", "left_semi")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-pages", type=int, default=1_000_000)
@@ -64,42 +117,6 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     mgr = CheckpointManager(spark, args.checkpoint_root, "crawl_curate")
 
-    def extract(p):
-        e = pages_mod.extract_text(p)  # html -> text_extracted, byte-exact
-        return weburl.with_norm_url(e).select(
-            "url", "norm_url", "host", "warc_ts", "lang",
-            F.col("text_extracted").alias("text"),
-        )
-
-    def canon(p):
-        # latest capture per canonical URL, then rejoin the payload by the
-        # WINNING raw url (ids-only through the aggregate, text joined back
-        # — the same shape as the LSH joins)
-        best = p.groupBy("norm_url").agg(
-            F.max(F.struct("warc_ts", "url")).alias("b")
-        ).select("norm_url", F.col("b.url").alias("url"))
-        return best.join(p, ["norm_url", "url"]).select(
-            "url", "norm_url", "host", "warc_ts", "lang", "text"
-        )
-
-    def score(p):
-        q = textops.quality_features(textops.detect_language(p))
-        r = textops.repetition_features(q, id_col="url")
-        return r.filter(
-            (F.col("quality_score") >= args.min_quality)
-            & (F.col("top_word_ratio") <= args.max_top_word)
-        ).select(
-            "url", "norm_url", "host", "warc_ts", "lang", "lang_pred",
-            "quality_score", "top_word_ratio", "text",
-        )
-
-    def dedup_exact(p):
-        f = textops.fingerprint(p)
-        keep = f.groupBy("fp64_norm").agg(
-            F.min(F.struct("warc_ts", "url")).alias("b")
-        ).select(F.col("b.url").alias("url"))
-        return f.join(keep, "url", "left_semi")
-
     curated = run_stages(
         mgr,
         [
@@ -116,7 +133,7 @@ def main() -> None:
             ),
             ("extracted", extract),
             ("canon", canon),
-            ("scored", score),
+            ("scored", lambda p: score(p, args.min_quality, args.max_top_word)),
             ("deduped", dedup_exact),
         ],
         mode=args.mode,

@@ -116,9 +116,10 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("missing IHDR")
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    if depth != 8 or ctype not in _CHANNELS or interlace != 0:
+    if depth != 8 or ctype not in _CHANNELS or comp != 0 or filt != 0 or interlace != 0:
         raise ValueError(
-            f"unsupported PNG variant (depth={depth} color={ctype} interlace={interlace})"
+            f"unsupported PNG variant (depth={depth} color={ctype} "
+            f"compression={comp} filter_method={filt} interlace={interlace})"
         )
     ch = _CHANNELS[ctype]
     raw = zlib.decompress(bytes(idat))

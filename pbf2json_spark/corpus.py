@@ -79,7 +79,19 @@ def inverted_index(
         )
         .distinct()
     )
-    agg = pairs.groupBy("token").agg(
+    # Two passes when a bound is set: count document frequency FIRST (a
+    # cheap long per token), drop out-of-bound tokens, and only then build
+    # posting arrays. Filtering after collect_list would materialize a
+    # corpus-sized array for every stop word inside one aggregation buffer
+    # before discarding it — an executor OOM at 10^12 documents, which is
+    # exactly the degenerate head max_df exists to avoid.
+    if min_df > 1 or max_df is not None:
+        dfreq = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("df_count"))
+        keep = dfreq.filter(F.col("df_count") >= min_df)
+        if max_df is not None:
+            keep = keep.filter(F.col("df_count") <= max_df)
+        pairs = pairs.join(keep.select("token"), "token", "left_semi")
+    return pairs.groupBy("token").agg(
         F.count(F.lit(1)).alias("df_count"),
         F.concat_ws(
             ",",
@@ -89,7 +101,3 @@ def inverted_index(
             ),
         ).alias("postings"),
     )
-    out = agg.filter(F.col("df_count") >= min_df)
-    if max_df is not None:
-        out = out.filter(F.col("df_count") <= max_df)
-    return out

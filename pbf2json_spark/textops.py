@@ -126,12 +126,12 @@ def repetition_features(
     exchanged payload is (id, token, count). No Python anywhere, and the
     DuckDB oracle (unnest + GROUP BY) recomputes every ratio exactly.
     """
-    t = F.col(text_col)
-    empty = F.length(F.trim(t)) == 0
-    words = F.when(empty, F.array().cast("array<string>")).otherwise(
-        F.split(F.trim(t), r"\s+")
-    )
-    base = df.select(F.col(id_col).alias("_id"), words.alias("_ws"))
+    # the one canonical whitespace tokenization + n-gram construction lives
+    # in corpus.py — reuse it so repetition signals and corpus statistics
+    # can never silently disagree on token boundaries
+    from pbf2json_spark.corpus import _words, ngrams_col
+
+    base = df.select(F.col(id_col).alias("_id"), _words(text_col).alias("_ws"))
 
     wc = (
         base.select("_id", F.explode("_ws").alias("w"))
@@ -145,15 +145,9 @@ def repetition_features(
             F.sum(F.length("w") * F.col("c")).alias("tot_chars"),
         )
     )
-    n = F.size("_ws")
-    bigrams = F.zip_with(
-        F.slice("_ws", 1, n - 1),
-        F.slice("_ws", 2, n - 1),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
     bc = (
-        base.filter(n >= 2)
-        .select("_id", F.explode(bigrams).alias("bg"))
+        base.filter(F.size("_ws") >= 2)
+        .select("_id", F.explode(ngrams_col(F.col("_ws"), 2)).alias("bg"))
         .groupBy("_id", "bg")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("_id")

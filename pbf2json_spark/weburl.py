@@ -67,7 +67,13 @@ def normalize_url(url: Column) -> Column:
         | ((scheme == "https") & (port == _DEFAULT_PORTS["https"])),
         F.lit(""),
     ).otherwise(F.concat(F.lit(":"), port))
-    path = F.when(rest == "", F.lit("/")).otherwise(rest)
+    # RFC 3986 §6.2.3: an empty path normalizes to "/" — including when a
+    # query follows directly ("http://a.com?x=1" ≡ "http://a.com/?x=1")
+    path = (
+        F.when(rest == "", F.lit("/"))
+        .when(rest.startswith("?"), F.concat(F.lit("/"), rest))
+        .otherwise(rest)
+    )
     # "/a/b/" -> "/a/b" but "/" and any "?query" part stay untouched
     path = F.regexp_replace(path, r"^([^?]*[^/?])/$", "$1")
     norm = F.concat(scheme, F.lit("://"), host, keep_port, path)

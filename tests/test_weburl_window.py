@@ -27,6 +27,9 @@ CASES = [
     ("https://a.b/p/", "https://a.b/p", "a.b"),
     ("https://User:Pw@Secure.example.com/x", "https://secure.example.com/x", "secure.example.com"),
     ("http://alice@example.com:80/y", "http://example.com/y", "example.com"),
+    # RFC 3986 §6.2.3: empty path + query normalizes to "/?query"
+    ("https://example.com?x=1", "https://example.com/?x=1", "example.com"),
+    ("HTTP://EXAMPLE.com:80?q", "http://example.com/?q", "example.com"),
 ]
 
 

@@ -247,9 +247,11 @@ def main() -> int:
     sections.append((
         "sessionization (sessionize)", p,
         [
-            ("session-window aggregate",
-             "SessionWindow" in p or "session_window" in p or "HashAggregate" in p
-             or "SortAggregate" in p, ""),
+            # the physical session-merge operator must be present — a plain
+            # groupBy (losing the batch/streaming-shared session semantics)
+            # would still aggregate but without MergingSessions
+            ("session-window merge operator (MergingSessions)",
+             "MergingSessions" in p, ""),
             ("no Python eval", "EvalPython" not in p, ""),
         ],
     ))
