@@ -1008,6 +1008,37 @@ def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_host_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-host median + max of document length (F.percentile, the
+    exact quantile — NOT approx_percentile). Median of integer lengths is
+    integer or half-integer, so linear interpolation is IEEE-exact in both
+    engines and the oracle compares bit-for-bit."""
+    # hosts come from the synth urls (keyed by doc_id), lengths from the text
+    urls = _synth_urls_with_id(spark, sf_dir)
+    lens = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("len")
+    )
+    return (
+        urls.join(lens, "doc_id")
+        .groupBy(weburl.host_of(F.col("url")).alias("host"))
+        .agg(
+            F.percentile(F.col("len"), F.lit(0.5)).alias("median_len"),
+            F.max("len").cast("long").alias("max_len"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def _synth_urls_with_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    host = (k % 120) % 30
+    return d.select(
+        "doc_id",
+        F.format_string("https://host%d.example/p/%d", host, k).alias("url"),
+    )
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode path (rows-only: PNG/WAV bytes are not expressible
     in SQL): real PNG + WAV decode inside mapInPandas over generated media
@@ -1159,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_bigrams": _q_top_bigrams,
         "inverted_index": _q_inverted_index,
         "media_features": _q_media_features,
+        "host_median_len": _q_host_median,
         "token_count": _q_token_count,
         "quality_score": _q_quality,
         "lang_detect": _q_lang,
@@ -1636,6 +1668,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM p GROUP BY token) "
             "SELECT token, df_count, postings FROM a WHERE df_count >= 2 "
             "AND df_count <= (SELECT CAST(floor(count(*) * 0.4) AS BIGINT) FROM documents)"
+        ),
+        "host_median_len": (
+            "WITH u AS (SELECT doc_id, printf('https://host%d.example/p/%d', "
+            "(doc_id % 120) % 30, doc_id) AS url FROM documents), "
+            "l AS (SELECT doc_id, length(text) AS len FROM documents), "
+            "j AS (SELECT regexp_replace(regexp_replace(lower(regexp_extract(u.url, "
+            r"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':[0-9]+$', ''), '^www\.', '') AS host, "
+            "l.len FROM u JOIN l ON u.doc_id = l.doc_id) "
+            "SELECT host, quantile_cont(len, 0.5) AS median_len, "
+            "CAST(max(len) AS BIGINT) AS max_len, CAST(count(*) AS BIGINT) AS n "
+            "FROM j GROUP BY host"
         ),
         "snapshot_diff": (
             "WITH o AS (SELECT doc_id AS key, substr(md5(text), 1, 16) AS fp "
