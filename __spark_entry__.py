@@ -675,8 +675,13 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("s_suppkey") * 131 % 16000) / F.lit(100.0) - F.lit(80.0)).alias("lat"),
         ((F.col("s_suppkey") * 257 % 34000) / F.lit(100.0) - F.lit(170.0)).alias("lon"),
     )
+    # res=6: ~64x fewer points per cell than res=3 → the round-0 candidate
+    # fan-out (queries x disk_cells x points_per_cell) shrinks ~15x, and
+    # the confirm pass guarantees the exact same top-k at ANY res (the
+    # oracle is res-independent). Measured ~30% faster warm at sf0.1 and
+    # the per-cell bound is what survives a 100x point-density increase.
     out = spatial.knn_join(
-        pts, qs, k=5, res=3, max_rounds=4, point_id="cid", query_id="qid",
+        pts, qs, k=5, res=6, max_rounds=4, point_id="cid", query_id="qid",
         metric="sq_deg",
     )
     return out.select(
