@@ -50,6 +50,12 @@ BENCH_QUERIES = [
     "windowed_events",
     "asof_match",
     "sessionize",
+    "snapshot_diff",
+    "stratified_sample",
+    "top_bigrams",
+    "inverted_index",
+    "host_median_len",
+    "media_features",
 ]
 
 
