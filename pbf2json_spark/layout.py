@@ -1,0 +1,49 @@
+"""Z-order (Morton) data layout for spatial file pruning.
+
+At 10^12 rows the cheapest predicate is the one that never reads the file:
+parquet keeps per-file (and per-row-group) min/max statistics, and a scan
+with `lat BETWEEN … AND lon BETWEEN …` skips every file whose stats
+exclude the range — IF the writer placed spatially-near rows in the same
+files. A random or ingest-order layout gives every file near-global
+min/max (nothing prunes); range-partitioning + sorting by the Morton code
+of (lat, lon) gives each file a tight bounding box.
+
+This is the same bit interleave the cell index uses (cells._spread_col),
+applied as a WRITE-TIME layout rather than a query-time key — the
+DataFrame-level equivalent of Delta/Iceberg's Z-ORDER clustering.
+
+tests/test_layout.py quantifies it: per-file bbox areas from the parquet
+footers are orders of magnitude tighter than the unsorted layout's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pbf2json_spark import cells
+
+
+def zorder_col(lat: Column, lon: Column, res: int = 16) -> Column:
+    """Morton interleave of the (lat, lon) grid coordinates at `res` bits
+    per axis — pure Column bit math, no Python."""
+    return cells.cell_col(lat, lon, res)
+
+
+def zorder_layout(
+    df: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    n_files: int | None = None,
+    res: int = 16,
+) -> DataFrame:
+    """Re-layout a frame so spatially-near rows land in the same output
+    files: range-partition by the Morton code (equal-size partitions via
+    sampled range bounds, so a hot city does not create a giant file) and
+    sort within each partition. Write the result with any sink; parquet
+    min/max stats then prune untouched regions at scan time.
+    """
+    z = zorder_col(F.col(lat_col), F.col(lon_col), res).alias("_z")
+    out = df.withColumn("_z", z)
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    return out.repartitionByRange(n, "_z").sortWithinPartitions("_z").drop("_z")
