@@ -1013,6 +1013,22 @@ def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_within_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofencing: every customer point within 2.5° (squared degree metric)
+    of each supplier query point — cell-disk prefilter + exact predicate;
+    the oracle is the plain cross-join filter."""
+    pts = _points_customer(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    qs = s.select(
+        F.col("s_suppkey").alias("qid"),
+        ((F.col("s_suppkey") * 131 % 16000) / F.lit(100.0) - F.lit(80.0)).alias("lat"),
+        ((F.col("s_suppkey") * 257 % 34000) / F.lit(100.0) - F.lit(170.0)).alias("lon"),
+    )
+    return spatial.within_distance_join(
+        pts, qs, radius_deg=2.5, res=6, point_id="cid", query_id="qid"
+    )
+
+
 def _q_host_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-host median + max of document length (F.percentile, the
     exact quantile — NOT approx_percentile). Median of integer lengths is
@@ -1196,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": _q_inverted_index,
         "media_features": _q_media_features,
         "host_median_len": _q_host_median,
+        "within_dist": _q_within_dist,
         "token_count": _q_token_count,
         "quality_score": _q_quality,
         "lang_detect": _q_lang,
@@ -1673,6 +1690,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM p GROUP BY token) "
             "SELECT token, df_count, postings FROM a WHERE df_count >= 2 "
             "AND df_count <= (SELECT CAST(floor(count(*) * 0.4) AS BIGINT) FROM documents)"
+        ),
+        "within_dist": (
+            f"WITH pts AS ({_PTS_SQL}), "
+            "q AS (SELECT s_suppkey AS qid, "
+            "(s_suppkey * 131 % 16000) / CAST(100.0 AS DOUBLE) - CAST(80.0 AS DOUBLE) AS qlat, "
+            "(s_suppkey * 257 % 34000) / CAST(100.0 AS DOUBLE) - CAST(170.0 AS DOUBLE) AS qlon "
+            "FROM supplier) "
+            "SELECT q.qid, pts.cid, "
+            "(pts.lat - q.qlat) * (pts.lat - q.qlat) + (pts.lon - q.qlon) * (pts.lon - q.qlon) AS dist_sq "
+            "FROM q, pts "
+            "WHERE (pts.lat - q.qlat) * (pts.lat - q.qlat) + (pts.lon - q.qlon) * (pts.lon - q.qlon) "
+            "<= 2.5 * 2.5"
         ),
         "host_median_len": (
             "WITH u AS (SELECT doc_id, printf('https://host%d.example/p/%d', "

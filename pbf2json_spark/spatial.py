@@ -674,3 +674,58 @@ def bbox_intersect_join(
         "l_lat0", "l_lat1", "l_lon0", "l_lon1",
         "r_lat0", "r_lat1", "r_lon0", "r_lon1",
     )
+
+
+# --- within-distance join (geofencing) ----------------------------------------------
+
+
+def within_distance_join(
+    points: DataFrame,
+    queries: DataFrame,
+    radius_deg: float,
+    res: int = 12,
+    point_id: str = "point_id",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """All (query, point) pairs with squared degree-space distance
+    ≤ radius_deg² — the geofencing primitive ("every page geocoded within
+    R of this landmark").
+
+    Shape: each query explodes to its Chebyshev cell disk of radius
+    ceil(radius/cell_extent)+1 and hash-joins points on their SINGLE
+    containing cell — each candidate pair meets in exactly one cell (the
+    point's), so there are no duplicates and no dedup shuffle, and the
+    fan-out is bounded by disk_cells × points_per_cell (pick `res` so the
+    disk is a few cells). The exact predicate filters in the same stage;
+    the metric is squared degree distance (sub/mul/add only → IEEE-exact,
+    oracle-comparable bit-for-bit).
+
+    Longitude wrap is handled by the disk (pmod); latitude clamps at the
+    poles — same conventions as the kNN join (cells.disk_col).
+    """
+    pts = points.select(
+        F.col(point_id),
+        F.col("lat").alias("_plat"),
+        F.col("lon").alias("_plon"),
+        cells.cell_col(F.col("lat"), F.col("lon"), res).alias("_pcell"),
+    )
+    qx, qy = cells.xy_cols(F.col("lat"), F.col("lon"), res)
+    lat_extent = 180.0 / (1 << res)
+    disk_r = int(np.ceil(radius_deg / lat_extent)) + 1
+    q = queries.select(
+        F.col(query_id),
+        F.col("lat").alias("_qlat"),
+        F.col("lon").alias("_qlon"),
+        F.explode(
+            F.array_distinct(cells.disk_col(qx, qy, res, F.lit(disk_r)))
+        ).alias("_cells"),
+    )
+    dlat = F.col("_plat") - F.col("_qlat")
+    dlon = F.col("_plon") - F.col("_qlon")
+    dist_sq = dlat * dlat + dlon * dlon
+    return (
+        q.join(pts, F.col("_cells") == pts["_pcell"], "inner")
+        .withColumn("dist_sq", dist_sq)
+        .filter(F.col("dist_sq") <= F.lit(radius_deg * radius_deg))
+        .select(query_id, point_id, "dist_sq")
+    )

@@ -220,3 +220,27 @@ def test_stratified_sample_deterministic_and_partition_independent(spark):
     # unlisted strata follow default_fraction (0 -> dropped entirely)
     only_en = sampling.stratified_sample(df1, {"en": 1.0}).collect()
     assert all(r["lang"] == "en" for r in only_en)
+
+
+def test_within_distance_join_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(5)
+    P = [(i, rng.uniform(-80, 80), rng.uniform(-170, 170)) for i in range(400)]
+    Q = [(i, rng.uniform(-80, 80), rng.uniform(-170, 170)) for i in range(40)]
+    pdf = spark.createDataFrame(P, "point_id long, lat double, lon double")
+    qdf = spark.createDataFrame(Q, "query_id long, lat double, lon double")
+    r = 6.0
+    want = {
+        (q[0], p[0])
+        for q in Q
+        for p in P
+        if (p[1] - q[1]) ** 2 + (p[2] - q[2]) ** 2 <= r * r
+    }
+    assert want  # non-degenerate case
+    for res in (4, 6, 8):
+        got = {
+            (x["query_id"], x["point_id"])
+            for x in spatial.within_distance_join(pdf, qdf, r, res=res).collect()
+        }
+        assert got == want, res
