@@ -1013,6 +1013,29 @@ def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword search over the documents corpus (one groupBy,
+    not a per-term join chain)."""
+    d = _t(spark, sf_dir, "documents")
+    return corpus.search_all_terms(d, ["spark", "window", "join"])
+
+
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a 'new dump' re-crawls odd doc ids with
+    every 9th document's content changed; anti-joined against the full
+    corpus fingerprint set, only the changed documents survive."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    fp = F.substring(F.md5(F.col("text").cast("binary")), 1, 16)
+    fp_new = F.when(
+        k % 9 == 0,
+        F.substring(F.md5(F.concat(F.lit("mut:"), F.col("text")).cast("binary")), 1, 16),
+    ).otherwise(fp)
+    corpus_fps = d.select(fp.alias("fp"))
+    new = d.filter(k % 2 == 1).select("doc_id", fp_new.alias("fp"))
+    return dedup.incremental_new_docs(corpus_fps, new).select("doc_id", "fp")
+
+
 def _q_within_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geofencing: every customer point within 2.5° (squared degree metric)
     of each supplier query point — cell-disk prefilter + exact predicate;
@@ -1213,6 +1236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "host_median_len": _q_host_median,
         "within_dist": _q_within_dist,
+        "term_search": _q_term_search,
+        "incremental_dedup": _q_incremental_dedup,
         "token_count": _q_token_count,
         "quality_score": _q_quality,
         "lang_detect": _q_lang,
@@ -1690,6 +1715,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM p GROUP BY token) "
             "SELECT token, df_count, postings FROM a WHERE df_count >= 2 "
             "AND df_count <= (SELECT CAST(floor(count(*) * 0.4) AS BIGINT) FROM documents)"
+        ),
+        "term_search": (
+            "WITH e AS (SELECT DISTINCT doc_id, unnest(CASE WHEN length(trim(text)) = 0 "
+            "THEN CAST([] AS VARCHAR[]) "
+            r"ELSE string_split_regex(trim(text), '\s+') END) AS token FROM documents) "
+            "SELECT doc_id FROM e WHERE token IN ('spark', 'window', 'join') "
+            "GROUP BY doc_id HAVING count(*) = 3"
+        ),
+        "incremental_dedup": (
+            "WITH c AS (SELECT DISTINCT substr(md5(text), 1, 16) AS fp "
+            "FROM documents), "
+            "n AS (SELECT doc_id, CASE WHEN doc_id % 9 = 0 "
+            "THEN substr(md5('mut:' || text), 1, 16) "
+            "ELSE substr(md5(text), 1, 16) END AS fp "
+            "FROM documents WHERE doc_id % 2 = 1) "
+            "SELECT n.doc_id, n.fp FROM n "
+            "WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.fp = n.fp)"
         ),
         "within_dist": (
             f"WITH pts AS ({_PTS_SQL}), "

@@ -101,3 +101,31 @@ def inverted_index(
             ),
         ).alias("postings"),
     )
+
+
+def search_all_terms(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Conjunctive keyword search: documents containing ALL `terms` as
+    whitespace tokens. The consumer side of the inverted index: distinct
+    (doc, token) pairs filtered to the query terms (a tiny IN-list that
+    pushes into the scan), then a doc must match `len(terms)` distinct
+    terms. One combinable groupBy; never a per-term join chain (k joins =
+    k shuffles; this is always exactly one)."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    uniq = sorted(set(terms))
+    hits = (
+        df.select(F.col(id_col), F.explode(_words(text_col)).alias("token"))
+        .filter(F.col("token").isin(uniq))
+        .distinct()
+    )
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_nt"))
+        .filter(F.col("_nt") == len(uniq))
+        .select(id_col)
+    )

@@ -375,3 +375,19 @@ def simhash_pairs(
         .select("a", "b", "hamming")
         .dropDuplicates(["a", "b"])
     )
+
+
+def incremental_new_docs(
+    corpus_fps: DataFrame,
+    new_docs: DataFrame,
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Incremental-ingest dedup: rows of `new_docs` whose content
+    fingerprint does not already exist in the corpus — the O(delta) step
+    that keeps a 10^12-document corpus from being re-deduplicated per
+    dump. One left_anti hash join on the fingerprint column; the corpus
+    side carries ONLY fingerprints (8-16 B/row), never documents, so the
+    build side stays broadcastable far longer than the corpus itself."""
+    return new_docs.join(
+        corpus_fps.select(fp_col).distinct(), fp_col, "left_anti"
+    )

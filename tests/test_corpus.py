@@ -48,3 +48,30 @@ def test_inverted_index_postings_and_bounds(spark):
     bi = {r["token"]: r["postings"] for r in corpus.inverted_index(df, n=2).collect()}
     assert bi["the cat"] == "1,2"
     assert bi["on the"] == "1,3"
+
+
+def test_search_all_terms(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {r["doc_id"] for r in corpus.search_all_terms(df, ["cat", "the"]).collect()}
+    assert got == {1, 2}  # docs containing BOTH terms
+    got1 = {r["doc_id"] for r in corpus.search_all_terms(df, ["mat"]).collect()}
+    assert got1 == {1, 3}
+    # repeated terms in the query collapse; a term occurring twice in one
+    # doc still counts once
+    got2 = {r["doc_id"] for r in corpus.search_all_terms(df, ["the", "the", "on"]).collect()}
+    assert got2 == {1, 3}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        corpus.search_all_terms(df, [])
+
+
+def test_incremental_new_docs(spark):
+    from pbf2json_spark import dedup
+
+    corpus_fps = spark.createDataFrame([("a",), ("b",)], "fp string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "c"), (3, "b"), (4, "c")], "doc_id long, fp string"
+    )
+    got = sorted(r["doc_id"] for r in dedup.incremental_new_docs(corpus_fps, new).collect())
+    assert got == [2, 4]  # only fingerprints absent from the corpus survive
