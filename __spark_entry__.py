@@ -669,12 +669,7 @@ def _q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _points_customer(spark, sf_dir)
-    s = _t(spark, sf_dir, "supplier")
-    qs = s.select(
-        F.col("s_suppkey").alias("qid"),
-        ((F.col("s_suppkey") * 131 % 16000) / F.lit(100.0) - F.lit(80.0)).alias("lat"),
-        ((F.col("s_suppkey") * 257 % 34000) / F.lit(100.0) - F.lit(170.0)).alias("lon"),
-    )
+    qs = _queries_supplier(spark, sf_dir)
     # res=6: ~64x fewer points per cell than res=3 → the round-0 candidate
     # fan-out (queries x disk_cells x points_per_cell) shrinks ~15x, and
     # the confirm pass guarantees the exact same top-k at ANY res (the
@@ -1013,6 +1008,17 @@ def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _queries_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-derived query points — the single source for the kNN and
+    within-distance gates (the oracle SQL mirrors these exact constants)."""
+    s = _t(spark, sf_dir, "supplier")
+    return s.select(
+        F.col("s_suppkey").alias("qid"),
+        ((F.col("s_suppkey") * 131 % 16000) / F.lit(100.0) - F.lit(80.0)).alias("lat"),
+        ((F.col("s_suppkey") * 257 % 34000) / F.lit(100.0) - F.lit(170.0)).alias("lon"),
+    )
+
+
 def _q_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive keyword search over the documents corpus (one groupBy,
     not a per-term join chain)."""
@@ -1037,18 +1043,14 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_within_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Geofencing: every customer point within 2.5° (squared degree metric)
+    """Geofencing: every customer point within 6° (squared degree metric)
     of each supplier query point — cell-disk prefilter + exact predicate;
-    the oracle is the plain cross-join filter."""
+    the oracle is the plain cross-join filter. Radius 6° keeps the result
+    non-empty even at sf0.001 (a 0-row compare certifies nothing)."""
     pts = _points_customer(spark, sf_dir)
-    s = _t(spark, sf_dir, "supplier")
-    qs = s.select(
-        F.col("s_suppkey").alias("qid"),
-        ((F.col("s_suppkey") * 131 % 16000) / F.lit(100.0) - F.lit(80.0)).alias("lat"),
-        ((F.col("s_suppkey") * 257 % 34000) / F.lit(100.0) - F.lit(170.0)).alias("lon"),
-    )
+    qs = _queries_supplier(spark, sf_dir)
     return spatial.within_distance_join(
-        pts, qs, radius_deg=2.5, res=6, point_id="cid", query_id="qid"
+        pts, qs, radius_deg=6.0, res=6, point_id="cid", query_id="qid"
     )
 
 
@@ -1743,7 +1745,7 @@ def oracle_sql() -> dict[str, str]:
             "(pts.lat - q.qlat) * (pts.lat - q.qlat) + (pts.lon - q.qlon) * (pts.lon - q.qlon) AS dist_sq "
             "FROM q, pts "
             "WHERE (pts.lat - q.qlat) * (pts.lat - q.qlat) + (pts.lon - q.qlon) * (pts.lon - q.qlon) "
-            "<= 2.5 * 2.5"
+            "<= 6.0 * 6.0"
         ),
         "host_median_len": (
             "WITH u AS (SELECT doc_id, printf('https://host%d.example/p/%d', "

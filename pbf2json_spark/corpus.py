@@ -110,22 +110,18 @@ def search_all_terms(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Conjunctive keyword search: documents containing ALL `terms` as
-    whitespace tokens. The consumer side of the inverted index: distinct
-    (doc, token) pairs filtered to the query terms (a tiny IN-list that
-    pushes into the scan), then a doc must match `len(terms)` distinct
-    terms. One combinable groupBy; never a per-term join chain (k joins =
-    k shuffles; this is always exactly one)."""
+    whitespace tokens (repeated query terms collapse).
+
+    Shape: a conjunction of array_contains predicates over the tokenized
+    text — ONE scan-stage filter in whole-stage codegen, ZERO shuffles.
+    (The explode → distinct → groupBy formulation computes the same set
+    but pays two shuffles; the oracle uses that formulation precisely
+    because it is an independent derivation.)"""
     if not terms:
         raise ValueError("terms must be non-empty")
-    uniq = sorted(set(terms))
-    hits = (
-        df.select(F.col(id_col), F.explode(_words(text_col)).alias("token"))
-        .filter(F.col("token").isin(uniq))
-        .distinct()
-    )
-    return (
-        hits.groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("_nt"))
-        .filter(F.col("_nt") == len(uniq))
-        .select(id_col)
-    )
+    words = _words(text_col)
+    cond = None
+    for t in sorted(set(terms)):
+        c = F.array_contains(words, t)
+        cond = c if cond is None else cond & c
+    return df.filter(cond).select(id_col)

@@ -43,7 +43,9 @@ def zorder_layout(
     sort within each partition. Write the result with any sink; parquet
     min/max stats then prune untouched regions at scan time.
     """
-    z = zorder_col(F.col(lat_col), F.col(lon_col), res).alias("_z")
-    out = df.withColumn("_z", z)
+    tmp = "__zorder_key"
+    if tmp in df.columns:
+        raise ValueError(f"input frame already has a {tmp!r} column")
+    out = df.withColumn(tmp, zorder_col(F.col(lat_col), F.col(lon_col), res))
     n = n_files or df.sparkSession.sparkContext.defaultParallelism
-    return out.repartitionByRange(n, "_z").sortWithinPartitions("_z").drop("_z")
+    return out.repartitionByRange(n, tmp).sortWithinPartitions(tmp).drop(tmp)
