@@ -284,6 +284,34 @@ def main() -> int:
         ],
     ))
 
+    # 15. conjunctive search: a scan-stage filter — zero shuffles, codegen
+    ts = entry_mod.queries()["term_search"](spark, sf_dir)
+    p = plan_text(ts)
+    sections.append((
+        "conjunctive term search (term_search)", p,
+        [
+            ("zero shuffles (scan-stage filter)", "Exchange" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
+    # 16. within-distance join: cell hash equi-join, no nested loop, no
+    # post-join dedup aggregate (each pair meets in exactly one cell)
+    wd = entry_mod.queries()["within_dist"](spark, sf_dir)
+    p = plan_text(wd)
+    sections.append((
+        "within-distance join (within_dist)", p,
+        [
+            ("hash equi-join on cells", "HashJoin" in p, ""),
+            ("no nested-loop / cartesian join",
+             "NestedLoop" not in p and "CartesianProduct" not in p, ""),
+            ("no dedup aggregate anywhere (pair uniqueness by construction)",
+             "HashAggregate" not in p and "SortAggregate" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
     failed = 0
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     for title, plan, props in sections:
