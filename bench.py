@@ -189,7 +189,7 @@ def main() -> None:
     spark = get_spark("pbf2json-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    queries = entry_mod.queries()
+    queries = {**entry_mod.queries(), **entry_mod.extra_queries()}
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         # best-of-2 per query: the first execution carries analysis/codegen

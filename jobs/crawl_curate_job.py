@@ -91,11 +91,20 @@ def score(p, min_quality: float = 0.3, max_top_word: float = 0.5):
 
 
 def dedup_exact(p):
+    # 128-bit group key (fp64_norm, fp64b_norm): one 64-bit key expects
+    # ~27k birthday merges at the 10^12-row design point (see
+    # dedup.exact_dedup). Semi-join back on the FULL winning key — not url
+    # alone — so the stage is correct standalone too: with repeated urls
+    # across fingerprint groups a url-only join would keep losing
+    # duplicates that happen to share a winning url.
     f = textops.fingerprint(p)
-    keep = f.groupBy("fp64_norm").agg(
+    keep = f.groupBy("fp64_norm", "fp64b_norm").agg(
         F.min(F.struct("warc_ts", "url")).alias("b")
-    ).select(F.col("b.url").alias("url"))
-    return f.join(keep, "url", "left_semi")
+    ).select(
+        "fp64_norm", "fp64b_norm",
+        F.col("b.warc_ts").alias("warc_ts"), F.col("b.url").alias("url"),
+    )
+    return f.join(keep, ["fp64_norm", "fp64b_norm", "warc_ts", "url"], "left_semi")
 
 
 def main() -> None:

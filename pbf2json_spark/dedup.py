@@ -23,17 +23,30 @@ from pyspark.sql import functions as F
 
 def exact_dedup(df: DataFrame, id_col: str, key: Column | str = "text") -> DataFrame:
     """Keep the min-id row per exact content key; report group size.
-    One shuffle (hash groupBy); at scale pre-hash the key to a long
-    (xxhash64) so the exchange carries 8 bytes, not documents."""
+    One shuffle (hash groupBy); the key is pre-hashed so the exchange
+    carries 16 bytes, not documents.
+
+    The group key is 128 bits — TWO independent xxhash64 passes. A single
+    64-bit key at the 10^12-row design point expects ~n²/2^65 ≈ 27,000
+    birthday collisions = silently merged distinct documents; at 128 bits
+    the expectation is n²/2^129 ≈ 1.5e-15 — zero for any physical corpus.
+    Independence matters: ``xxhash64(lit(1), key)`` re-hashes the full key
+    under a different effective seed (the literal's hash), whereas
+    ``xxhash64(key, lit(1))`` would only permute the FIRST hash's output
+    (Spark chains multi-arg hashes), leaving the pair 64-bit-weak."""
     key_col = F.col(key) if isinstance(key, str) else key
     return (
-        df.select(F.col(id_col), F.xxhash64(key_col).alias("_k"))
-        .groupBy("_k")
+        df.select(
+            F.col(id_col),
+            F.xxhash64(key_col).alias("_ka"),
+            F.xxhash64(F.lit(1), key_col).alias("_kb"),
+        )
+        .groupBy("_ka", "_kb")
         .agg(
             F.min(id_col).alias(id_col),
             F.count(F.lit(1)).alias("dup_count"),
         )
-        .drop("_k")
+        .drop("_ka", "_kb")
     )
 
 
@@ -380,14 +393,19 @@ def simhash_pairs(
 def incremental_new_docs(
     corpus_fps: DataFrame,
     new_docs: DataFrame,
-    fp_col: str = "fp",
+    fp_col: str | list[str] = "fp",
 ) -> DataFrame:
     """Incremental-ingest dedup: rows of `new_docs` whose content
     fingerprint does not already exist in the corpus — the O(delta) step
     that keeps a 10^12-document corpus from being re-deduplicated per
-    dump. One left_anti hash join on the fingerprint column; the corpus
-    side carries ONLY fingerprints (8-16 B/row), never documents, so the
-    build side stays broadcastable far longer than the corpus itself."""
+    dump. One left_anti hash join on the fingerprint column(s); the corpus
+    side carries ONLY fingerprints (16 B/row), never documents, so the
+    build side stays broadcastable far longer than the corpus itself.
+
+    Feed it a 128-bit fingerprint (full md5, or the fp64/fp64b pair from
+    textops.fingerprint — pass both names) — a lone 64-bit fp silently
+    drops ~27k genuinely-new documents per 10^12 at birthday rates."""
+    cols = [fp_col] if isinstance(fp_col, str) else list(fp_col)
     return new_docs.join(
-        corpus_fps.select(fp_col).distinct(), fp_col, "left_anti"
+        corpus_fps.select(*cols).distinct(), cols, "left_anti"
     )

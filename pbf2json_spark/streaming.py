@@ -76,21 +76,31 @@ def streaming_dedup(
     or apply TTL semantics per key — this operator carries both).
 
     Scale shape for an unbounded 10^12-page stream:
-      * group key = xxhash64(text): uniform by construction, no hot keys;
-        the shuffle carries (fp64, url, warc_ts) — never the document body;
-      * state per distinct document = one long (arrival count), ~16 B/key
+      * group key = 128-bit (fp64, fp64b) — two INDEPENDENT xxhash64
+        passes (`xxhash64(lit(1), text)` reseeds; see dedup.exact_dedup).
+        A single 64-bit key expects ~27k birthday collisions at 10^12
+        pages = distinct documents silently dropped as duplicates. Keys
+        stay uniform by construction, no hot keys; the shuffle carries
+        (fp64, fp64b, url, warc_ts) — never the document body;
+      * state per distinct document = one long (arrival count), ~24 B/key
         in RocksDB state store;
       * `state_ttl` (e.g. '30 days') bounds state for truly unbounded runs:
         a key idle longer is evicted and a later duplicate would re-emit —
         the standard freshness/state tradeoff, off by default.
 
-    Output: url, warc_ts, fp64 of each kept (first-seen) page. Determinism
-    within a batch: min (warc_ts, url) wins.
+    Output: url, warc_ts, (fp64, fp64b) of each kept (first-seen) page.
+    Determinism within a batch: min (warc_ts, url) wins — tracked across
+    ALL pandas chunks of the group (a group larger than
+    arrow.maxRecordsPerBatch arrives split; taking the first chunk's head
+    would be ordering-dependent).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     hashed = pages_stream.select(
-        "url", "warc_ts", F.xxhash64(F.col(text_col)).alias("fp64")
+        "url",
+        "warc_ts",
+        F.xxhash64(F.col(text_col)).alias("fp64"),
+        F.xxhash64(F.lit(1), F.col(text_col)).alias("fp64b"),
     )
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
@@ -113,19 +123,26 @@ def streaming_dedup(
         n = 0
         for pdf in pdf_iter:
             n += len(pdf)
-            if len(pdf) and first is None:
-                first = pdf.sort_values(["warc_ts", "url"]).head(1)
+            if len(pdf):
+                # running min across ALL chunks — a group split over
+                # multiple arrow batches must still emit min(warc_ts, url)
+                cand = pdf.sort_values(["warc_ts", "url"]).head(1)
+                if first is None or (
+                    tuple(cand.iloc[0][["warc_ts", "url"]])
+                    < tuple(first.iloc[0][["warc_ts", "url"]])
+                ):
+                    first = cand
         fresh = not state.exists
         seen = 0 if fresh else state.get[0]
         state.update((seen + n,))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
         if fresh and first is not None:
-            yield first[["url", "warc_ts", "fp64"]]
+            yield first[["url", "warc_ts", "fp64", "fp64b"]]
 
-    return hashed.groupBy("fp64").applyInPandasWithState(
+    return hashed.groupBy("fp64", "fp64b").applyInPandasWithState(
         _dedup,
-        "url string, warc_ts timestamp, fp64 long",
+        "url string, warc_ts timestamp, fp64 long, fp64b long",
         "seen long",
         "append",
         timeout,

@@ -180,7 +180,12 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     near-dup key (rolling-hash-class fingerprinting).
 
     Two hash families, same normalization:
-      fp64/fp64_norm   — xxhash64, the JVM-cheapest path (engine-internal);
+      fp64+fp64b / fp64_norm+fp64b_norm — xxhash64 pairs, the JVM-cheapest
+        path (engine-internal). The `b` half is an INDEPENDENT second pass
+        (`xxhash64(lit(1), t)` reseeds the whole hash; `xxhash64(t, lit(1))`
+        would merely permute the first hash). Exact-dedup keys must use the
+        PAIR (128 bits): one 64-bit key expects ~27k birthday collisions =
+        silently merged documents at the 10^12-row design point.
       fp_hex/fp_hex_norm — first 64 bits of md5 as hex, identical across
         engines (Spark md5 == DuckDB md5 on the same UTF-8 bytes), so the
         fingerprint is portable and oracle-checkable value-for-value.
@@ -189,7 +194,9 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     norm = F.lower(F.regexp_replace(F.trim(t), r"\s+", " "))
     return (
         df.withColumn("fp64", F.xxhash64(t))
+        .withColumn("fp64b", F.xxhash64(F.lit(1), t))
         .withColumn("fp64_norm", F.xxhash64(norm))
+        .withColumn("fp64b_norm", F.xxhash64(F.lit(1), norm))
         .withColumn("fp_hex", F.substring(F.md5(t.cast("binary")), 1, 16))
         .withColumn(
             "fp_hex_norm", F.substring(F.md5(norm.cast("binary")), 1, 16)

@@ -76,7 +76,7 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
-    queries = entry_mod.queries()
+    queries = {**entry_mod.queries(), **entry_mod.extra_queries()}
     oracles = entry_mod.oracle_sql()
     failed = []
     for name, fn in queries.items():
