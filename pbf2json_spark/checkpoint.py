@@ -95,10 +95,10 @@ class CheckpointManager:
         it. mode='resume' returns the existing committed snapshot without
         recompute; mode='overwrite' always recomputes and commits a new one.
 
-        The write carries a per-partition metrics pass in the SAME job (no
-        second scan): each output row is tagged with spark_partition_id,
-        and the metrics frame aggregates per partition before being saved
-        as the snapshot's sidecar."""
+        Metrics cost: bytes come from the written files' on-disk sizes
+        (exact, free); row counts and key ranges come from one
+        column-pruned scan of the written parquet (_pid + key only). No
+        path ever re-encodes rows to estimate size."""
         if mode == "resume":
             snap = self.committed(stage)
             if snap is not None:
@@ -113,34 +113,73 @@ class CheckpointManager:
         tagged = df.withColumn("_pid", F.spark_partition_id())
         tagged.write.mode("overwrite").parquet(data_dir)
 
-        # lineage/metrics from the written files (clean re-read: partition
-        # ids are the data files' own layout, stable under resume)
+        # exact byte size from the files already on disk — never a second
+        # serialization pass over the rows (the old to_json(struct(*))
+        # estimate re-encoded the whole stage output; at 100 TB that
+        # second pass costs as much as the stage itself)
+        bytes_written = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(data_dir)
+            for f in files
+            if not f.startswith((".", "_"))
+        )
+
+        # lineage metrics re-read only the columns they need (_pid + the
+        # key column): a pruned columnar scan, not a row re-encode. The
+        # aggregate is one row PER PARTITION — metadata-scale — so the
+        # metrics frame is assembled driver-side with no second scan.
         written = self.spark.read.parquet(data_dir)
-        aggs = [
-            F.count(F.lit(1)).alias("rows"),
-            F.sum(F.length(F.to_json(F.struct("*")))).alias("bytes_est"),
-        ]
-        if key_col is not None and key_col in written.columns:
+        aggs = [F.count(F.lit(1)).alias("rows")]
+        has_key = key_col is not None and key_col in written.columns
+        if has_key:
+            written = written.select("_pid", key_col)
             aggs += [
                 F.min(key_col).cast("string").alias("key_min"),
                 F.max(key_col).cast("string").alias("key_max"),
             ]
-        metrics = (
+        else:
+            written = written.select("_pid")
+        part_rows = (
             written.groupBy(F.col("_pid").alias("partition_id"))
             .agg(*aggs)
-            .withColumn("stage", F.lit(stage))
-            .withColumn("run_id", F.lit(run_id))
-            .withColumn("wall_ms", F.lit(int((time.time() - t0) * 1000)))
-            .withColumn(
-                "input_stages", F.lit(json.dumps(sorted(input_stages or [])))
-            )
+            .collect()
+        )
+        total_rows = sum(r["rows"] for r in part_rows)
+        wall_ms = int((time.time() - t0) * 1000)
+        inputs_json = json.dumps(sorted(input_stages or []))
+        metrics = self.spark.createDataFrame(
+            [
+                {
+                    "partition_id": r["partition_id"],
+                    "rows": r["rows"],
+                    # on-disk bytes apportioned by row share: an estimate
+                    # that costs nothing, replacing the exact-but-O(data)
+                    # per-row JSON re-encode
+                    "bytes_est": (
+                        bytes_written * r["rows"] // total_rows
+                        if total_rows
+                        else 0
+                    ),
+                    **(
+                        {"key_min": r["key_min"], "key_max": r["key_max"]}
+                        if has_key
+                        else {}
+                    ),
+                    "stage": stage,
+                    "run_id": run_id,
+                    "wall_ms": wall_ms,
+                    "input_stages": inputs_json,
+                }
+                for r in part_rows
+            ],
+            schema=(
+                "partition_id int, rows long, bytes_est long, "
+                + ("key_min string, key_max string, " if has_key else "")
+                + "stage string, run_id string, wall_ms long, "
+                "input_stages string"
+            ),
         )
         metrics.write.mode("overwrite").parquet(metrics_dir)
-        total_rows = (
-            self.spark.read.parquet(metrics_dir)
-            .agg(F.sum("rows"))
-            .collect()[0][0]
-        )
 
         self._append_log(
             stage,
@@ -148,6 +187,7 @@ class CheckpointManager:
                 "run_id": run_id,
                 "committed_at": time.time(),
                 "rows": int(total_rows or 0),
+                "bytes": int(bytes_written),
                 "key_col": key_col,
                 "input_stages": sorted(input_stages or []),
                 # the exact upstream snapshot attempts this stage was built

@@ -15,6 +15,8 @@ Polygon sets come from the same tag-DSL selection the reference uses
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -23,6 +25,8 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from pbf2json_spark import cells, geo
+
+_LOG = logging.getLogger(__name__)
 
 # --- polygons from ways ----------------------------------------------------------
 
@@ -371,9 +375,10 @@ def knn_join(
 
     Exactness: exact AS LONG AS no query's confirm radius exceeds
     `max_confirm_radius` cells (the cap bounds the explode size; a capped
-    query returns best-effort neighbors from the capped disk). With
-    strict=True the function counts capped queries up front and raises
-    instead of silently truncating.
+    query returns best-effort neighbors from the capped disk). Whenever the
+    cap can bind (cap < 2^res) the function counts capped queries up front:
+    strict=True raises with the count; the default logs a WARNING with the
+    count — never a silent truncation.
 
     metric='sq_deg' (squared degree-space distance) makes the result fully
     exact AND bit-reproducible across engines (only IEEE sub/mul/add);
@@ -498,13 +503,24 @@ def knn_join(
     under_k = F.coalesce(F.col("_m"), F.lit(0)) < k
     conf_r = F.when(under_k, F.lit(cap)).otherwise(F.least(need_r, F.lit(cap)))
     confirm_q = qframe.join(kth, query_id, "left")
-    if strict and cap < (1 << res):
+    if cap < (1 << res):
+        # the cap can bind → count the queries it truncates (a narrow job
+        # over the checkpointed stats frame, metadata-scale). strict raises;
+        # the default surfaces the count instead of silently degrading.
         n_capped = confirm_q.filter(under_k | (need_r > F.lit(cap))).count()
-        if n_capped:
+        if n_capped and strict:
             raise ValueError(
                 f"{n_capped} queries need a confirm radius above "
                 f"max_confirm_radius={max_confirm_radius}; raise the cap or "
                 "lower `res` for exact results"
+            )
+        if n_capped:
+            _LOG.warning(
+                "knn_join: %d queries hit max_confirm_radius=%d — their "
+                "results are best-effort from the capped disk, not exact "
+                "(raise the cap or lower `res`)",
+                n_capped,
+                max_confirm_radius,
             )
     final_cand = (
         confirm_q.withColumn(
