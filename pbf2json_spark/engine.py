@@ -107,6 +107,18 @@ class Engine:
         self.persist = persist
         self.highways = highways
 
+    @classmethod
+    def from_pbf(cls, spark, path: str, **kwargs) -> "Engine":
+        """Bind directly to an ``.osm.pbf`` file — the reference binary's
+        input surface (`openFile`/`createDecoder`, pbf2json.go:236-244,
+        979-990). Blob framing is indexed on the driver, entity decode
+        fans out over executors (pbf.read_pbf); the three entity frames
+        then feed the normal constructor."""
+        from pbf2json_spark import pbf
+
+        nodes, ways, relations = pbf.read_pbf(spark, path)
+        return cls(nodes, ways, relations, **kwargs)
+
     def query(
         self,
         tags_dsl: str,

@@ -1,0 +1,540 @@
+"""OSM-PBF ingestion and (test-fixture) emission — stdlib only.
+
+Closes the one end-to-end gap vs the reference binary: pointing the engine
+directly at an ``.osm.pbf`` file (reference: ``createDecoder`` /
+``openFile``, pbf2json.go:236-244, 979-990, entity decode 354-477). The
+reference hands the byte-level decode to a Go protobuf library; this module
+re-derives it from the public OSMPBF wire format (protobuf varints + zlib,
+both in the Python stdlib) because the sandbox has no protobuf package —
+the FORMAT is the spec being matched, not the Go code.
+
+Distributed shape (the part that must survive 100 TB):
+  * the driver scans ONLY the blob framing — 4-byte big-endian BlobHeader
+    length, the ~40-byte BlobHeader itself, then ``seek(datasize)`` — to
+    build an (offset, length) index. No decompression, no entity decode;
+    the index pass reads a few KB per ~1 MB blob.
+  * decode fans out as ``mapInPandas`` over the index frame: each task
+    seeks into the file and decodes its own blobs. Blobs are independently
+    decompressible by design (the format exists for exactly this), so a
+    planet file parallelizes across executors without any coordination;
+    many files parallelize the same way with a path column.
+  * decoded entities cross Arrow as flat scalar/list columns (tag keys and
+    values as separate string arrays, members as three parallel arrays);
+    maps and structs are assembled JVM-side (map_from_arrays / arrays_zip)
+    so the Python↔JVM boundary stays at Arrow's fastest types.
+
+The encoder (`write_pbf`) exists because the reference's PBF fixture is
+absent from disk (.MISSING_LARGE_BLOBS) — synthetic round-trip tests are
+the only possible parity evidence. It is a driver-side test-fixture writer,
+not a distributed sink.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# protobuf wire codec (encode + decode), the subset OSMPBF uses
+# ---------------------------------------------------------------------------
+
+_WT_VARINT, _WT_I64, _WT_LEN, _WT_I32 = 0, 1, 2, 5
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _zigzag_decode(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _zigzag_encode(n: int) -> int:
+    return (n << 1) ^ (n >> 63) if n < 0 else n << 1
+
+
+def _iter_fields(buf: bytes):
+    """Yield (field_no, wire_type, value) over one message's bytes.
+    LEN fields yield the raw bytes; varint fields the int."""
+    pos = 0
+    end = len(buf)
+    while pos < end:
+        tag, pos = _read_varint(buf, pos)
+        field, wt = tag >> 3, tag & 7
+        if wt == _WT_VARINT:
+            val, pos = _read_varint(buf, pos)
+        elif wt == _WT_LEN:
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos : pos + ln]
+            pos += ln
+        elif wt == _WT_I64:
+            val = buf[pos : pos + 8]
+            pos += 8
+        elif wt == _WT_I32:
+            val = buf[pos : pos + 4]
+            pos += 4
+        else:  # pragma: no cover - malformed input
+            raise ValueError(f"unsupported wire type {wt}")
+        yield field, wt, val
+
+
+def _packed_varints(field_entries: list, signed: bool = False) -> list[int]:
+    """Decode a packed-or-repeated varint field: accepts both encodings
+    (LEN = packed block, VARINT = one repeated element)."""
+    out: list[int] = []
+    for wt, val in field_entries:
+        if wt == _WT_LEN:
+            pos = 0
+            while pos < len(val):
+                v, pos = _read_varint(val, pos)
+                out.append(_zigzag_decode(v) if signed else v)
+        else:
+            out.append(_zigzag_decode(val) if signed else val)
+    return out
+
+
+def _collect(buf: bytes) -> dict[int, list]:
+    fields: dict[int, list] = {}
+    for field, wt, val in _iter_fields(buf):
+        fields.setdefault(field, []).append((wt, val))
+    return fields
+
+
+# encode helpers -------------------------------------------------------------
+
+
+def _emit_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _emit_tag(field: int, wt: int) -> bytes:
+    return _emit_varint(field << 3 | wt)
+
+
+def _emit_len(field: int, payload: bytes) -> bytes:
+    return _emit_tag(field, _WT_LEN) + _emit_varint(len(payload)) + payload
+
+
+def _emit_int(field: int, n: int) -> bytes:
+    return _emit_tag(field, _WT_VARINT) + _emit_varint(n)
+
+
+def _emit_packed(field: int, values: list[int], signed: bool = False) -> bytes:
+    if not values:
+        return b""
+    body = b"".join(
+        _emit_varint(_zigzag_encode(v) if signed else v) for v in values
+    )
+    return _emit_len(field, body)
+
+
+# ---------------------------------------------------------------------------
+# blob framing
+# ---------------------------------------------------------------------------
+
+
+def blob_index(path: str) -> list[tuple[str, int, int, int]]:
+    """Scan ONLY the framing of a .osm.pbf file: returns
+    (type, header_offset, total_length, data_offset-relative) per blob as
+    (blob_type, offset, length) triples suitable for parallel decode.
+    Reads the 4-byte length + BlobHeader per blob and seeks over the data.
+    """
+    out = []
+    with open(path, "rb") as f:
+        while True:
+            raw = f.read(4)
+            if len(raw) < 4:
+                break
+            hdr_len = struct.unpack(">I", raw)[0]
+            header = _collect(f.read(hdr_len))
+            btype = header[1][0][1].decode("utf-8")
+            datasize = header[3][0][1]
+            offset = f.tell()
+            out.append((btype, offset, datasize))
+            f.seek(datasize, 1)
+    return out
+
+
+def _blob_payload(raw_blob: bytes) -> bytes:
+    """Blob message → uncompressed PrimitiveBlock/HeaderBlock bytes.
+    Supports `raw` (field 1) and `zlib_data` (field 3) — the two encodings
+    the stdlib can produce/consume; others (lzma/zstd) raise."""
+    fields = _collect(raw_blob)
+    if 1 in fields:
+        return fields[1][0][1]
+    if 3 in fields:
+        return zlib.decompress(fields[3][0][1])
+    raise ValueError(
+        f"unsupported Blob compression (fields present: {sorted(fields)})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PrimitiveBlock decode
+# ---------------------------------------------------------------------------
+
+
+def decode_primitive_block(data: bytes) -> dict[str, list]:
+    """One PrimitiveBlock → dict of entity row lists (plain Python values;
+    tags as parallel key/value lists, members as three parallel lists)."""
+    block = _collect(data)
+    strings = [
+        v.decode("utf-8") for _, v in _collect(block[1][0][1]).get(1, [])
+    ]
+    granularity = block.get(17, [(0, 100)])[0][1]
+    lat_offset = block.get(19, [(0, 0)])[0][1]
+    lon_offset = block.get(20, [(0, 0)])[0][1]
+
+    def coord(raw: int, off: int) -> float:
+        return 1e-9 * (off + granularity * raw)
+
+    nodes: list[tuple] = []
+    ways: list[tuple] = []
+    rels: list[tuple] = []
+    for _, group_bytes in block.get(2, []):
+        group = _collect(group_bytes)
+        # plain (non-dense) nodes — field 1
+        for _, nb in group.get(1, []):
+            nf = _collect(nb)
+            nid = _zigzag_decode(nf[1][0][1])
+            keys = _packed_varints(nf.get(2, []))
+            vals = _packed_varints(nf.get(3, []))
+            nodes.append(
+                (
+                    nid,
+                    coord(_zigzag_decode(nf[8][0][1]), lat_offset),
+                    coord(_zigzag_decode(nf[9][0][1]), lon_offset),
+                    [strings[k] for k in keys],
+                    [strings[v] for v in vals],
+                )
+            )
+        # dense nodes — field 2 (ids/lats/lons delta-coded, keys_vals
+        # interleaved with 0 terminators)
+        for _, db in group.get(2, []):
+            df_ = _collect(db)
+            ids = _packed_varints(df_.get(1, []), signed=True)
+            lats = _packed_varints(df_.get(8, []), signed=True)
+            lons = _packed_varints(df_.get(9, []), signed=True)
+            kvs = _packed_varints(df_.get(10, []))
+            cid = clat = clon = 0
+            ki = 0
+            for i in range(len(ids)):
+                cid += ids[i]
+                clat += lats[i]
+                clon += lons[i]
+                tk: list[str] = []
+                tv: list[str] = []
+                while ki < len(kvs) and kvs[ki] != 0:
+                    tk.append(strings[kvs[ki]])
+                    tv.append(strings[kvs[ki + 1]])
+                    ki += 2
+                ki += 1  # skip the 0 terminator (absent entirely ⇒ no tags)
+                nodes.append(
+                    (cid, coord(clat, lat_offset), coord(clon, lon_offset), tk, tv)
+                )
+        # ways — field 3
+        for _, wb in group.get(3, []):
+            wf = _collect(wb)
+            wid = wf[1][0][1]
+            keys = _packed_varints(wf.get(2, []))
+            vals = _packed_varints(wf.get(3, []))
+            drefs = _packed_varints(wf.get(8, []), signed=True)
+            refs = []
+            c = 0
+            for d in drefs:
+                c += d
+                refs.append(c)
+            ways.append(
+                (wid, [strings[k] for k in keys], [strings[v] for v in vals], refs)
+            )
+        # relations — field 4
+        for _, rb in group.get(4, []):
+            rf = _collect(rb)
+            rid = rf[1][0][1]
+            keys = _packed_varints(rf.get(2, []))
+            vals = _packed_varints(rf.get(3, []))
+            roles = _packed_varints(rf.get(8, []))
+            dmem = _packed_varints(rf.get(9, []), signed=True)
+            mtypes = _packed_varints(rf.get(10, []))
+            memids = []
+            c = 0
+            for d in dmem:
+                c += d
+                memids.append(c)
+            rels.append(
+                (
+                    rid,
+                    [strings[k] for k in keys],
+                    [strings[v] for v in vals],
+                    memids,
+                    [("node", "way", "relation")[t] for t in mtypes],
+                    [strings[r] for r in roles],
+                )
+            )
+    return {"nodes": nodes, "ways": ways, "relations": rels}
+
+
+# ---------------------------------------------------------------------------
+# Spark integration
+# ---------------------------------------------------------------------------
+
+_UNION_SCHEMA = (
+    "etype string, id long, lat double, lon double, "
+    "tag_keys array<string>, tag_vals array<string>, refs array<bigint>, "
+    "m_refs array<bigint>, m_types array<string>, m_roles array<string>"
+)
+
+
+def read_pbf(
+    spark: SparkSession, path: str, blobs_per_task: int = 4
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Decode an .osm.pbf file into (nodes, ways, relations) DataFrames
+    matching model.NODES/WAYS/RELATIONS_SCHEMA.
+
+    The driver reads only blob framing (blob_index); the entity decode runs
+    in executors via mapInPandas over the (offset, length) index — one open
+    + seek per task, `blobs_per_task` blobs each (OSM blobs are ≤~1 MB
+    compressed / ~8k entities, so a few per task amortizes the file open
+    without hurting balance)."""
+    idx = [
+        (path, off, ln)
+        for btype, off, ln in blob_index(path)
+        if btype == "OSMData"
+    ]
+    if not idx:
+        raise ValueError(f"{path}: no OSMData blobs")
+    n_tasks = max(1, (len(idx) + blobs_per_task - 1) // blobs_per_task)
+    index_df = spark.createDataFrame(
+        idx, "path string, offset long, length long"
+    ).repartition(n_tasks, "offset")
+
+    def _decode(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            by_path: dict[str, list[tuple[int, int]]] = {}
+            for p, off, ln in pdf.itertuples(index=False):
+                by_path.setdefault(p, []).append((int(off), int(ln)))
+            for p, spans in by_path.items():
+                with open(p, "rb") as f:
+                    for off, ln in sorted(spans):
+                        f.seek(off)
+                        ents = decode_primitive_block(
+                            _blob_payload(f.read(ln))
+                        )
+                        for nid, lat, lon, tk, tv in ents["nodes"]:
+                            rows.append(
+                                dict(
+                                    etype="node", id=nid, lat=lat, lon=lon,
+                                    tag_keys=tk, tag_vals=tv, refs=None,
+                                    m_refs=None, m_types=None, m_roles=None,
+                                )
+                            )
+                        for wid, tk, tv, refs in ents["ways"]:
+                            rows.append(
+                                dict(
+                                    etype="way", id=wid, lat=None, lon=None,
+                                    tag_keys=tk, tag_vals=tv, refs=refs,
+                                    m_refs=None, m_types=None, m_roles=None,
+                                )
+                            )
+                        for rid, tk, tv, mr, mt, ro in ents["relations"]:
+                            rows.append(
+                                dict(
+                                    etype="relation", id=rid, lat=None,
+                                    lon=None, tag_keys=tk, tag_vals=tv,
+                                    refs=None, m_refs=mr, m_types=mt,
+                                    m_roles=ro,
+                                )
+                            )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "etype", "id", "lat", "lon", "tag_keys", "tag_vals",
+                    "refs", "m_refs", "m_types", "m_roles",
+                ],
+            )
+
+    union = index_df.mapInPandas(_decode, _UNION_SCHEMA)
+    tags = F.map_from_arrays("tag_keys", "tag_vals").alias("tags")
+    nodes = union.filter(F.col("etype") == "node").select("id", "lat", "lon", tags)
+    ways = union.filter(F.col("etype") == "way").select("id", tags, "refs")
+    relations = union.filter(F.col("etype") == "relation").select(
+        "id",
+        tags,
+        F.transform(
+            F.arrays_zip("m_refs", "m_types", "m_roles"),
+            lambda m: F.struct(
+                m["m_refs"].alias("ref"),
+                m["m_types"].alias("mtype"),
+                m["m_roles"].alias("role"),
+            ),
+        ).alias("members"),
+    )
+    return nodes, ways, relations
+
+
+# ---------------------------------------------------------------------------
+# encoder — synthetic test fixtures (driver-side)
+# ---------------------------------------------------------------------------
+
+
+def _string_table(
+    nodes: list, ways: list, relations: list
+) -> tuple[list[str], dict[str, int]]:
+    # index 0 is reserved (empty string) per the OSMPBF convention: dense
+    # keys_vals uses 0 as the per-node terminator
+    strings = [""]
+    sidx: dict[str, int] = {}
+
+    def intern(s: str) -> int:
+        if s not in sidx:
+            sidx[s] = len(strings)
+            strings.append(s)
+        return sidx[s]
+
+    for _, _, _, tags in nodes:
+        for k, v in tags.items():
+            intern(k)
+            intern(v)
+    for _, tags, _ in ways:
+        for k, v in tags.items():
+            intern(k)
+            intern(v)
+    for _, tags, members in relations:
+        for k, v in tags.items():
+            intern(k)
+            intern(v)
+        for _, _, role in members:
+            intern(role or "")
+    return strings, sidx
+
+
+def write_pbf(
+    path: str,
+    nodes: list[tuple[int, float, float, dict[str, str]]],
+    ways: list[tuple[int, dict[str, str], list[int]]],
+    relations: list[tuple[int, dict[str, str], list[tuple[int, str, str]]]] = (),
+    entities_per_blob: int = 8000,
+    granularity: int = 100,
+) -> int:
+    """Encode entity lists as a valid .osm.pbf (DenseNodes, delta coding,
+    zlib blobs). Returns the number of OSMData blobs written. Test-fixture
+    writer: the reference's golden PBF is absent from disk, so round-trip
+    (write → read_pbf → compare) is the only executable parity evidence."""
+    strings, sidx = _string_table(nodes, list(ways), list(relations))
+    str_table = _emit_len(
+        1, b"".join(_emit_len(1, s.encode("utf-8")) for s in strings)
+    )
+    mtype_enum = {"node": 0, "way": 1, "relation": 2}
+
+    def block(groups: list[bytes]) -> bytes:
+        body = str_table + b"".join(_emit_len(2, g) for g in groups)
+        if granularity != 100:
+            body += _emit_int(17, granularity)
+        return body
+
+    def dense_group(batch: list) -> bytes:
+        ids, lats, lons, kvs = [], [], [], []
+        pid = plat = plon = 0
+        for nid, lat, lon, tags in batch:
+            rlat = round(lat / (1e-9 * granularity))
+            rlon = round(lon / (1e-9 * granularity))
+            ids.append(nid - pid)
+            lats.append(rlat - plat)
+            lons.append(rlon - plon)
+            pid, plat, plon = nid, rlat, rlon
+            for k, v in tags.items():
+                kvs += [sidx[k], sidx[v]]
+            kvs.append(0)
+        dense = (
+            _emit_packed(1, ids, signed=True)
+            + _emit_packed(8, lats, signed=True)
+            + _emit_packed(9, lons, signed=True)
+            + _emit_packed(10, kvs)
+        )
+        return _emit_len(2, dense)
+
+    def way_group(batch: list) -> bytes:
+        out = b""
+        for wid, tags, refs in batch:
+            deltas = [refs[0], *[b - a for a, b in zip(refs, refs[1:])]] if refs else []
+            msg = (
+                _emit_int(1, wid)
+                + _emit_packed(2, [sidx[k] for k in tags])
+                + _emit_packed(3, [sidx[v] for v in tags.values()])
+                + _emit_packed(8, deltas, signed=True)
+            )
+            out += _emit_len(3, msg)
+        return out
+
+    def rel_group(batch: list) -> bytes:
+        out = b""
+        for rid, tags, members in batch:
+            memids = [m[0] for m in members]
+            deltas = (
+                [memids[0], *[b - a for a, b in zip(memids, memids[1:])]]
+                if memids
+                else []
+            )
+            msg = (
+                _emit_int(1, rid)
+                + _emit_packed(2, [sidx[k] for k in tags])
+                + _emit_packed(3, [sidx[v] for v in tags.values()])
+                + _emit_packed(8, [sidx[m[2] or ""] for m in members])
+                + _emit_packed(9, deltas, signed=True)
+                + _emit_packed(10, [mtype_enum[m[1]] for m in members])
+            )
+            out += _emit_len(4, msg)
+        return out
+
+    def frame(btype: str, payload: bytes) -> bytes:
+        comp = zlib.compress(payload)
+        blob = _emit_int(2, len(payload)) + _emit_len(3, comp)
+        header = _emit_len(1, btype.encode("utf-8")) + _emit_int(3, len(blob))
+        return struct.pack(">I", len(header)) + header + blob
+
+    header_block = (
+        _emit_len(4, b"OsmSchema-V0.6")
+        + _emit_len(4, b"DenseNodes")
+        + _emit_len(16, b"pbf2json_spark-fixture")
+    )
+    n_blobs = 0
+    with open(path, "wb") as f:
+        f.write(frame("OSMHeader", header_block))
+        for batch_start in range(0, max(len(nodes), 1), entities_per_blob):
+            batch = nodes[batch_start : batch_start + entities_per_blob]
+            if batch:
+                f.write(frame("OSMData", block([dense_group(batch)])))
+                n_blobs += 1
+        for batch_start in range(0, max(len(ways), 1), entities_per_blob):
+            batch = list(ways)[batch_start : batch_start + entities_per_blob]
+            if batch:
+                f.write(frame("OSMData", block([way_group(batch)])))
+                n_blobs += 1
+        rel_list = list(relations)
+        for batch_start in range(0, max(len(rel_list), 1), entities_per_blob):
+            batch = rel_list[batch_start : batch_start + entities_per_blob]
+            if batch:
+                f.write(frame("OSMData", block([rel_group(batch)])))
+                n_blobs += 1
+    return n_blobs
