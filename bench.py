@@ -155,14 +155,16 @@ def _previous_round_timings() -> tuple[str, float | str | None, dict[str, float]
         return None
 
 
-def _print_delta_table(timings: dict[str, float], sf) -> None:
-    """Human-readable regression table on stderr (stdout stays the one JSON
-    line the driver parses). Mechanical regression spotting: >15% slower
-    than the previous round is flagged. Only comparable runs compare:
-    different scale factors are apples-to-oranges and get skipped."""
+def _delta_verdicts(timings: dict[str, float], sf) -> dict[str, str]:
+    """Regression verdicts vs the previous round's recorded budgets, and a
+    human-readable table on stderr (stdout stays the one JSON line the
+    driver parses). >25% slower than the previous round = fail-loud: a
+    WARN line per offender and a non-empty `regressions` map in the JSON.
+    Only comparable runs compare: different scale factors are
+    apples-to-oranges and get skipped."""
     prev = _previous_round_timings()
     if prev is None:
-        return
+        return {}
     tag, prev_sf, pq = prev
     if prev_sf is not None and sf is not None and prev_sf != sf:
         print(
@@ -170,7 +172,8 @@ def _print_delta_table(timings: dict[str, float], sf) -> None:
             f"this run at sf={sf})",
             file=sys.stderr,
         )
-        return
+        return {}
+    regressions: dict[str, str] = {}
     print(f"\n--- delta vs {tag} ---", file=sys.stderr)
     print(f"{'query':<18}{'prev':>9}{'now':>9}{'delta':>9}", file=sys.stderr)
     for name, now in timings.items():
@@ -179,8 +182,13 @@ def _print_delta_table(timings: dict[str, float], sf) -> None:
             print(f"{name:<18}{'-':>9}{now:>9.2f}{'new':>9}", file=sys.stderr)
             continue
         pct = (now - p) / p * 100 if p else 0.0
-        flag = "  REGRESSION" if pct > 15 else ""
+        flag = "  REGRESSION" if pct > 25 else ""
         print(f"{name:<18}{p:>9.2f}{now:>9.2f}{pct:>+8.0f}%{flag}", file=sys.stderr)
+        if pct > 25:
+            regressions[name] = f"{p:.2f}s -> {now:.2f}s ({pct:+.0f}% vs {tag})"
+    for name, msg in regressions.items():
+        print(f"WARN bench regression: {name} {msg}", file=sys.stderr)
+    return regressions
 
 
 def main() -> None:
@@ -222,7 +230,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    _print_delta_table(timings, sf_val)
+    regressions = _delta_verdicts(timings, sf_val)
     print(
         json.dumps(
             {
@@ -233,6 +241,7 @@ def main() -> None:
                 "sf": sf_val,
                 "pages_per_sec": round(n_pages / page_sec, 1),
                 "n_pages": n_pages,
+                "regressions": regressions,
             }
         )
     )

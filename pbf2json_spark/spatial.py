@@ -257,7 +257,15 @@ def point_in_polygon_join(
     if verify not in ("column", "arrow"):
         raise ValueError(f"unknown verify mode {verify!r}")
     if res is None:
-        res = min(pick_polygon_res(polygons) + refine, cells.MAX_RES)
+        # the auto-res stats pass scans the polygon frame once; memoize it
+        # on the frame object so N joins against the same polygons pay one
+        # scan, not N (pass `res` explicitly when polygons is a view that
+        # is expensive to even scan once)
+        auto = getattr(polygons, "_pbf2json_auto_res", None)
+        if auto is None:
+            auto = pick_polygon_res(polygons)
+            polygons._pbf2json_auto_res = auto
+        res = min(auto + refine, cells.MAX_RES)
     pc = _polygon_cells(polygons, res)
     # one pass over the points (the big side is scanned exactly once), but
     # interior (full) cells join with a NULL ring: candidate rows for the
@@ -716,8 +724,13 @@ def within_distance_join(
     the metric is squared degree distance (sub/mul/add only → IEEE-exact,
     oracle-comparable bit-for-bit).
 
-    Longitude wrap is handled by the disk (pmod); latitude clamps at the
-    poles — same conventions as the kNN join (cells.disk_col).
+    The metric is UNWRAPPED planar degree distance: a pair straddling the
+    antimeridian measures ~360° apart and is NOT returned (the pmod-wrapped
+    disk generates those cells as candidates, but they are harmless dead
+    candidates the exact predicate rejects — matching the DuckDB oracle's
+    plain (plon-qlon)² cross-join filter bit-for-bit). For a wrap-aware
+    metric, shift longitudes upstream or use knn_join's haversine. Latitude
+    clamps at the poles — same conventions as the kNN join (cells.disk_col).
     """
     pts = points.select(
         F.col(point_id),

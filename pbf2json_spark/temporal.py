@@ -12,9 +12,27 @@ range theta join (Spark would plan BroadcastNestedLoopJoin, quadratic at
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
+
+
+def _bucket_col(c: Column, dtype: T.DataType, width: int) -> Column:
+    """Monotonic bucket id for the hot-key pre-split. Timestamps map to
+    wall-clock seconds tz-free (date-part arithmetic works identically for
+    TIMESTAMP and TIMESTAMP_NTZ; sub-second truncation keeps monotonicity);
+    numeric `on` columns bucket directly in their own units."""
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        secs = (
+            F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date")).cast("long")
+            * 86400
+            + F.hour(c).cast("long") * 3600
+            + F.minute(c).cast("long") * 60
+            + F.second(c).cast("long")
+        )
+        return F.floor(secs / F.lit(width))
+    return F.floor(c / F.lit(width))
 
 
 def asof_join(
@@ -23,6 +41,7 @@ def asof_join(
     on: str = "ts",
     by: str = "key",
     tolerance=None,
+    bucket: int | None = None,
 ) -> DataFrame:
     """Backward as-of join: for every left row, attach the LATEST right row
     with the same `by` key and right.ts <= left.ts (ties on ts: right rows
@@ -38,13 +57,24 @@ def asof_join(
     forward to the left rows it serves. Cost is sort+scan per key —
     shuffle volume is |left| + |right| rows of payload width, zero
     replication (a range-bucketed join would replicate per bucket).
-    A single hot key serializes into one task; pre-split such keys
-    upstream if the key histogram is known to be degenerate.
+
+    Hot keys: by default a single degenerate `by` key serializes into one
+    task (the per-key sort). `bucket` is the escape hatch — give it a
+    bucket width (seconds for timestamp `on`, plain `on`-units for numeric)
+    and the plan partitions by (key, time-bucket) instead: each bucket is
+    seeded with the key's latest right row from any EARLIER bucket (one
+    metadata-scale row per (key, bucket), carried by a window over bucket
+    summaries — never a replication of data rows), so results are identical
+    to the default plan while a 100M-row key spreads over
+    time-range/bucket tasks. The default plan is unchanged when bucket is
+    None.
 
     Determinism: right rows should be unique per (by, on) — when several
     right rows share a timestamp, which one wins depends on sort-tie order.
     Pre-aggregate the right side (as the driver query does) if duplicates
-    are possible.
+    are possible. (With `bucket`, a same-(by, on) duplicate straddling a
+    boundary seed is resolved by max-struct — still deterministic only
+    when rows are unique per (by, on).)
     """
     r_payload = [c for c in right.columns if c not in (on, by)]
     l_cols = left.columns
@@ -62,12 +92,56 @@ def asof_join(
         F.struct(*[F.col(c) for c in l_cols]).alias("_lv"),
     )
     rt = rt.withColumn("_lv", F.lit(None).cast(lt.schema["_lv"].dataType))
-    u = lt.unionByName(rt)
-    w = (
-        Window.partitionBy(by)
-        .orderBy(F.col(on).asc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+
+    if bucket is None:
+        u = lt.unionByName(rt)
+        w = (
+            Window.partitionBy(by)
+            .orderBy(F.col(on).asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        bkt = _bucket_col(F.col(on), lt.schema[on].dataType, bucket)
+        lt = lt.withColumn("_bkt", bkt)
+        rt = rt.withColumn("_bkt", bkt)
+        # one summary row per (key, bucket) with the bucket's latest right
+        # row; bucket monotonicity (ts1 < ts2 ⇒ bkt1 <= bkt2, and every
+        # right row in an earlier bucket precedes every left row of a later
+        # one) makes the carried tail a valid seed for the whole bucket
+        tails = rt.groupBy(by, "_bkt").agg(
+            F.max(F.struct(F.col(on), F.col("_rv"))).alias("_t")
+        )
+        bkts = (
+            lt.select(by, "_bkt")
+            .unionByName(rt.select(by, "_bkt"))
+            .distinct()
+        )
+        w_seed = (
+            Window.partitionBy(by)
+            .orderBy("_bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        seeds = (
+            bkts.join(tails, [by, "_bkt"], "left")
+            .withColumn("_seed", F.last("_t", ignorenulls=True).over(w_seed))
+            .filter(F.col("_seed").isNotNull())
+            .select(
+                F.col(by),
+                F.col("_seed")[on].alias(on),
+                # _side=-1: the seed sorts before any real row at the same
+                # ts, so a real right duplicate of its own seed wins
+                F.lit(-1).alias("_side"),
+                F.col("_seed._rv").alias("_rv"),
+                F.lit(None).cast(lt.schema["_lv"].dataType).alias("_lv"),
+                F.col("_bkt"),
+            )
+        )
+        u = lt.unionByName(rt).unionByName(seeds)
+        w = (
+            Window.partitionBy(by, "_bkt")
+            .orderBy(F.col(on).asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
     carried = u.withColumn("_match", F.last("_rv", ignorenulls=True).over(w))
     out = carried.filter(F.col("_side") == 1)
     match = F.col("_match")

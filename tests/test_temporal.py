@@ -45,6 +45,66 @@ def test_asof_join_matches_bruteforce(spark):
             assert got[eid] == (best if best else (None, None)), (eid, tol)
 
 
+def test_asof_join_bucketed_matches_default(spark):
+    """The hot-key escape hatch (bucket=) returns exactly the default
+    plan's rows — incl. a degenerate key carrying most of the data, empty
+    buckets between sparse right rows, tolerance voiding, and seeds
+    crossing many bucket boundaries."""
+    rng = random.Random(7)
+    # one hot key with 5000 left rows over a wide ts range + 2 normal keys
+    L = [(i, "hot", rng.randrange(0, 100_000)) for i in range(5000)]
+    L += [(10_000 + i, rng.choice(["a", "b"]), rng.randrange(0, 100_000)) for i in range(200)]
+    R = list({(k, t): v for k, t, v in
+              [(rng.choice(["hot", "a", "b"]), rng.randrange(0, 100_000), float(i))
+               for i in range(300)]}.items())
+    R = [(k, t, v) for (k, t), v in R]
+    ldf = spark.createDataFrame(L, "eid long, key string, ts long")
+    rdf = spark.createDataFrame(R, "key string, ts long, v double")
+    for tol in (None, 1000):
+        tol_col = None if tol is None else F.lit(tol)
+        base = {
+            r["eid"]: (r["ts_matched"], r["v_matched"])
+            for r in temporal.asof_join(ldf, rdf, tolerance=tol_col).collect()
+        }
+        bucketed = {
+            r["eid"]: (r["ts_matched"], r["v_matched"])
+            for r in temporal.asof_join(
+                ldf, rdf, tolerance=tol_col, bucket=5000
+            ).collect()
+        }
+        assert bucketed == base, tol
+    # spot-check against brute force too (sampled: brute is O(|L|*|R|))
+    want = _brute_asof(L[:200], R)
+    got = {
+        r["eid"]: (r["ts_matched"], r["v_matched"])
+        for r in temporal.asof_join(ldf, rdf, bucket=5000).collect()
+    }
+    for eid, best in want.items():
+        assert got[eid] == (best if best else (None, None)), eid
+
+
+def test_asof_join_bucketed_timestamp(spark):
+    """bucket= over a timestamp `on` column (tz-free wall-clock seconds)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(i, "k", t0 + dt.timedelta(minutes=i * 7)) for i in range(50)],
+        "eid long, key string, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [("k", t0 + dt.timedelta(minutes=j * 31), float(j)) for j in range(8)],
+        "key string, ts timestamp, v double",
+    )
+    base = {r["eid"]: r["v_matched"] for r in temporal.asof_join(ldf, rdf).collect()}
+    for width in (60, 3600, 86400):
+        got = {
+            r["eid"]: r["v_matched"]
+            for r in temporal.asof_join(ldf, rdf, bucket=width).collect()
+        }
+        assert got == base, width
+
+
 def test_asof_join_inclusive_and_outer(spark):
     ldf = spark.createDataFrame([(1, "a", 100), (2, "b", 10)], "eid long, key string, ts long")
     rdf = spark.createDataFrame([("a", 100, 9.0)], "key string, ts long, v double")

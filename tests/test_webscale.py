@@ -223,6 +223,29 @@ def test_hot_cluster_skew_exists(spark, pages_df):
     assert counts[0] > 20 * np.median(counts)
 
 
+def test_pip_auto_res_stats_scan_memoized(pip_setup, monkeypatch):
+    """res=None runs the driver-side polygon stats pass ONCE per polygons
+    frame: repeated joins reuse the memoized auto resolution."""
+    pts, polys, lats, lons = pip_setup
+    calls = {"n": 0}
+    real = spatial.pick_polygon_res
+
+    def counting(frame, **kw):
+        calls["n"] += 1
+        return real(frame, **kw)
+
+    monkeypatch.setattr(spatial, "pick_polygon_res", counting)
+    # fresh frame object: the memo lives on the DataFrame instance, and the
+    # shared fixture's frame may already carry it from an earlier test
+    polys = polys.select("*")
+    a = spatial.point_in_polygon_join(pts, polys).collect()
+    b = spatial.point_in_polygon_join(pts, polys, refine=1).collect()
+    assert calls["n"] == 1
+    assert {(r["point_id"], r["polygon_id"]) for r in a} == {
+        (r["point_id"], r["polygon_id"]) for r in b
+    }
+
+
 def test_pip_join_salted_matches_broadcast(pip_setup):
     pts, polys, lats, lons = pip_setup
     base = spatial.point_in_polygon_join(pts, polys, res=6)
