@@ -1268,8 +1268,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lsh_cosine_topk→cosine_topk (recall-vs-exact pytest), ivf_cosine_topk→
     ivf_full_probe (≡ brute force), embedding_near_dup→
     embedding_near_dup_exact. Plus the value-regex DSL variant certified
-    through dsl_key_regex. bench.py still times these; tools/check_oracle.py
-    runs them rows-only."""
+    through dsl_key_regex. bench.py times ALL of these (BENCH_QUERIES);
+    tools/check_oracle.py runs them too — dsl_value_regex value-exact (its
+    oracle entry is kept), the seeded-hash ones rows-only."""
     return {
         "dsl_value_regex": _dsl_query("etype~#r"),
         "minhash_pairs": _q_minhash,

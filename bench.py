@@ -41,6 +41,10 @@ BENCH_QUERIES = [
     "jaccard_pairs",
     "minhash_pairs",
     "simhash_pairs",
+    "dsl_value_regex",
+    "lsh_cosine_topk",
+    "ivf_cosine_topk",
+    "embedding_near_dup",
     "cosine_topk",
     "quality_score",
     "lang_detect",

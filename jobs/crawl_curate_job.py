@@ -19,7 +19,8 @@ contract as pages_tiles_job):
     scored    → language ID + quality + repetition signals, filtered by
                 --min-quality / --max-top-word
     deduped   → exact content dedup on the normalized fingerprint (first
-                occurrence per fp64_norm wins, deterministic by (ts, url))
+                occurrence per 128-bit (fp64_norm, fp64b_norm) key wins,
+                deterministic by (ts, url))
 
 Every stage is a pure DataFrame plan (no Python except none at all — the
 whole pipeline is JVM Column expressions), so the job scales with

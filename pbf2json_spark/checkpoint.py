@@ -82,6 +82,23 @@ class CheckpointManager:
 
     # --- write / read --------------------------------------------------------
 
+    def _dir_bytes(self, path: str) -> int:
+        """Total bytes of the written files. Driver-local paths walk the
+        directory; anything else (hdfs://, s3a://, a mounted view the
+        driver can't see) goes through the Hadoop FileSystem API — never a
+        silent 0 for non-local storage."""
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path)
+                for f in files
+                if not f.startswith((".", "_"))
+            )
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return int(fs.getContentSummary(jpath).getLength())
+
     def write_stage(
         self,
         stage: str,
@@ -117,12 +134,7 @@ class CheckpointManager:
         # serialization pass over the rows (the old to_json(struct(*))
         # estimate re-encoded the whole stage output; at 100 TB that
         # second pass costs as much as the stage itself)
-        bytes_written = sum(
-            os.path.getsize(os.path.join(root, f))
-            for root, _, files in os.walk(data_dir)
-            for f in files
-            if not f.startswith((".", "_"))
-        )
+        bytes_written = self._dir_bytes(data_dir)
 
         # lineage metrics re-read only the columns they need (_pid + the
         # key column): a pruned columnar scan, not a row re-encode. The

@@ -116,6 +116,10 @@ def _collect(buf: bytes) -> dict[int, list]:
 
 
 def _emit_varint(n: int) -> bytes:
+    if n < 0:
+        # Python's arithmetic shift never reaches 0 for negatives — callers
+        # encoding proto int64 must two's-complement first (_emit_int does)
+        raise ValueError("varint payload must be non-negative")
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -136,7 +140,13 @@ def _emit_len(field: int, payload: bytes) -> bytes:
 
 
 def _emit_int(field: int, n: int) -> bytes:
-    return _emit_tag(field, _WT_VARINT) + _emit_varint(n)
+    # proto int64: negatives are 10-byte two's-complement varints
+    return _emit_tag(field, _WT_VARINT) + _emit_varint(n & 0xFFFFFFFFFFFFFFFF)
+
+
+def _to_i64(v: int) -> int:
+    """Decode a proto int64 varint value (unsigned wire) to signed."""
+    return v - (1 << 64) if v >= (1 << 63) else v
 
 
 def _emit_packed(field: int, values: list[int], signed: bool = False) -> bytes:
@@ -153,12 +163,11 @@ def _emit_packed(field: int, values: list[int], signed: bool = False) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def blob_index(path: str) -> list[tuple[str, int, int, int]]:
-    """Scan ONLY the framing of a .osm.pbf file: returns
-    (type, header_offset, total_length, data_offset-relative) per blob as
-    (blob_type, offset, length) triples suitable for parallel decode.
-    Reads the 4-byte length + BlobHeader per blob and seeks over the data.
-    """
+def blob_index(path: str) -> list[tuple[str, int, int]]:
+    """Scan ONLY the framing of a .osm.pbf file: one
+    (blob_type, data_offset, data_length) triple per blob, suitable for
+    parallel decode. Reads the 4-byte length + BlobHeader per blob and
+    seeks over the blob data itself."""
     out = []
     with open(path, "rb") as f:
         while True:
@@ -255,7 +264,7 @@ def decode_primitive_block(data: bytes) -> dict[str, list]:
         # ways — field 3
         for _, wb in group.get(3, []):
             wf = _collect(wb)
-            wid = wf[1][0][1]
+            wid = _to_i64(wf[1][0][1])
             keys = _packed_varints(wf.get(2, []))
             vals = _packed_varints(wf.get(3, []))
             drefs = _packed_varints(wf.get(8, []), signed=True)
@@ -270,7 +279,7 @@ def decode_primitive_block(data: bytes) -> dict[str, list]:
         # relations — field 4
         for _, rb in group.get(4, []):
             rf = _collect(rb)
-            rid = rf[1][0][1]
+            rid = _to_i64(rf[1][0][1])
             keys = _packed_varints(rf.get(2, []))
             vals = _packed_varints(rf.get(3, []))
             roles = _packed_varints(rf.get(8, []))
@@ -324,9 +333,12 @@ def read_pbf(
     if not idx:
         raise ValueError(f"{path}: no OSMData blobs")
     n_tasks = max(1, (len(idx) + blobs_per_task - 1) // blobs_per_task)
+    # range partitioning (not hash): balanced blobs-per-task AND each
+    # task's spans are contiguous in the file — sequential reads after the
+    # one seek, no balls-in-bins stragglers
     index_df = spark.createDataFrame(
         idx, "path string, offset long, length long"
-    ).repartition(n_tasks, "offset")
+    ).repartitionByRange(n_tasks, "path", "offset")
 
     def _decode(batches):
         for pdf in batches:

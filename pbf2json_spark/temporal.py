@@ -19,11 +19,17 @@ from pyspark.sql.window import Window
 
 
 def _bucket_col(c: Column, dtype: T.DataType, width: int) -> Column:
-    """Monotonic bucket id for the hot-key pre-split. Timestamps map to
-    wall-clock seconds tz-free (date-part arithmetic works identically for
-    TIMESTAMP and TIMESTAMP_NTZ; sub-second truncation keeps monotonicity);
-    numeric `on` columns bucket directly in their own units."""
-    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+    """Monotonic bucket id for the hot-key pre-split.
+
+    TIMESTAMP buckets on true epoch seconds (unix_seconds — tz-independent
+    and monotonic in the instant; LOCAL wall-clock parts would go backwards
+    across a DST fall-back and break the bucket-ordering proof). NTZ has no
+    instant, so it buckets on its wall-clock fields tz-free (NTZ wall-clock
+    IS its total order). Numeric `on` buckets directly in its own units.
+    Sub-second truncation keeps monotonicity in every case."""
+    if isinstance(dtype, T.TimestampType):
+        return F.floor(F.unix_seconds(c) / F.lit(width))
+    if isinstance(dtype, T.TimestampNTZType):
         secs = (
             F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date")).cast("long")
             * 86400
@@ -108,8 +114,13 @@ def asof_join(
         # row; bucket monotonicity (ts1 < ts2 ⇒ bkt1 <= bkt2, and every
         # right row in an earlier bucket precedes every left row of a later
         # one) makes the carried tail a valid seed for the whole bucket
+        # max_by orders on `on` alone: the payload struct may carry
+        # non-orderable types (maps) that F.max over a struct would reject
         tails = rt.groupBy(by, "_bkt").agg(
-            F.max(F.struct(F.col(on), F.col("_rv"))).alias("_t")
+            F.max_by(
+                F.struct(F.col(on).alias(on), F.col("_rv").alias("_rv")),
+                F.col(on),
+            ).alias("_t")
         )
         bkts = (
             lt.select(by, "_bkt")

@@ -94,6 +94,29 @@ def test_pbf_roundtrip_entities(spark, tmp_path):
     assert got_rels == {rid: (tags, members) for rid, tags, members in rels}
 
 
+def test_pbf_negative_int64_ids(spark, tmp_path):
+    """Proto int64 way/relation ids are two's-complement on the wire:
+    negative ids (used by some editors for un-uploaded entities) round-trip
+    instead of hanging the varint encoder."""
+    import pytest
+
+    with pytest.raises(ValueError):
+        pbf._emit_varint(-1)
+    path = str(tmp_path / "n.osm.pbf")
+    pbf.write_pbf(
+        path,
+        [(-3, 1.0, 2.0, {})],
+        [(-5, {"a": "b"}, [-3])],
+        [(-7, {}, [(-5, "way", "r")])],
+    )
+    ndf, wdf, rdf = pbf.read_pbf(spark, path)
+    assert [r["id"] for r in ndf.collect()] == [-3]
+    w = wdf.collect()[0]
+    assert w["id"] == -5 and list(w["refs"]) == [-3]
+    r = rdf.collect()[0]
+    assert r["id"] == -7 and r["members"][0]["ref"] == -5
+
+
 def test_pbf_nondefault_granularity(spark, tmp_path):
     nodes = [(7, 12.3456789, -45.6543211, {"a": "b"})]
     path = str(tmp_path / "g.osm.pbf")

@@ -105,6 +105,41 @@ def test_asof_join_bucketed_timestamp(spark):
         assert got == base, width
 
 
+def test_asof_join_bucketed_dst_and_map_payload(spark):
+    """Two regressions from review: (a) TIMESTAMP buckets must use epoch
+    seconds, not local wall-clock parts — a DST fall-back makes wall-clock
+    non-monotonic in the instant and silently loses matches; (b) the
+    bucket-seed aggregate must order on `on` alone so map-typed right
+    payloads (non-orderable) still work."""
+    import datetime as dt
+
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        # 2024-11-03 05:50Z = 01:50 EDT; 06:10Z = 01:10 EST (wall clock
+        # goes BACKWARDS across these instants)
+        ldf = spark.createDataFrame(
+            [(1, "k", dt.datetime(2024, 11, 3, 6, 10, tzinfo=dt.timezone.utc))],
+            "eid long, key string, ts timestamp",
+        )
+        rdf = spark.createDataFrame(
+            [
+                (
+                    "k",
+                    dt.datetime(2024, 11, 3, 5, 50, tzinfo=dt.timezone.utc),
+                    {"v": "match"},
+                )
+            ],
+            "key string, ts timestamp, attrs map<string,string>",
+        )
+        base = temporal.asof_join(ldf, rdf).collect()
+        got = temporal.asof_join(ldf, rdf, bucket=1800).collect()
+        assert base[0]["attrs_matched"] == {"v": "match"}
+        assert got[0]["attrs_matched"] == {"v": "match"}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+
+
 def test_asof_join_inclusive_and_outer(spark):
     ldf = spark.createDataFrame([(1, "a", 100), (2, "b", 10)], "eid long, key string, ts long")
     rdf = spark.createDataFrame([("a", 100, 9.0)], "key string, ts long, v double")
