@@ -849,6 +849,19 @@ def _q_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.detect_language(d).select("doc_id", "lang_pred", "lang_conf")
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pretraining sequence packing: whitespace token counts, budget
+    512, deterministic doc_id order — the two-phase distributed cumsum
+    (packing.py) vs the oracle's plain window cumsum."""
+    from pbf2json_spark import packing
+
+    d = textops.token_count(_t(spark, sf_dir, "documents"))
+    packed = packing.pack_sequences(
+        d.select("doc_id", F.col("ws_tokens").alias("n_tokens")), 512
+    )
+    return packed.select("doc_id", "offset", "pack_first", "pack_last", "n_packs")
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable md5-derived fingerprint columns (Spark md5 == DuckDB md5 on
     the same UTF-8 bytes → value-exact oracle); the engine-internal xxhash64
@@ -1278,6 +1291,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_topk": _q_lsh_topk,
         "ivf_cosine_topk": _q_ivf_topk,
         "embedding_near_dup": _q_embedding_near_dup,
+        # round-3 addition; outside the (full) 50-slot driver window but
+        # value-exact under tools/check_oracle.py via its oracle_sql entry
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -1833,6 +1849,20 @@ def oracle_sql() -> dict[str, str]:
             "max(ts) + INTERVAL 30 MINUTE AS session_end, "
             "CAST(count(*) AS BIGINT) AS n_events "
             "FROM s GROUP BY user_id, sid"
+        ),
+        "pack_sequences": (
+            "WITH t AS (SELECT doc_id, "
+            "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+            r"ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens "
+            "FROM documents), "
+            "o AS (SELECT doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER ("
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off "
+            "FROM t) "
+            "SELECT doc_id, CAST(off AS BIGINT) AS offset, "
+            "CAST(off // 512 AS BIGINT) AS pack_first, "
+            "CAST((off + greatest(n_tokens, 1) - 1) // 512 AS BIGINT) AS pack_last, "
+            "CAST((off + greatest(n_tokens, 1) - 1) // 512 - off // 512 + 1 AS BIGINT) AS n_packs "
+            "FROM o"
         ),
         "token_count": (
             "SELECT doc_id, "

@@ -1,0 +1,71 @@
+"""Sequence packing: two-phase distributed cumsum vs a single-partition
+window oracle, partition-count independence, boundary semantics."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pbf2json_spark import packing
+
+
+def _docs(spark, n=500, seed=3):
+    rng = random.Random(seed)
+    rows = [(i, rng.randrange(0, 900)) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, n_tokens long"), rows
+
+
+def _brute(rows, budget):
+    out = {}
+    off = 0
+    for i, t in sorted(rows):
+        first = off // budget
+        last = (off + max(t, 1) - 1) // budget
+        out[i] = (off, first, last, last - first + 1)
+        off += t
+    return out
+
+
+def test_pack_matches_bruteforce_and_partitioning(spark):
+    df, rows = _docs(spark)
+    want = _brute(rows, 2048)
+    for parts in (1, 3, 17):
+        got = {
+            r["doc_id"]: (r["offset"], r["pack_first"], r["pack_last"], r["n_packs"])
+            for r in packing.pack_sequences(df, 2048, n_parts=parts).collect()
+        }
+        assert got == want, parts
+
+
+def test_pack_boundaries(spark):
+    # budget 10: doc spans exactly [0,10) → one pack; next starts pack 1;
+    # a 25-token doc spans 3 packs; a 0-token doc sits in its offset's pack
+    df = spark.createDataFrame(
+        [(1, 10), (2, 5), (3, 25), (4, 0), (5, 1)], "doc_id long, n_tokens long"
+    )
+    got = {r["doc_id"]: r for r in packing.pack_sequences(df, 10).collect()}
+    assert (got[1]["pack_first"], got[1]["pack_last"]) == (0, 0)
+    assert (got[2]["offset"], got[2]["pack_first"], got[2]["pack_last"]) == (10, 1, 1)
+    assert (got[3]["offset"], got[3]["pack_first"], got[3]["pack_last"]) == (15, 1, 3)
+    assert got[3]["n_packs"] == 3
+    assert (got[4]["offset"], got[4]["pack_first"], got[4]["pack_last"]) == (40, 4, 4)
+    assert (got[5]["offset"], got[5]["pack_first"]) == (40, 4)
+    # conservation: total tokens == final offset + last doc's tokens
+    assert got[5]["offset"] + 1 == 41
+
+
+def test_pack_rejects_bad_budget(spark):
+    df, _ = _docs(spark, n=5)
+    with pytest.raises(ValueError):
+        packing.pack_sequences(df, 0)
+
+
+def test_pack_plan_has_no_global_window(spark):
+    """The scale property: no single-partition window. The physical plan's
+    Window nodes must all be partitioned (by _pid), never a global
+    Window over an Exchange SinglePartition."""
+    df, _ = _docs(spark, n=100)
+    plan = packing.pack_sequences(df, 128)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
