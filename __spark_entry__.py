@@ -862,6 +862,65 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select("doc_id", "offset", "pack_first", "pack_last", "n_packs")
 
 
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking with rational idf (corpus.bm25_rank): one stats scan
+    collapsed to a broadcast row + one codegen scoring scan; the score is
+    a fixed expression tree (no float aggregation), so the oracle matches
+    it bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    return corpus.bm25_rank(d, ["merge", "spark", "window"], k=25)
+
+
+def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 crawl history (weburl.scd2_history) over a synthetic capture
+    log: 100 urls x 5 captures, fingerprints changing every ~2 captures.
+    valid_to is coalesced to -1 (integer sentinel) so no NULL crosses the
+    comparator; the oracle derives the same intervals via the independent
+    gaps-and-islands idiom."""
+    d = _t(spark, sf_dir, "documents")
+    hist = d.select(
+        F.concat(F.lit("u"), (F.col("doc_id") % 100).cast("string")).alias("norm_url"),
+        (F.lit(1_600_000_000) + F.expr("doc_id div 100") * 1000)
+        .cast("long")
+        .alias("warc_ts"),
+        F.concat(
+            F.lit("f"),
+            F.expr("(doc_id div 100 + doc_id % 100) div 2").cast("string"),
+        ).alias("fp"),
+    )
+    out = weburl.scd2_history(hist)
+    return out.select(
+        "norm_url",
+        "fp",
+        "valid_from",
+        F.coalesce(F.col("valid_to"), F.lit(-1).cast("long")).alias("valid_to_x"),
+        "is_current",
+    )
+
+
+def _q_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (sketch.cms_build, depth 4 x width 256) over all
+    document tokens, then point estimates for every distinct token. All
+    integer arithmetic on md5-derived buckets — DuckDB rebuilds the
+    identical sketch cell-for-cell and the same min-of-counters."""
+    from pbf2json_spark import sketch
+    from pbf2json_spark.corpus import _words
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(_words("text")).alias("token"))
+    s = sketch.cms_build(toks, "token", depth=4, width=256)
+    return sketch.cms_estimate(s, toks.distinct(), "token", depth=4, width=256)
+
+
+def _q_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadkey string encoding at res 8 plus the res-5 prefix (the rollup
+    key — prefix property makes coarsening a substring)."""
+    pts = _points_customer(spark, sf_dir)
+    return pts.withColumn(
+        "qk", cells.quadkey_col(F.col("lat"), F.col("lon"), 8)
+    ).select("cid", "qk", F.substring(F.col("qk"), 1, 5).alias("qk5"))
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable md5-derived fingerprint columns (Spark md5 == DuckDB md5 on
     the same UTF-8 bytes → value-exact oracle); the engine-internal xxhash64
@@ -1291,9 +1350,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_topk": _q_lsh_topk,
         "ivf_cosine_topk": _q_ivf_topk,
         "embedding_near_dup": _q_embedding_near_dup,
-        # round-3 addition; outside the (full) 50-slot driver window but
-        # value-exact under tools/check_oracle.py via its oracle_sql entry
+        # round-3 additions; outside the (full) 50-slot driver window but
+        # value-exact under tools/check_oracle.py via their oracle_sql
+        # entries
         "pack_sequences": _q_pack_sequences,
+        "bm25_rank": _q_bm25,
+        "scd2_history": _q_scd2,
+        "cms_tokens": _q_cms_tokens,
+        "quadkey_assign": _q_quadkey,
     }
 
 
@@ -1316,6 +1380,101 @@ def _minhash_portable_sql() -> str:
         "FROM sh WHERE len(s) > 0) "
         f"SELECT doc_id, {mins} FROM h"
     )
+
+
+def _bm25_sql(terms: list[str], k: int) -> str:
+    """DuckDB mirror of corpus.bm25_rank — the SAME fixed expression tree
+    (left-to-right per-term additions over sorted terms, every fractional
+    literal forced to DOUBLE because bare 0.5 parses as DECIMAL in DuckDB),
+    so the double score is bit-identical."""
+    qs = sorted(set(terms))
+    D = "CAST({} AS DOUBLE)".format
+    tfs = ", ".join(
+        "CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), "
+        f"x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(qs)
+    )
+    dfs = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(qs))
+    )
+    avgdl = f"({D('total_len')} / {D('n_docs')})"
+    parts = []
+    for i in range(len(qs)):
+        idf = (
+            f"(({D('n_docs')} - {D(f'df_{i}')} + {D(0.5)}) / "
+            f"({D(f'df_{i}')} + {D(0.5)}))"
+        )
+        denom = (
+            f"({D(f'tf_{i}')} + {D(1.2)} * ({D(1.0)} - {D(0.75)} + "
+            f"{D(0.75)} * ({D('dl')} / {avgdl})))"
+        )
+        parts.append(
+            f"({idf} * (({D(f'tf_{i}')} * ({D(1.2)} + {D(1.0)})) / {denom}))"
+        )
+    score = " + ".join(parts)
+    matched = " OR ".join(f"tf_{i} > 0" for i in range(len(qs)))
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+        r"ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS dl, "
+        f"{tfs} FROM documents), "
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        f"CAST(sum(dl) AS BIGINT) AS total_len, {dfs} FROM t), "
+        "j AS (SELECT * FROM t, s) "
+        f"SELECT doc_id, {score} AS score, dl FROM j WHERE {matched} "
+        f"ORDER BY score DESC, doc_id ASC LIMIT {k}"
+    )
+
+
+def _cms_sql(depth: int, width: int) -> str:
+    """DuckDB mirror of sketch.cms_build + cms_estimate over document
+    tokens: identical md5-derived buckets, identical integer counters."""
+    return (
+        "WITH tok AS (SELECT unnest(string_split_regex(trim(text), "
+        r"'\s+')) AS token FROM documents WHERE length(trim(text)) > 0), "
+        f"rows_ AS (SELECT unnest([{', '.join(str(i) for i in range(depth))}]) AS row_), "
+        "cells_ AS (SELECT row_, ('0x' || substr(md5(row_::VARCHAR || ':' || token), 1, 8))::BIGINT "
+        f"% {width} AS bucket, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM tok, rows_ GROUP BY row_, bucket), "
+        "u AS (SELECT DISTINCT token FROM tok), "
+        "probe AS (SELECT token, row_, ('0x' || substr(md5(row_::VARCHAR || ':' || token), 1, 8))::BIGINT "
+        f"% {width} AS bucket FROM u, rows_) "
+        "SELECT token, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est "
+        "FROM probe LEFT JOIN cells_ USING (row_, bucket) GROUP BY token"
+    )
+
+
+def _quadkey_sql(res: int, prefix: int) -> str:
+    x, y = _sql_cell_xy(_lat_sql("c_custkey"), _lon_sql("c_custkey"), res)
+    digits = " || ".join(
+        f"CAST(((y >> {res - 1 - j}) & 1) * 2 + ((x >> {res - 1 - j}) & 1) AS VARCHAR)"
+        for j in range(res)
+    )
+    return (
+        f"WITH xy AS (SELECT c_custkey AS cid, {x} AS x, {y} AS y FROM customer), "
+        f"q AS (SELECT cid, {digits} AS qk FROM xy) "
+        f"SELECT cid, qk, substr(qk, 1, {prefix}) AS qk5 FROM q"
+    )
+
+
+_SCD2_SQL = (
+    "WITH h AS (SELECT 'u' || CAST(doc_id % 100 AS VARCHAR) AS norm_url, "
+    "CAST(1600000000 + (doc_id // 100) * 1000 AS BIGINT) AS warc_ts, "
+    "'f' || CAST(((doc_id // 100) + (doc_id % 100)) // 2 AS VARCHAR) AS fp "
+    "FROM documents), "
+    # gaps-and-islands: an independent derivation of the same intervals
+    # (the Spark side uses lag-change-filter + lead)
+    "i AS (SELECT *, row_number() OVER (PARTITION BY norm_url ORDER BY warc_ts, fp) "
+    "- row_number() OVER (PARTITION BY norm_url, fp ORDER BY warc_ts, fp) AS isl FROM h), "
+    "g AS (SELECT norm_url, fp, min(warc_ts) AS valid_from "
+    "FROM i GROUP BY norm_url, fp, isl), "
+    "o AS (SELECT norm_url, fp, valid_from, "
+    "lead(valid_from) OVER (PARTITION BY norm_url ORDER BY valid_from) AS valid_to FROM g) "
+    "SELECT norm_url, fp, valid_from, "
+    "CAST(coalesce(valid_to, -1) AS BIGINT) AS valid_to_x, "
+    "valid_to IS NULL AS is_current FROM o"
+)
 
 
 def _simhash_portable_sql() -> str:
@@ -1864,6 +2023,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST((off + greatest(n_tokens, 1) - 1) // 512 - off // 512 + 1 AS BIGINT) AS n_packs "
             "FROM o"
         ),
+        "bm25_rank": _bm25_sql(["merge", "spark", "window"], 25),
+        "scd2_history": _SCD2_SQL,
+        "cms_tokens": _cms_sql(4, 256),
+        "quadkey_assign": _quadkey_sql(8, 5),
         "token_count": (
             "SELECT doc_id, "
             "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "

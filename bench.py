@@ -60,6 +60,12 @@ BENCH_QUERIES = [
     "inverted_index",
     "host_median_len",
     "media_features",
+    # round-3 additions
+    "pack_sequences",
+    "bm25_rank",
+    "scd2_history",
+    "cms_tokens",
+    "quadkey_assign",
 ]
 
 

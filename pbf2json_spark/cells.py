@@ -210,6 +210,46 @@ def disk_col(x: Column, y: Column, res: int, radius: Column) -> Column:
     )
 
 
+def quadkey_col(lat: Column, lon: Column, res: int) -> Column:
+    """Bing-maps-style quadkey STRING for the same equirectangular grid as
+    cell_col (digit i, most significant first, = 2*y_bit + x_bit at level
+    i). Same tile geometry as the int64 cell id — this is the string-keyed
+    twin for systems that want the PREFIX property spelled out: a tile's
+    quadkey is a prefix of all its descendants, so "all points under this
+    tile" is a `startswith` range predicate, and rollup to a coarser level
+    is `substring(qk, 1, coarser_res)` — no bit math in the consumer.
+
+    (The classic Bing scheme projects WebMercator — floor(log/tan ...) —
+    which is a transcendental whose last-ulp differences across engines
+    can flip a boundary tile. The linear grid keeps every step exact-
+    rounded IEEE arithmetic: any engine computes the identical key.)
+
+    Pure Column string building; res <= 26 like the cell ids.
+    """
+    if not 1 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [1, {MAX_RES}]")
+    x, y = xy_cols(lat, lon, res)
+    digits = [
+        (
+            F.shiftrightunsigned(y, res - 1 - i).bitwiseAND(F.lit(1)) * 2
+            + F.shiftrightunsigned(x, res - 1 - i).bitwiseAND(F.lit(1))
+        ).cast("string")
+        for i in range(res)
+    ]
+    return F.concat(*digits)
+
+
+def quadkey_to_cell(qk: str) -> int:
+    """Quadkey string → the equivalent int64 cell id (driver-side helper
+    for pruning: turn a prefix filter into a Morton range)."""
+    x = y = 0
+    for ch in qk:
+        d = int(ch)
+        x = (x << 1) | (d & 1)
+        y = (y << 1) | (d >> 1)
+    return int(from_xy(np.array([x]), np.array([y]), len(qk))[0])
+
+
 def cell_parent_col(cell: Column, cell_res: int, parent_res: int) -> Column:
     """Parent cell at a coarser resolution, pure bit math: drop 2 morton bits
     per resolution step and rewrite the res field."""

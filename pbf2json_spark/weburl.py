@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # authority = everything between "://" and the first of / ? #
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
@@ -130,6 +131,48 @@ def host_stats(df: DataFrame, url_col: str = "url", ts_col: str = "warc_ts") -> 
         F.count(F.lit(1)).alias("captures"),
         F.countDistinct("norm_url").alias("distinct_urls"),
         F.max(F.col(ts_col)).alias("last_seen"),
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str = "norm_url",
+    ts_col: str = "warc_ts",
+    fp: str = "fp",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history of a crawl: collapse each
+    key's capture sequence into content-version validity intervals. A run
+    of consecutive captures with the same fingerprint becomes ONE row:
+
+      (key, fp, valid_from, valid_to, is_current)
+
+    valid_from = first capture of the run; valid_to = the ts of the NEXT
+    content change (NULL on the key's current version, and is_current
+    marks it). This is the change-data-capture primitive a recrawl
+    pipeline uses to answer "what did this URL say at time T" with a
+    plain `valid_from <= T < valid_to` range predicate.
+
+    Shape at 10^12 captures: two per-key windows (lag to detect changes,
+    lead for interval ends) over the slim (key, ts, fp) projection — one
+    hash exchange on the key, partitions bounded by per-URL capture
+    counts (crawl frequency), never a corpus-wide sort. Deterministic:
+    ordering is (ts, fp), total when captures are unique per (key, ts).
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, fp)
+    slim = df.select(key, ts_col, fp)
+    changes = slim.withColumn("_prev_fp", F.lag(fp).over(w)).filter(
+        F.col("_prev_fp").isNull() | (F.col("_prev_fp") != F.col(fp))
+    )
+    w2 = Window.partitionBy(key).orderBy(ts_col, fp)
+    return (
+        changes.withColumn("valid_to", F.lead(ts_col).over(w2))
+        .select(
+            F.col(key),
+            F.col(fp),
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
     )
 
 

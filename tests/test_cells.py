@@ -98,3 +98,48 @@ def test_parent_col_matches_numpy(spark):
         .to_numpy()
     )
     assert (got == cells.parent(ids, 6)).all()
+
+
+def test_quadkey_matches_grid_and_prefix_property(spark):
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from pbf2json_spark import cells
+
+    pts = [
+        (0, 51.5, -0.1), (1, -33.9, 151.2), (2, 89.9, 179.9),
+        (3, -89.9, -179.9), (4, 0.0, 0.0), (5, 60.17, 24.94),
+    ]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    res = 8
+    out = {
+        r["id"]: (r["qk"], r["cell"])
+        for r in df.select(
+            "id",
+            cells.quadkey_col(F.col("lat"), F.col("lon"), res).alias("qk"),
+            cells.cell_col(F.col("lat"), F.col("lon"), res).alias("cell"),
+        ).collect()
+    }
+    lats = np.array([p[1] for p in pts]); lons = np.array([p[2] for p in pts])
+    x, y = cells.xy(lats, lons, res)
+    for i, (_, la, lo) in enumerate(pts):
+        qk, cell = out[i]
+        assert len(qk) == res
+        want = "".join(
+            str(((int(y[i]) >> (res - 1 - j)) & 1) * 2 + ((int(x[i]) >> (res - 1 - j)) & 1))
+            for j in range(res)
+        )
+        assert qk == want, i
+        # quadkey and int cell id name the same tile
+        assert cells.quadkey_to_cell(qk) == cell
+        # prefix property: the parent's quadkey is a prefix
+        pq = df.filter(F.col("id") == i).select(
+            cells.quadkey_col(F.col("lat"), F.col("lon"), res - 3).alias("q")
+        ).collect()[0]["q"]
+        assert qk.startswith(pq)
+        # and equals the int parent
+        assert cells.quadkey_to_cell(pq) == int(
+            cells.parent(np.array([cell]), res - 3)[0]
+        )
+    with _pytest.raises(ValueError):
+        cells.quadkey_col(F.col("lat"), F.col("lon"), 0)

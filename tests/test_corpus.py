@@ -75,3 +75,38 @@ def test_incremental_new_docs(spark):
     )
     got = sorted(r["doc_id"] for r in dedup.incremental_new_docs(corpus_fps, new).collect())
     assert got == [2, 4]  # only fingerprints absent from the corpus survive
+
+
+def test_bm25_rank_matches_bruteforce(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    terms, k1, b = ["cat", "mat"], 1.2, 0.75
+    docs = {i: t.split() for i, t in DOCS}
+    n = len(docs)
+    avgdl = sum(len(w) for w in docs.values()) / n
+    want = []
+    for i, ws in docs.items():
+        score = 0.0
+        hit = False
+        for t in sorted(set(terms)):
+            tf = float(ws.count(t))
+            dfreq = float(sum(1 for w in docs.values() if t in w))
+            idf = (n - dfreq + 0.5) / (dfreq + 0.5)
+            denom = tf + k1 * (1.0 - b + b * (len(ws) / avgdl))
+            score = score + idf * (tf * (k1 + 1.0) / denom)
+            hit = hit or tf > 0
+        if hit:
+            want.append((i, score))
+    want.sort(key=lambda kv: (-kv[1], kv[0]))
+    got = [(r["doc_id"], r["score"]) for r in corpus.bm25_rank(df, terms).collect()]
+    # exact float equality: the engine builds the identical fixed
+    # expression tree the brute force evaluates (no float aggregation)
+    assert got == want
+    # top-k truncation keeps the best-scoring prefix
+    got2 = [(r["doc_id"], r["score"]) for r in corpus.bm25_rank(df, terms, k=2).collect()]
+    assert got2 == want[:2]
+    with _pytest.raises(ValueError):
+        corpus.bm25_rank(df, [])
+    with _pytest.raises(ValueError):
+        corpus.bm25_rank(df, ["two words"])

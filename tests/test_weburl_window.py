@@ -244,3 +244,31 @@ def test_within_distance_join_matches_bruteforce(spark):
             for x in spatial.within_distance_join(pdf, qdf, r, res=res).collect()
         }
         assert got == want, res
+
+
+def test_scd2_history(spark):
+    from pbf2json_spark.weburl import scd2_history
+
+    # key A: fp runs x,x,y,x -> 3 versions (x re-appearing later is a NEW
+    # version, not a merge with the first run); key B: single capture
+    rows = [
+        ("A", 10, "x"), ("A", 20, "x"), ("A", 30, "y"), ("A", 40, "x"),
+        ("B", 15, "z"),
+    ]
+    df = spark.createDataFrame(rows, "norm_url string, warc_ts long, fp string")
+    got = sorted(
+        (r["norm_url"], r["fp"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_history(df).collect()
+    )
+    assert got == [
+        ("A", "x", 10, 30, False),
+        ("A", "x", 40, None, True),
+        ("A", "y", 30, 40, False),
+        ("B", "z", 15, None, True),
+    ]
+    # point-in-time lookup semantics: valid_from <= T < valid_to
+    at25 = [g for g in got if g[0] == "A" and g[2] <= 25 and (g[3] is None or 25 < g[3])]
+    assert [g[1] for g in at25] == ["x"]
+    # exactly one current row per key
+    cur = [g for g in got if g[4]]
+    assert sorted(g[0] for g in cur) == ["A", "B"]

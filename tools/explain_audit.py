@@ -312,6 +312,79 @@ def main() -> int:
         ],
     ))
 
+    extra = entry_mod.extra_queries()
+
+    # 17. sequence packing: the global cumsum must never plan a
+    # single-partition window (the driver-shaped trap packing.py exists to
+    # avoid); partition bases come back via a broadcast join
+    pk = extra["pack_sequences"](spark, sf_dir)
+    p = plan_text(pk)
+    sections.append((
+        "sequence packing (pack_sequences)", p,
+        [
+            ("no single-partition stage (global window avoided)",
+             "SinglePartition" not in p, ""),
+            ("partition bases broadcast back", "Broadcast" in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
+    # 18. BM25: the corpus stats collapse to one row and come back as a
+    # broadcast (never a data-sized shuffle join); global top-k is
+    # TakeOrderedAndProject, not a full sort
+    bm = extra["bm25_rank"](spark, sf_dir)
+    p = plan_text(bm)
+    sections.append((
+        "BM25 ranking (bm25_rank)", p,
+        [
+            ("stats row broadcast (no shuffle join)", "Broadcast" in p, ""),
+            ("TakeOrderedAndProject top-k (no global sort)",
+             "TakeOrderedAndProject" in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
+    # 19. count-min sketch: build is a map-side-combinable aggregate
+    # (partial+final); the estimate probe joins the metadata-sized sketch
+    # as a broadcast
+    cm = extra["cms_tokens"](spark, sf_dir)
+    p = plan_text(cm)
+    sections.append((
+        "count-min sketch (cms_tokens)", p,
+        [
+            ("partial aggregation on sketch cells",
+             p.count("HashAggregate") >= 2, ""),
+            ("sketch broadcast to the probe side", "BroadcastHashJoin" in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
+    # 20. SCD2 history: per-key windows only — never a single-partition
+    # window; JVM-only
+    sc = extra["scd2_history"](spark, sf_dir)
+    p = plan_text(sc)
+    sections.append((
+        "SCD2 crawl history (scd2_history)", p,
+        [
+            ("windows partitioned by key (no SinglePartition)",
+             "Window" in p and "SinglePartition" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
+    # 21. quadkey assignment: pure scan-stage string/bit math — zero
+    # shuffles, codegen
+    qk = extra["quadkey_assign"](spark, sf_dir)
+    p = plan_text(qk)
+    sections.append((
+        "quadkey tiles (quadkey_assign)", p,
+        [
+            ("zero shuffles (scan-stage expression)", "Exchange" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
     failed = 0
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     for title, plan, props in sections:
