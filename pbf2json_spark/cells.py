@@ -242,6 +242,8 @@ def quadkey_col(lat: Column, lon: Column, res: int) -> Column:
 def quadkey_to_cell(qk: str) -> int:
     """Quadkey string → the equivalent int64 cell id (driver-side helper
     for pruning: turn a prefix filter into a Morton range)."""
+    if not 1 <= len(qk) <= MAX_RES or any(ch not in "0123" for ch in qk):
+        raise ValueError(f"quadkey must be 1..{MAX_RES} digits of 0-3: {qk!r}")
     x = y = 0
     for ch in qk:
         d = int(ch)

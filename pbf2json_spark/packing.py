@@ -9,22 +9,30 @@ counts in document order — and a single `Window.orderBy(...)` computes
 that on ONE partition, which is the classic driver-shaped trap at 10^12
 documents. The scalable plan is the textbook two-phase scan:
 
-  1. range-partition by the order key (so partition i holds a contiguous
-     id range and partitions are in order);
-  2. per-partition exclusive cumsum (window partitioned by the physical
-     partition id — parallel, no cross-partition data movement);
-  3. per-partition TOTALS (one row per partition, metadata-scale) are
-     prefix-summed and broadcast-joined back as each partition's base
-     offset.
+  1. split the order-key domain into `parts` contiguous integer ranges
+     derived from min/max — a PURE FUNCTION of the row, so every job
+     that evaluates it sees identical bucket ids (a sampled
+     repartitionByRange partitioner is NOT: its boundaries can differ
+     between the two jobs below when upstream shuffle order varies,
+     silently mis-basing offsets);
+  2. per-bucket exclusive cumsum (window partitioned by bucket —
+     parallel, one hash exchange);
+  3. per-bucket TOTALS (≤ `parts` rows, metadata-scale by construction)
+     from a second column-pruned pass over (order, tokens) only, prefix-
+     summed on the driver and broadcast-joined back as each bucket's
+     base offset.
 
-Total cost: one range exchange + one narrow window + one broadcast join —
-no stage touches more than its own partition's rows twice.
+Total cost: one slim stats pass + one hash exchange + one narrow window
++ one broadcast join. All pack arithmetic is 64-bit INTEGER — a double
+`floor(off / budget)` goes wrong past 2^53 total tokens, which a
+10^12-document corpus exceeds.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegralType
 from pyspark.sql.window import Window
 
 
@@ -40,54 +48,67 @@ def pack_sequences(
     Returns the input columns plus:
       offset      exclusive running sum of `token_col` in `order_col` order
                   (the document's first token's position in the stream)
-      pack_first  floor(offset / budget) — pack holding the first token
+      pack_first  offset div budget — pack holding the first token
       pack_last   pack holding the last token (== pack_first when the doc
                   fits inside one pack; empty docs take pack_first)
       n_packs     pack_last - pack_first + 1
 
-    Deterministic for any partitioning: the order is total (`order_col`
-    must be unique), the two-phase cumsum is exact integer arithmetic.
+    `order_col` must be a unique integral key (the deterministic global
+    order). Deterministic for any input partitioning: buckets are a pure
+    function of the key, the cumsum is exact integer arithmetic.
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
+    if not isinstance(docs.schema[order_col].dataType, IntegralType):
+        raise ValueError(f"{order_col} must be an integral column")
     parts = n_parts or docs.sparkSession.sparkContext.defaultParallelism
-    ranged = docs.repartitionByRange(parts, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    w = (
-        Window.partitionBy("_pid")
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = ranged.withColumn(
-        "_local_off", F.coalesce(F.sum(token_col).over(w), F.lit(0))
-    )
-    # one row per partition: (pid, total) — metadata-scale by construction
+
+    # one column-pruned stats pass: min/max give deterministic bucket
+    # boundaries; per-bucket totals (≤ parts rows) give the base offsets
+    lo_hi = docs.agg(
+        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+    ).collect()[0]
+    if lo_hi["lo"] is None:  # empty input
+        lo, step = 0, 1
+    else:
+        lo = int(lo_hi["lo"])
+        span = int(lo_hi["hi"]) - lo + 1
+        step = max(1, -(-span // parts))  # ceil — buckets stay contiguous
+    # integer div end-to-end: a snowflake-style id space spans > 2^53, so
+    # even the bucket computation must never round-trip through a double
+    bucket = F.expr(f"(cast({order_col} as bigint) - {lo}) div {step}")
+    b = docs.withColumn("_b", bucket)
+
     totals = (
-        ranged.groupBy("_pid")
-        .agg(F.sum(token_col).alias("_tot"))
-        .collect()
-    )
-    base = {}
-    acc = 0
-    for r in sorted(totals, key=lambda r: r["_pid"]):
-        base[r["_pid"]] = acc
+        b.groupBy("_b").agg(F.sum(token_col).alias("_tot")).collect()
+    )  # ≤ parts rows — metadata-scale driver hop, deterministic keys
+    base, acc = {}, 0
+    for r in sorted(totals, key=lambda r: r["_b"]):
+        base[r["_b"]] = acc
         acc += r["_tot"] or 0
     base_df = F.broadcast(
         docs.sparkSession.createDataFrame(
-            [(pid, off) for pid, off in base.items()], "_pid int, _base long"
+            list(base.items()) or [(0, 0)], "_b long, _base long"
         )
     )
+
+    w = (
+        Window.partitionBy("_b")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = b.withColumn(
+        "_local_off", F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    )
     t = F.col(token_col)
-    off = F.col("_base") + F.col("_local_off")
+    out = (
+        local.join(base_df, "_b")
+        .withColumn("offset", (F.col("_base") + F.col("_local_off")).cast("long"))
+        .withColumn("_last_tok", F.col("offset") + F.greatest(t, F.lit(1)) - 1)
+    )
     return (
-        local.join(base_df, "_pid")
-        .withColumn("offset", off.cast("long"))
-        .withColumn("pack_first", F.floor(off / budget).cast("long"))
-        .withColumn(
-            "pack_last",
-            F.floor((off + F.greatest(t, F.lit(1)) - 1) / budget).cast("long"),
-        )
-        .withColumn("n_packs", (F.col("pack_last") - F.col("pack_first") + 1))
-        .drop("_pid", "_local_off", "_base")
+        out.withColumn("pack_first", F.expr(f"offset div {budget}"))
+        .withColumn("pack_last", F.expr(f"_last_tok div {budget}"))
+        .withColumn("n_packs", F.col("pack_last") - F.col("pack_first") + 1)
+        .drop("_b", "_local_off", "_base", "_last_tok")
     )

@@ -160,12 +160,16 @@ def scd2_history(
     """
     w = Window.partitionBy(key).orderBy(ts_col, fp)
     slim = df.select(key, ts_col, fp)
-    changes = slim.withColumn("_prev_fp", F.lag(fp).over(w)).filter(
-        F.col("_prev_fp").isNull() | (F.col("_prev_fp") != F.col(fp))
+    # lag a STRUCT, not the fp itself: a lagged bare fp is NULL both on the
+    # first row and when the previous capture's fp is NULL (a failed fetch
+    # recorded without content) — the struct is non-null whenever a
+    # previous row exists, and eqNullSafe merges NULL-fp runs like the
+    # gaps-and-islands idiom does
+    changes = slim.withColumn("_prev", F.lag(F.struct(F.col(fp))).over(w)).filter(
+        F.col("_prev").isNull() | ~F.col(f"_prev.{fp}").eqNullSafe(F.col(fp))
     )
-    w2 = Window.partitionBy(key).orderBy(ts_col, fp)
     return (
-        changes.withColumn("valid_to", F.lead(ts_col).over(w2))
+        changes.withColumn("valid_to", F.lead(ts_col).over(w))
         .select(
             F.col(key),
             F.col(fp),

@@ -143,3 +143,12 @@ def test_quadkey_matches_grid_and_prefix_property(spark):
         )
     with _pytest.raises(ValueError):
         cells.quadkey_col(F.col("lat"), F.col("lon"), 0)
+
+
+def test_quadkey_to_cell_rejects_bad_input():
+    import pytest as _pytest
+    from pbf2json_spark import cells
+
+    for bad in ("", "48", "012x", "4" * 2, "0" * 27):
+        with _pytest.raises(ValueError):
+            cells.quadkey_to_cell(bad)

@@ -52,8 +52,11 @@ def test_pack_boundaries(spark):
     assert got[3]["n_packs"] == 3
     assert (got[4]["offset"], got[4]["pack_first"], got[4]["pack_last"]) == (40, 4, 4)
     assert (got[5]["offset"], got[5]["pack_first"]) == (40, 4)
-    # conservation: total tokens == final offset + last doc's tokens
-    assert got[5]["offset"] + 1 == 41
+    # conservation: every doc's offset equals the sum of the tokens of all
+    # docs before it — derived from the RESULT, not restated literals
+    toks = {1: 10, 2: 5, 3: 25, 4: 0, 5: 1}
+    for i in toks:
+        assert got[i]["offset"] == sum(toks[j] for j in toks if j < i), i
 
 
 def test_pack_rejects_bad_budget(spark):
@@ -64,8 +67,45 @@ def test_pack_rejects_bad_budget(spark):
 
 def test_pack_plan_has_no_global_window(spark):
     """The scale property: no single-partition window. The physical plan's
-    Window nodes must all be partitioned (by _pid), never a global
-    Window over an Exchange SinglePartition."""
+    Window nodes must all be partitioned (by the _b bucket), never a
+    global Window over an Exchange SinglePartition."""
     df, _ = _docs(spark, n=100)
     plan = packing.pack_sequences(df, 128)._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_pack_sparse_id_space_beyond_2_53(spark):
+    # snowflake-style ids spanning > 2^53: the bucket assignment must be
+    # exact integer arithmetic (a double round-trip mis-buckets these)
+    rows = [(i * (10**15) + 7, (i * 13) % 300) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    want = _brute(rows, 100)
+    got = {
+        r["doc_id"]: (r["offset"], r["pack_first"], r["pack_last"], r["n_packs"])
+        for r in packing.pack_sequences(df, 100, n_parts=7).collect()
+    }
+    assert got == want
+
+
+def test_pack_after_upstream_shuffle_and_type_guard(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    # docs arriving from a shuffle (groupBy) — bucket ids are a pure
+    # function of the key, so offsets stay correct regardless of how the
+    # upstream exchange ordered its output
+    raw = spark.createDataFrame(
+        [(i % 50, 1) for i in range(600)], "doc_id long, one long"
+    )
+    shuffled = raw.groupBy("doc_id").agg(F.sum("one").alias("n_tokens"))
+    rows = [(r["doc_id"], r["n_tokens"]) for r in shuffled.collect()]
+    want = _brute(rows, 64)
+    got = {
+        r["doc_id"]: (r["offset"], r["pack_first"], r["pack_last"], r["n_packs"])
+        for r in packing.pack_sequences(shuffled, 64, n_parts=5).collect()
+    }
+    assert got == want
+    with _pytest.raises(ValueError):
+        packing.pack_sequences(
+            spark.createDataFrame([("a", 1)], "doc_id string, n_tokens long"), 10
+        )

@@ -272,3 +272,17 @@ def test_scd2_history(spark):
     # exactly one current row per key
     cur = [g for g in got if g[4]]
     assert sorted(g[0] for g in cur) == ["A", "B"]
+
+
+def test_scd2_null_fp_versions(spark):
+    from pbf2json_spark.weburl import scd2_history
+
+    # a NULL-fp capture (failed fetch) is its own version run, and
+    # consecutive NULL fps merge — same islands the SQL idiom produces
+    rows = [("A", 10, "x"), ("A", 20, None), ("A", 30, None), ("A", 40, "x")]
+    df = spark.createDataFrame(rows, "norm_url string, warc_ts long, fp string")
+    got = sorted(
+        ((r["fp"], r["valid_from"], r["valid_to"]) for r in scd2_history(df).collect()),
+        key=lambda t: t[1],
+    )
+    assert got == [("x", 10, 20), (None, 20, 40), ("x", 40, None)]
