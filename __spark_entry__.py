@@ -921,6 +921,43 @@ def _q_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("cid", "qk", F.substring(F.col("qk"), 1, 5).alias("qk5"))
 
 
+def _q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (textops.redact_pii) over documents with synthetic
+    email/ip/phone material appended (the gate corpus itself carries no
+    PII, which would make the query vacuous); the oracle applies the
+    identical RE2/Java-compatible patterns in the identical order."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    withpii = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), k.cast("string"),
+            F.lit("@ex"), (k % 7).cast("string"),
+            F.lit(".com ip 10.0."), (k % 200).cast("string"),
+            F.lit("."), (k % 100).cast("string"),
+            F.lit(" tel 555-123-4567"),
+        ).alias("text"),
+    )
+    return textops.redact_pii(withpii).select(
+        "doc_id", "text_redacted", "n_redactions"
+    )
+
+
+def _q_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 longest documents per language (ranking.top_k_per_group):
+    one hash exchange on the group key, rank, early discard."""
+    from pbf2json_spark import ranking
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = ranking.top_k_per_group(
+        d, ["lang"], [F.col("n_chars").desc(), F.col("doc_id").asc()], 3
+    )
+    return out.select(
+        "doc_id", "lang", "n_chars", F.col("rank_in_group").cast("long").alias("rk")
+    )
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable md5-derived fingerprint columns (Spark md5 == DuckDB md5 on
     the same UTF-8 bytes → value-exact oracle); the engine-internal xxhash64
@@ -1358,6 +1395,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": _q_scd2,
         "cms_tokens": _q_cms_tokens,
         "quadkey_assign": _q_quadkey,
+        "redact_pii": _q_redact,
+        "topk_per_lang": _q_topk_group,
     }
 
 
@@ -1456,6 +1495,38 @@ def _quadkey_sql(res: int, prefix: int) -> str:
         f"q AS (SELECT cid, {digits} AS qk FROM xy) "
         f"SELECT cid, qk, substr(qk, 1, {prefix}) AS qk5 FROM q"
     )
+
+
+def _redact_sql() -> str:
+    """DuckDB mirror of _q_redact — patterns taken from
+    textops.PII_PATTERNS so the two sides cannot drift (DuckDB plain
+    strings keep backslashes literal, which is what RE2 needs)."""
+    from pbf2json_spark.textops import PII_PATTERNS
+
+    t = (
+        "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex' || "
+        "CAST(doc_id % 7 AS VARCHAR) || '.com ip 10.0.' || "
+        "CAST(doc_id % 200 AS VARCHAR) || '.' || "
+        "CAST(doc_id % 100 AS VARCHAR) || ' tel 555-123-4567'"
+    )
+    red = "t"
+    counts = []
+    for _, pat, tag in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
+        counts.append(f"len(regexp_extract_all(t, '{pat}'))")
+    return (
+        f"WITH s AS (SELECT doc_id, {t} AS t FROM documents) "
+        f"SELECT doc_id, {red} AS text_redacted, "
+        f"CAST({' + '.join(counts)} AS BIGINT) AS n_redactions FROM s"
+    )
+
+
+_TOPK_LANG_SQL = (
+    "WITH r AS (SELECT doc_id, lang, n_chars, row_number() OVER ("
+    "PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rk "
+    "FROM documents) "
+    "SELECT doc_id, lang, n_chars, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 3"
+)
 
 
 _SCD2_SQL = (
@@ -2027,6 +2098,8 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": _SCD2_SQL,
         "cms_tokens": _cms_sql(4, 256),
         "quadkey_assign": _quadkey_sql(8, 5),
+        "redact_pii": _redact_sql(),
+        "topk_per_lang": _TOPK_LANG_SQL,
         "token_count": (
             "SELECT doc_id, "
             "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "

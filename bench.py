@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "scd2_history",
     "cms_tokens",
     "quadkey_assign",
+    "redact_pii",
+    "topk_per_lang",
 ]
 
 

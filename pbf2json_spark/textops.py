@@ -236,3 +236,36 @@ def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     with fingerprint()/exact_dedup on the normalized column to merge
     surface-form duplicates exact byte dedup misses."""
     return df.withColumn("text_norm", normalize_text_udf()(F.col(text_col)))
+
+
+# PII scrubbing patterns: RE2- AND Java-compatible by construction (no
+# backreferences, no lookaround) so the DuckDB oracle applies the SAME
+# patterns — the redacted text is string-identical across engines.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails / phone numbers / IPv4 addresses — the standard PII
+    pass a web-corpus curation pipeline runs before training. Adds:
+
+      text_redacted   text with each PII class replaced by its tag
+      n_redactions    total matches removed (sum over classes, counted
+                      on the ORIGINAL text so classes don't shadow each
+                      other)
+
+    Patterns apply in PII_PATTERNS order (email first: an address also
+    contains dots that the ipv4 pattern must not see first). Pure Column
+    regexp — scan-stage, WholeStageCodegen, zero shuffles; at 100 TB this
+    is bandwidth-bound, exactly where it should be.
+    """
+    t = F.col(text_col)
+    out = t
+    n = F.lit(0).cast("long")
+    for _, pat, tag in PII_PATTERNS:
+        n = n + F.regexp_count(t, F.lit(pat)).cast("long")
+        out = F.regexp_replace(out, pat, tag)
+    return df.withColumn("text_redacted", out).withColumn("n_redactions", n)

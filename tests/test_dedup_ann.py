@@ -348,3 +348,23 @@ def test_normalize_text_nfc_casefold(spark):
     assert got[3] == "strasse ss"
     assert got[4] == ""
     assert got[5] is None
+
+
+def test_redact_pii(spark):
+    from pbf2json_spark import textops
+
+    rows = [
+        (1, "mail bob.smith+x@ex-a.co.uk or 555-123-4567 at 10.0.3.44 ok"),
+        (2, "no pii here"),
+        (3, "two mails a@b.co c@d.io"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textops.redact_pii(df).collect()}
+    assert got[1]["text_redacted"] == "mail <EMAIL> or <PHONE> at <IP> ok"
+    assert got[1]["n_redactions"] == 3
+    assert got[2]["text_redacted"] == "no pii here"
+    assert got[2]["n_redactions"] == 0
+    assert got[3]["text_redacted"] == "two mails <EMAIL> <EMAIL>"
+    assert got[3]["n_redactions"] == 2
+    assert got[4]["n_redactions"] == 0
