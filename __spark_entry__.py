@@ -958,6 +958,34 @@ def _q_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_poly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ring area + perimeter (geo.ring_area_col / ring_perimeter_col) over
+    L-shaped hexagons derived from nation — non-rectangular so the
+    shoelace is non-trivial; both folds are fixed-order, so the oracle's
+    identical expression tree matches the doubles bit-for-bit."""
+    from pbf2json_spark import geo
+
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    lat0 = (k % 16) * F.lit(10.0) - F.lit(80.0)
+    lon0 = (k * 37 % 64) * F.lit(5.0) - F.lit(160.0)
+    latm, lat1 = lat0 + F.lit(3.0), lat0 + F.lit(7.0)
+    lonm, lon1 = lon0 + F.lit(5.0), lon0 + F.lit(11.0)
+
+    def pt(la, lo):
+        return F.struct(la.alias("lat"), lo.alias("lon"))
+
+    ring = F.array(
+        pt(lat0, lon0), pt(lat0, lon1), pt(latm, lon1), pt(latm, lonm),
+        pt(lat1, lonm), pt(lat1, lon0), pt(lat0, lon0),
+    )
+    return n.select(
+        k.cast("long").alias("polygon_id"),
+        geo.ring_area_col(ring).alias("area_sqdeg"),
+        geo.ring_perimeter_col(ring).alias("perimeter_deg"),
+    )
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable md5-derived fingerprint columns (Spark md5 == DuckDB md5 on
     the same UTF-8 bytes → value-exact oracle); the engine-internal xxhash64
@@ -1397,6 +1425,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey_assign": _q_quadkey,
         "redact_pii": _q_redact,
         "topk_per_lang": _q_topk_group,
+        "poly_metrics": _q_poly_metrics,
     }
 
 
@@ -1518,6 +1547,34 @@ def _redact_sql() -> str:
         f"WITH s AS (SELECT doc_id, {t} AS t FROM documents) "
         f"SELECT doc_id, {red} AS text_redacted, "
         f"CAST({' + '.join(counts)} AS BIGINT) AS n_redactions FROM s"
+    )
+
+
+def _poly_metrics_sql() -> str:
+    """DuckDB mirror of _q_poly_metrics: same vertices, same left-to-right
+    fold order for both the shoelace terms and the sqrt edge lengths."""
+    verts = [
+        ("la0", "lo0"), ("la0", "lo1"), ("lam", "lo1"), ("lam", "lom"),
+        ("la1", "lom"), ("la1", "lo0"), ("la0", "lo0"),
+    ]
+    area_terms = " + ".join(
+        f"({b_lo} * {a_la_next} - {b_lo_next} * {a_la})"
+        for (a_la, b_lo), (a_la_next, b_lo_next) in zip(verts, verts[1:])
+    )
+    per_terms = " + ".join(
+        f"sqrt(({la2} - {la1}) * ({la2} - {la1}) + ({lo2} - {lo1}) * ({lo2} - {lo1}))"
+        for (la1, lo1), (la2, lo2) in zip(verts, verts[1:])
+    )
+    return (
+        "WITH b AS (SELECT CAST(n_nationkey AS BIGINT) AS polygon_id, "
+        "(n_nationkey % 16) * CAST(10.0 AS DOUBLE) - CAST(80.0 AS DOUBLE) AS la0, "
+        "(n_nationkey * 37 % 64) * CAST(5.0 AS DOUBLE) - CAST(160.0 AS DOUBLE) AS lo0 "
+        "FROM nation), "
+        "v AS (SELECT polygon_id, la0, lo0, "
+        "la0 + CAST(3.0 AS DOUBLE) AS lam, la0 + CAST(7.0 AS DOUBLE) AS la1, "
+        "lo0 + CAST(5.0 AS DOUBLE) AS lom, lo0 + CAST(11.0 AS DOUBLE) AS lo1 FROM b) "
+        f"SELECT polygon_id, abs({area_terms}) / CAST(2.0 AS DOUBLE) AS area_sqdeg, "
+        f"{per_terms} AS perimeter_deg FROM v"
     )
 
 
@@ -2100,6 +2157,7 @@ def oracle_sql() -> dict[str, str]:
         "quadkey_assign": _quadkey_sql(8, 5),
         "redact_pii": _redact_sql(),
         "topk_per_lang": _TOPK_LANG_SQL,
+        "poly_metrics": _poly_metrics_sql(),
         "token_count": (
             "SELECT doc_id, "
             "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "quadkey_assign",
     "redact_pii",
     "topk_per_lang",
+    "poly_metrics",
 ]
 
 

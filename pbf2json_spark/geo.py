@@ -170,3 +170,52 @@ def ring_bbox(ring_lat: np.ndarray, ring_lon: np.ndarray) -> tuple[float, float,
         float(ring_lat.max()),
         float(ring_lon.max()),
     )
+
+
+# --- ring metrics (pure Column — JVM codegen, no Python) -----------------------
+
+
+def ring_area_col(ring):
+    """Planar shoelace area (degree² units) of a CLOSED ring column
+    (array<struct<lat,lon>>, duplicated closing point — the repo's ring
+    convention, spatial.load_polygons). Pure Column: zip consecutive
+    vertices, fold the cross terms left-to-right (F.aggregate is a
+    sequential fold, so the float summation order is FIXED — the DuckDB
+    oracle reproduces the identical expression tree and matches
+    bit-for-bit).
+
+    Degree² is deliberate: the repo's exact metrics are unwrapped planar
+    degrees throughout (within_distance_join, kNN sq_deg); a spherical
+    area needs transcendentals, which a value-exact oracle can't carry.
+    Callers needing m² should scale by cos(lat) per use case.
+    """
+    from pyspark.sql import functions as F
+
+    n = F.size(ring)
+    a = F.slice(ring, 1, n - 1)
+    b = F.slice(ring, 2, n - 1)
+    terms = F.zip_with(
+        a, b, lambda p, q: p["lon"] * q["lat"] - q["lon"] * p["lat"]
+    )
+    s = F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
+    return F.abs(s) / F.lit(2.0)
+
+
+def ring_perimeter_col(ring):
+    """Planar perimeter (degrees) of a closed ring: ordered fold of
+    sqrt(dlat² + dlon²) edge lengths (sqrt is IEEE-exact, so this is
+    oracle-portable like the area)."""
+    from pyspark.sql import functions as F
+
+    n = F.size(ring)
+    a = F.slice(ring, 1, n - 1)
+    b = F.slice(ring, 2, n - 1)
+    terms = F.zip_with(
+        a,
+        b,
+        lambda p, q: F.sqrt(
+            (q["lat"] - p["lat"]) * (q["lat"] - p["lat"])
+            + (q["lon"] - p["lon"]) * (q["lon"] - p["lon"])
+        ),
+    )
+    return F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)

@@ -170,3 +170,41 @@ def run_stream_to_memory(
     )
     q.awaitTermination(timeout_s)
     return q
+
+
+def streaming_cms(
+    docs_stream: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Streaming count-min sketch: the SAME (row, bucket) cells as the
+    batch sketch.cms_build, maintained incrementally over an unbounded
+    stream (outputMode 'update'/'complete' — a sum over a bounded key
+    space of depth x width cells, so the state store is FIXED-SIZE no
+    matter how many keys flow through — this is exactly why a sketch, and
+    not an exact per-key count, is the streaming-safe frequency monitor).
+
+    Batch ≡ streaming: replaying the stream through a batch cms_build
+    yields identical cells (asserted in tests), so a live sketch can be
+    merged with historical batch sketches via sketch.cms_merge.
+    """
+    from pbf2json_spark import sketch
+
+    k = F.col(key_col)
+    rb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    sketch.cms_bucket(k, i, width).alias("bucket"),
+                )
+                for i in range(depth)
+            ]
+        )
+    ).alias("rb")
+    return (
+        docs_stream.select(rb)
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -116,3 +116,45 @@ def test_points_in_ring_vs_bruteforce():
 
     exp = np.array([brute(plat[i], plon[i]) for i in range(500)])
     assert (got == exp).all()
+
+
+def test_ring_area_and_perimeter_col(spark):
+    import math
+
+    from pyspark.sql import functions as F
+    from pbf2json_spark import geo
+
+    def ring(pts):
+        return [{"lat": la, "lon": lo} for la, lo in pts]
+
+    rect = [(0.0, 0.0), (0.0, 11.0), (7.0, 11.0), (7.0, 0.0), (0.0, 0.0)]
+    # L-shaped hexagon: 7x5 block plus 3x6 block = 53
+    hexa = [(0.0, 0.0), (0.0, 11.0), (3.0, 11.0), (3.0, 5.0), (7.0, 5.0),
+            (7.0, 0.0), (0.0, 0.0)]
+    tri = [(0.5, 0.25), (2.75, 9.5), (6.125, 1.5), (0.5, 0.25)]
+    df = spark.createDataFrame(
+        [(1, ring(rect)), (2, ring(hexa)), (3, ring(tri))],
+        "id long, ring array<struct<lat:double,lon:double>>",
+    )
+    got = {
+        r["id"]: (r["a"], r["p"])
+        for r in df.select(
+            "id",
+            geo.ring_area_col(F.col("ring")).alias("a"),
+            geo.ring_perimeter_col(F.col("ring")).alias("p"),
+        ).collect()
+    }
+    assert got[1][0] == 77.0 and got[2][0] == 53.0
+    assert got[1][1] == 36.0
+
+    def brute(pts):
+        s = 0.0
+        per = 0.0
+        for (la1, lo1), (la2, lo2) in zip(pts, pts[1:]):
+            s = s + (lo1 * la2 - lo2 * la1)
+            per = per + math.sqrt((la2 - la1) * (la2 - la1) + (lo2 - lo1) * (lo2 - lo1))
+        return abs(s) / 2.0, per
+
+    # exact float equality: same fold order as the Column expression
+    assert got[3] == brute(tri)
+    assert got[2] == brute(hexa)

@@ -112,3 +112,32 @@ def test_iceberg_gate_and_parquet_fallback(spark, tmp_path):
     # directory partitioning actually happened (the pruning-relevant part)
     import glob as g
     assert g.glob(f"{loc}/day=*")
+
+
+def test_streaming_cms_matches_batch(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from pbf2json_spark import sketch, streaming
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(f"tok{i % 23}",) for i in range(500)], "k string"
+    ).repartition(4).write.parquet(p)
+    batch = spark.read.parquet(p)
+    want = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in sketch.cms_build(batch, "k", 3, 64).collect()
+    }
+    src = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(p)
+    q = streaming.run_stream_to_memory(
+        streaming.streaming_cms(src, "k", 3, 64), "cms_stream",
+        output_mode="complete",
+    )
+    got = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM cms_stream").collect()
+    }
+    q.stop()
+    assert got == want  # live sketch == batch replay, cell for cell
