@@ -94,3 +94,52 @@ def test_normalize_url_total_on_garbage(s):
         # inputs without an authority either pass through or (when a
         # scheme-like prefix parses) still normalize idempotently
         assert _norm(out) == out
+
+
+# --- quadkey <-> Morton cell equivalence -----------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    lat=st.floats(min_value=-90.0, max_value=90.0, allow_nan=False),
+    lon=st.floats(min_value=-180.0, max_value=180.0, allow_nan=False),
+    res=st.integers(1, 26),
+)
+def test_quadkey_cell_equivalence_property(lat, lon, res):
+    """For any point and resolution, the quadkey digit string built from
+    the grid (x, y) names the same tile as the int64 Morton cell id, and
+    every prefix names the enclosing parent tile."""
+    from pbf2json_spark import cells
+
+    cell = int(cells.encode(np.array([lat]), np.array([lon]), res)[0])
+    x, y = cells.xy(np.array([lat]), np.array([lon]), res)
+    qk = "".join(
+        str(((int(y[0]) >> (res - 1 - j)) & 1) * 2 + ((int(x[0]) >> (res - 1 - j)) & 1))
+        for j in range(res)
+    )
+    assert cells.quadkey_to_cell(qk) == cell
+    for plen in {1, res // 2, res} - {0}:
+        parent = int(cells.parent(np.array([cell]), plen)[0])
+        assert cells.quadkey_to_cell(qk[:plen]) == parent
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    toks=st.lists(st.integers(0, 5000), min_size=0, max_size=60),
+    budget=st.integers(1, 4096),
+)
+def test_pack_arithmetic_property(toks, budget):
+    """Driver-side twin of the packing arithmetic: for any token-count
+    sequence, offsets are the exclusive prefix sums, packs partition the
+    stream, and every doc's span lies inside [pack_first, pack_last]."""
+    off = 0
+    for t in toks:
+        first = off // budget
+        last = (off + max(t, 1) - 1) // budget
+        assert first <= last
+        assert first == off // budget
+        # last token of the doc (or the probe token for empty docs) lands
+        # inside pack_last's [last*budget, (last+1)*budget) range
+        probe = off + max(t, 1) - 1
+        assert last * budget <= probe < (last + 1) * budget
+        off += t

@@ -385,6 +385,42 @@ def main() -> int:
         ],
     ))
 
+    # 22. PII redaction: pure scan-stage regexp — zero shuffles, codegen
+    rd = extra["redact_pii"](spark, sf_dir)
+    p = plan_text(rd)
+    sections.append((
+        "PII redaction (redact_pii)", p,
+        [
+            ("zero shuffles (scan-stage regexp)", "Exchange" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
+    # 23. top-k per group: ONE hash exchange on the group key + a window
+    # rank — no global sort, no single-partition stage
+    tk = extra["topk_per_lang"](spark, sf_dir)
+    p = plan_text(tk)
+    sections.append((
+        "top-k per group (topk_per_lang)", p,
+        [
+            ("window rank partitioned by group (no SinglePartition)",
+             "Window" in p and "SinglePartition" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
+    # 24. ring metrics: per-row array folds — zero shuffles, codegen
+    pm = extra["poly_metrics"](spark, sf_dir)
+    p = plan_text(pm)
+    sections.append((
+        "ring area/perimeter (poly_metrics)", p,
+        [
+            ("zero shuffles (per-row folds)", "Exchange" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
     failed = 0
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     for title, plan, props in sections:
