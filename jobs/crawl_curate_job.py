@@ -21,6 +21,10 @@ contract as pages_tiles_job):
     deduped   → exact content dedup on the normalized fingerprint (first
                 occurrence per 128-bit (fp64_norm, fp64b_norm) key wins,
                 deterministic by (ts, url))
+    redacted  → PII scrub (email/phone/IPv4) — after dedup so fingerprints
+                see original bytes; scrubbed text replaces text
+    packed    → training-mix export: token counts + concat-and-cut pack
+                assignment (--pack-budget tokens per pack, hash order)
 
 Every stage is a pure DataFrame plan (no Python except none at all — the
 whole pipeline is JVM Column expressions), so the job scales with
@@ -43,7 +47,9 @@ from pbf2json_spark import iceberg, textops, weburl
 from pbf2json_spark import pages as pages_mod
 from pbf2json_spark.checkpoint import CheckpointManager, run_stages
 
-STAGES = ("pages", "extracted", "canon", "scored", "deduped")
+STAGES = (
+    "pages", "extracted", "canon", "scored", "deduped", "redacted", "packed",
+)
 
 
 # stage functions are module-level so tests can pin each stage's contract
@@ -108,6 +114,39 @@ def dedup_exact(p):
     return f.join(keep, ["fp64_norm", "fp64b_norm", "warc_ts", "url"], "left_semi")
 
 
+def redact(p):
+    # PII scrub AFTER dedup (fingerprints must see the original bytes so a
+    # redacted and an unredacted copy of the same page still collapse);
+    # the scrubbed text REPLACES text from here on — nothing downstream
+    # may see unredacted bytes
+    r = textops.redact_pii(p)
+    return r.select(
+        "url", "norm_url", "host", "warc_ts", "lang", "lang_pred",
+        "quality_score", "n_redactions",
+        F.col("text_redacted").alias("text"),
+    )
+
+
+def pack(p, budget: int = 2048):
+    # training-mix export: whitespace token counts + concat-and-cut pack
+    # assignment. The pack order key is xxhash64(norm_url) — deterministic,
+    # and DELIBERATELY pseudo-random: packing in hash order is the shuffle
+    # a training mix wants (no crawl locality inside a pack). norm_url is
+    # unique after canon, so the order is total up to 64-bit hash
+    # collisions (~birthday 27k pairs at 10^12 docs, which swap only the
+    # colliding pair's relative order).
+    from pbf2json_spark import packing
+
+    t = textops.token_count(p)
+    keyed = t.withColumn("pack_key", F.xxhash64("norm_url"))
+    return packing.pack_sequences(
+        keyed, budget, token_col="ws_tokens", order_col="pack_key"
+    ).select(
+        "url", "norm_url", "warc_ts", "lang_pred", "text",
+        "ws_tokens", "offset", "pack_first", "pack_last", "n_packs",
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-pages", type=int, default=1_000_000)
@@ -118,6 +157,8 @@ def main() -> None:
     ap.add_argument("--min-quality", type=float, default=0.3)
     ap.add_argument("--max-top-word", type=float, default=0.5,
                     help="drop pages whose most frequent word exceeds this share")
+    ap.add_argument("--pack-budget", type=int, default=2048,
+                    help="tokens per training pack (concat-and-cut)")
     ap.add_argument("--checkpoint-root", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--mode", choices=["resume", "overwrite"], default="resume")
@@ -145,6 +186,8 @@ def main() -> None:
             ("canon", canon),
             ("scored", lambda p: score(p, args.min_quality, args.max_top_word)),
             ("deduped", dedup_exact),
+            ("redacted", redact),
+            ("packed", lambda p: pack(p, args.pack_budget)),
         ],
         mode=args.mode,
     )

@@ -74,9 +74,18 @@ def pack_sequences(
         lo = int(lo_hi["lo"])
         span = int(lo_hi["hi"]) - lo + 1
         step = max(1, -(-span // parts))  # ceil — buckets stay contiguous
-    # integer div end-to-end: a snowflake-style id space spans > 2^53, so
-    # even the bucket computation must never round-trip through a double
-    bucket = F.expr(f"(cast({order_col} as bigint) - {lo}) div {step}")
+    # Bucket selection needs only (a) determinism — same key, same bucket
+    # in every job — and (b) monotonicity in the order key (buckets are
+    # contiguous key ranges); balance is best-effort. Double arithmetic
+    # gives both WITHOUT int64 overflow (a full-range key space like
+    # xxhash64 makes `x - lo` overflow in bigint): int64→double is
+    # monotone, subtraction/division by a positive constant are monotone,
+    # floor is monotone. The OFFSETS below are what must never touch a
+    # double (they exceed 2^53 at 10^12 docs) — and they stay integer.
+    bucket = F.floor(
+        (F.col(order_col).cast("double") - F.lit(float(lo)))
+        / F.lit(float(step))
+    ).cast("long")
     b = docs.withColumn("_b", bucket)
 
     totals = (

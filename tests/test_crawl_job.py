@@ -104,3 +104,32 @@ def test_stages_resume_from_checkpoint(spark, tmp_path):
     resumed = run_stages(mgr, stages, mode="resume").collect()
     assert sorted(r["url"] for r in first) == sorted(r["url"] for r in resumed)
     assert len(first) == 20
+
+
+def test_redact_and_pack_stages(spark):
+    job = _job()
+
+    rows = [
+        (f"https://h{i}.io/p", i, GOOD + f" v{i} mail x{i}@ex.io", "en")
+        for i in range(8)
+    ]
+    deduped = job.dedup_exact(
+        job.score(job.canon(job.extract(_pages(spark, rows))), 0.0, 1.0)
+    )
+    red = job.redact(deduped)
+    got = red.collect()
+    assert len(got) == 8
+    assert all("<EMAIL>" in r["text"] and "@ex.io" not in r["text"] for r in got)
+    assert all(r["n_redactions"] >= 1 for r in got)
+
+    packed = job.pack(red, budget=32).collect()
+    assert len(packed) == 8
+    # packs partition the token stream: offsets are exactly the exclusive
+    # prefix sums in pack_key order
+    by_off = sorted(packed, key=lambda r: r["offset"])
+    acc = 0
+    for r in by_off:
+        assert r["offset"] == acc
+        assert r["pack_first"] == acc // 32
+        acc += r["ws_tokens"]
+    assert {r["n_packs"] for r in packed} >= {1}

@@ -75,8 +75,8 @@ def test_pack_plan_has_no_global_window(spark):
 
 
 def test_pack_sparse_id_space_beyond_2_53(spark):
-    # snowflake-style ids spanning > 2^53: the bucket assignment must be
-    # exact integer arithmetic (a double round-trip mis-buckets these)
+    # snowflake-style ids spanning > 2^53: bucket selection may round in
+    # doubles (monotone is enough) but offsets/packs must stay exact
     rows = [(i * (10**15) + 7, (i * 13) % 300) for i in range(40)]
     df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
     want = _brute(rows, 100)
@@ -109,3 +109,19 @@ def test_pack_after_upstream_shuffle_and_type_guard(spark):
         packing.pack_sequences(
             spark.createDataFrame([("a", 1)], "doc_id string, n_tokens long"), 10
         )
+
+
+def test_pack_full_range_keys(spark):
+    # xxhash64-style order keys near +/- 2^63: (x - lo) overflows bigint,
+    # so bucket selection must not do raw integer subtraction
+    rows = [
+        (-(2**63) + 3, 10), (-(2**62), 7), (-5, 1), (0, 4), (17, 0),
+        (2**61, 9), (2**63 - 11, 2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    want = _brute(rows, 8)
+    got = {
+        r["doc_id"]: (r["offset"], r["pack_first"], r["pack_last"], r["n_packs"])
+        for r in packing.pack_sequences(df, 8, n_parts=4).collect()
+    }
+    assert got == want
