@@ -1541,8 +1541,10 @@ def _redact_sql() -> str:
     red = "t"
     counts = []
     for _, pat, tag in PII_PATTERNS:
+        # count each class on the text as the previous classes left it —
+        # the same progressive semantics as textops.redact_pii
+        counts.append(f"len(regexp_extract_all({red}, '{pat}'))")
         red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
-        counts.append(f"len(regexp_extract_all(t, '{pat}'))")
     return (
         f"WITH s AS (SELECT doc_id, {t} AS t FROM documents) "
         f"SELECT doc_id, {red} AS text_redacted, "

@@ -117,8 +117,12 @@ def dedup_exact(p):
 def redact(p):
     # PII scrub AFTER dedup (fingerprints must see the original bytes so a
     # redacted and an unredacted copy of the same page still collapse);
-    # the scrubbed text REPLACES text from here on — nothing downstream
-    # may see unredacted bytes
+    # the scrubbed text REPLACES text for every LATER stage and the final
+    # output. NB the EARLIER stages' checkpoint snapshots under
+    # --checkpoint-root still hold pre-redaction text by design (that is
+    # what makes them resumable) — treat the checkpoint root with the same
+    # access controls as the raw crawl, and delete it after the run if the
+    # redacted output is the only artifact allowed to persist.
     r = textops.redact_pii(p)
     return r.select(
         "url", "norm_url", "host", "warc_ts", "lang", "lang_pred",

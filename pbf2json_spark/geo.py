@@ -191,9 +191,11 @@ def ring_area_col(ring):
     """
     from pyspark.sql import functions as F
 
-    n = F.size(ring)
-    a = F.slice(ring, 1, n - 1)
-    b = F.slice(ring, 2, n - 1)
+    # greatest(n-1, 0): a degenerate empty/1-point ring yields zero edge
+    # terms and area 0.0 rather than crashing slice() with length -1
+    n = F.greatest(F.size(ring) - 1, F.lit(0))
+    a = F.slice(ring, 1, n)
+    b = F.slice(ring, 2, n)
     terms = F.zip_with(
         a, b, lambda p, q: p["lon"] * q["lat"] - q["lon"] * p["lat"]
     )
@@ -207,9 +209,9 @@ def ring_perimeter_col(ring):
     oracle-portable like the area)."""
     from pyspark.sql import functions as F
 
-    n = F.size(ring)
-    a = F.slice(ring, 1, n - 1)
-    b = F.slice(ring, 2, n - 1)
+    n = F.greatest(F.size(ring) - 1, F.lit(0))
+    a = F.slice(ring, 1, n)
+    b = F.slice(ring, 2, n)
     terms = F.zip_with(
         a,
         b,

@@ -11,11 +11,12 @@ cost is bounded by the largest GROUP (a site's page count), not the
 corpus. The groupBy(collect_list + slice) alternative is strictly worse:
 it buffers every group's full row set inside one aggregation buffer
 before truncating — the same OOM shape inverted_index's max_df exists to
-avoid. For degenerate hot groups (one host = 10^9 pages), pre-thin with
-an approximate per-partition top-k first: a map-side
-`repartition(group, salt)` + local rank <= k keeps at most k rows per
-(group, salt) — still exact after the final rank, since the true top-k
-of a group is contained in the union of its salted top-k sets.
+avoid. For degenerate hot groups (one host = 10^9 pages), pre-thin with a
+salted first pass: rank within (group, salt) and keep k per split, so no
+single reducer ever holds a whole hot group and the final exchange
+carries at most k * salt rows per group — still exact after the final
+rank, since the true top-k of a group is contained in the union of its
+salted top-k sets.
 """
 
 from __future__ import annotations
@@ -36,21 +37,34 @@ def top_k_per_group(
     deterministic tie-breakers — e.g. the row id — or ranks are
     partition-order dependent).
 
-    pre_thin_salt > 0 enables the hot-group guard: a salted local top-k
-    pass first, bounding any single group's shuffle volume to
-    k * pre_thin_salt rows. Exactness is preserved (superset property).
+    pre_thin_salt > 0 enables the hot-group guard: a first ranking pass
+    over (group, salt) splits every group across `salt` reducers — the
+    full input still shuffles once, but no single reducer ever holds a
+    whole hot group — and keeps k rows per (group, salt), so the FINAL
+    exchange carries at most k * salt rows per group. Exactness is
+    preserved (superset property: a group's true top-k rows are each
+    top-k within their salt split). The salt is the row sequence number
+    (monotonically_increasing_id % salt), which spreads rows even when
+    the input arrives in a single partition; the salt values themselves
+    are partitioning-dependent, but ANY assignment is correct — the
+    final exact rank is what callers observe.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    reserved = {"rank_in_group", "_rk", "_r0", "_salt"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"input columns clash with outputs: {sorted(clash)}")
     src = df
     if pre_thin_salt > 0:
-        salted = Window.partitionBy(
-            *group_cols, F.spark_partition_id() % pre_thin_salt
-        ).orderBy(*order_by)
+        salted = Window.partitionBy(*group_cols, "_salt").orderBy(*order_by)
         src = (
-            df.withColumn("_r0", F.row_number().over(salted))
+            df.withColumn(
+                "_salt", F.monotonically_increasing_id() % pre_thin_salt
+            )
+            .withColumn("_r0", F.row_number().over(salted))
             .filter(F.col("_r0") <= k)
-            .drop("_r0")
+            .drop("_r0", "_salt")
         )
     w = Window.partitionBy(*group_cols).orderBy(*order_by)
     return (

@@ -185,26 +185,12 @@ def streaming_cms(
     matter how many keys flow through — this is exactly why a sketch, and
     not an exact per-key count, is the streaming-safe frequency monitor).
 
-    Batch ≡ streaming: replaying the stream through a batch cms_build
-    yields identical cells (asserted in tests), so a live sketch can be
-    merged with historical batch sketches via sketch.cms_merge.
+    Batch ≡ streaming: the plan IS sketch.cms_build applied to the
+    streaming frame (explode + groupBy-sum is streaming-capable as-is) —
+    one construction, so the batch/streaming cell layouts can never
+    drift, and a live sketch merges with historical batch sketches via
+    sketch.cms_merge.
     """
     from pbf2json_spark import sketch
 
-    k = F.col(key_col)
-    rb = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("row"),
-                    sketch.cms_bucket(k, i, width).alias("bucket"),
-                )
-                for i in range(depth)
-            ]
-        )
-    ).alias("rb")
-    return (
-        docs_stream.select(rb)
-        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    return sketch.cms_build(docs_stream, key_col, depth, width)

@@ -253,19 +253,22 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     pass a web-corpus curation pipeline runs before training. Adds:
 
       text_redacted   text with each PII class replaced by its tag
-      n_redactions    total matches removed (sum over classes, counted
-                      on the ORIGINAL text so classes don't shadow each
-                      other)
+      n_redactions    replacements actually performed: each class is
+                      counted on the text AS THE PREVIOUS CLASSES LEFT IT
+                      (counting every class on the original text instead
+                      disagrees with the output in both directions — an
+                      email swallowing an IP-looking tail double-counts,
+                      and an IP exposed only after an email is excised is
+                      missed)
 
     Patterns apply in PII_PATTERNS order (email first: an address also
     contains dots that the ipv4 pattern must not see first). Pure Column
     regexp — scan-stage, WholeStageCodegen, zero shuffles; at 100 TB this
     is bandwidth-bound, exactly where it should be.
     """
-    t = F.col(text_col)
-    out = t
+    out = F.col(text_col)
     n = F.lit(0).cast("long")
     for _, pat, tag in PII_PATTERNS:
-        n = n + F.regexp_count(t, F.lit(pat)).cast("long")
+        n = n + F.regexp_count(out, F.lit(pat)).cast("long")
         out = F.regexp_replace(out, pat, tag)
     return df.withColumn("text_redacted", out).withColumn("n_redactions", n)

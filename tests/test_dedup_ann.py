@@ -368,3 +368,20 @@ def test_redact_pii(spark):
     assert got[3]["text_redacted"] == "two mails <EMAIL> <EMAIL>"
     assert got[3]["n_redactions"] == 2
     assert got[4]["n_redactions"] == 0
+
+
+def test_redact_pii_progressive_counts(spark):
+    from pbf2json_spark import textops
+
+    rows = [
+        # email swallows an IP-looking tail: 1 replacement, not 2
+        (1, "a@10.0.0.1.com"),
+        # the plain IP is NOT an email; both classes fire once each
+        (2, "a@b.co and 10.0.0.1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textops.redact_pii(df).collect()}
+    assert got[1]["text_redacted"] == "<EMAIL>"
+    assert got[1]["n_redactions"] == 1
+    assert got[2]["text_redacted"] == "<EMAIL> and <IP>"
+    assert got[2]["n_redactions"] == 2

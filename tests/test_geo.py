@@ -158,3 +158,23 @@ def test_ring_area_and_perimeter_col(spark):
     # exact float equality: same fold order as the Column expression
     assert got[3] == brute(tri)
     assert got[2] == brute(hexa)
+
+
+def test_ring_metrics_degenerate_rings(spark):
+    from pyspark.sql import functions as F
+    from pbf2json_spark import geo
+
+    df = spark.createDataFrame(
+        [(1, []), (2, [{"lat": 3.0, "lon": 4.0}])],
+        "id long, ring array<struct<lat:double,lon:double>>",
+    )
+    got = {
+        r["id"]: (r["a"], r["p"])
+        for r in df.select(
+            "id",
+            geo.ring_area_col(F.col("ring")).alias("a"),
+            geo.ring_perimeter_col(F.col("ring")).alias("p"),
+        ).collect()
+    }
+    # degenerate rings yield 0, never a slice() crash
+    assert got[1] == (0.0, 0.0) and got[2] == (0.0, 0.0)

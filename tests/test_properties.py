@@ -123,23 +123,3 @@ def test_quadkey_cell_equivalence_property(lat, lon, res):
         assert cells.quadkey_to_cell(qk[:plen]) == parent
 
 
-@settings(max_examples=120, deadline=None)
-@given(
-    toks=st.lists(st.integers(0, 5000), min_size=0, max_size=60),
-    budget=st.integers(1, 4096),
-)
-def test_pack_arithmetic_property(toks, budget):
-    """Driver-side twin of the packing arithmetic: for any token-count
-    sequence, offsets are the exclusive prefix sums, packs partition the
-    stream, and every doc's span lies inside [pack_first, pack_last]."""
-    off = 0
-    for t in toks:
-        first = off // budget
-        last = (off + max(t, 1) - 1) // budget
-        assert first <= last
-        assert first == off // budget
-        # last token of the doc (or the probe token for empty docs) lands
-        # inside pack_last's [last*budget, (last+1)*budget) range
-        probe = off + max(t, 1) - 1
-        assert last * budget <= probe < (last + 1) * budget
-        off += t

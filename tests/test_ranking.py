@@ -44,3 +44,26 @@ def test_topk_validation(spark):
     df = spark.createDataFrame([(1, "a", 1)], "id long, g string, score long")
     with pytest.raises(ValueError):
         ranking.top_k_per_group(df, ["g"], [F.col("score")], 0)
+
+
+def test_topk_salted_single_partition_input(spark):
+    # the salt must spread rows even when the input arrives in ONE
+    # partition (sequence-number salt, not spark_partition_id)
+    rows = _rows(n=300, seed=5)
+    df = spark.createDataFrame(rows, "id long, g string, score long").coalesce(1)
+    got = {
+        r["id"]: (r["g"], r["score"], r["rank_in_group"])
+        for r in ranking.top_k_per_group(
+            df, ["g"], [F.col("score").desc(), F.col("id").asc()], 4,
+            pre_thin_salt=3,
+        ).collect()
+    }
+    assert got == _brute(rows, 4)
+
+
+def test_topk_rejects_clashing_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1, 9)], "id long, g string, score long, rank_in_group long"
+    )
+    with pytest.raises(ValueError):
+        ranking.top_k_per_group(df, ["g"], [F.col("score")], 1)
