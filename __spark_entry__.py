@@ -38,8 +38,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pbf2json_spark import (
-    ann, cells, corpus, dedup, denorm, dsl, pages, relations, sampling,
-    spatial, temporal, textops, weburl,
+    ann, cells, corpus, decontam, dedup, denorm, dsl, pages, relations,
+    sampling, spatial, temporal, textops, weburl,
 )
 
 # --------------------------------------------------------------------------
@@ -1021,6 +1021,70 @@ def _q_textops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination (decontam.contamination_pairs): bench =
+    every 40th document, train = the rest, 3-gram overlap (the corpus is
+    short synthetic text; at real scale the standard is 13). Broadcast
+    bench grams — the training text never shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 40 == 0)
+    train = d.filter(F.col("doc_id") % 40 != 0)
+    return decontam.contamination_pairs(train, bench, n=3)
+
+
+def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style chunking (textops.chunk_documents): 32-token chunks,
+    8-token overlap; pure Column sequence+slice, zero shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.chunk_documents(d, 32, 8)
+
+
+def _q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard base-32 geohash at precision 7 (cells.geohash_col) — the
+    interchange tile key; exact-rounded quantize + bit gather, so DuckDB
+    computes the identical string."""
+    pts = _points_customer(spark, sf_dir)
+    return pts.select(
+        "cid", cells.geohash_col(F.col("lat"), F.col("lon"), 7).alias("gh")
+    )
+
+
+def _q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full tile pyramid levels 3..6 (spatial.tile_pyramid): aggregate once
+    at the finest level, prefix-rollup the aggregated tiles — two
+    exchanges total for four levels."""
+    pts = _points_customer(spark, sf_dir)
+    return spatial.tile_pyramid(pts, 6, 3)
+
+
+def _q_compact_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cover compaction (cells.compact_cover) over a mixed cover: the
+    res-6 cells of all customers UNION all four res-6 children of the
+    res-5 cells of even customers (so complete sibling groups exist and
+    promotion actually fires, several levels deep where density allows)."""
+    pts = _points_customer(spark, sf_dir)
+    c6 = pts.select(
+        cells.cell_col(F.col("lat"), F.col("lon"), 6).alias("cell")
+    )
+    c5 = pts.filter(F.col("cid") % 2 == 0).select(
+        cells.cell_col(F.col("lat"), F.col("lon"), 5).alias("p")
+    )
+    morton = F.col("p").bitwiseAND(F.lit((1 << 52) - 1))
+    kids = c5.select(
+        F.explode(
+            F.array(*[
+                F.lit(6 << 52)
+                .bitwiseOR(F.shiftleft(morton, 2))
+                .bitwiseOR(F.lit(q))
+                .cast("long")
+                for q in range(4)
+            ])
+        ).alias("cell")
+    )
+    cover = c6.unionByName(kids)
+    return cells.compact_cover(cover, 6, min_res=3)
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable md5-derived fingerprint columns (Spark md5 == DuckDB md5 on
     the same UTF-8 bytes → value-exact oracle); the engine-internal xxhash64
@@ -1478,6 +1542,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_topk": _q_lsh_topk,
         "ivf_cosine_topk": _q_ivf_topk,
         "embedding_near_dup": _q_embedding_near_dup,
+        # round-3 second wave — value-exact under tools/check_oracle.py
+        # via their oracle_sql entries (the 50 gate slots are taken)
+        "contamination": _q_contamination,
+        "chunk_docs": _q_chunk_docs,
+        "geohash_assign": _q_geohash,
+        "tile_pyramid": _q_tile_pyramid,
+        "compact_cover": _q_compact_cover,
     }
 
 
@@ -1575,6 +1646,131 @@ def _quadkey_sql(res: int, prefix: int) -> str:
         f"WITH xy AS (SELECT c_custkey AS cid, {x} AS x, {y} AS y FROM customer), "
         f"q AS (SELECT cid, {digits} AS qk FROM xy) "
         f"SELECT cid, qk, substr(qk, 1, {prefix}) AS qk5 FROM q"
+    )
+
+
+_CONTAM_SQL = (
+    "WITH w AS (SELECT doc_id, "
+    r"string_split_regex(trim(text), '\s+') AS w FROM documents "
+    "WHERE length(trim(text)) > 0), "
+    "g AS (SELECT DISTINCT doc_id, "
+    "unnest(list_transform(range(1, len(w) - 2 + 1), "
+    "i -> array_to_string(w[i:i+2], ' '))) AS g FROM w WHERE len(w) >= 3) "
+    "SELECT t.doc_id AS train_id, b.doc_id AS bench_id, "
+    "CAST(count(*) AS BIGINT) AS n_shared "
+    "FROM g t JOIN g b USING (g) "
+    "WHERE b.doc_id % 40 = 0 AND t.doc_id % 40 <> 0 "
+    "GROUP BY 1, 2"
+)
+
+
+def _chunk_sql(chunk: int, overlap: int) -> str:
+    """DuckDB mirror of textops.chunk_documents — same stride/count/clamp
+    arithmetic, list slicing 1-based inclusive."""
+    s = chunk - overlap
+    return (
+        "WITH w AS (SELECT doc_id, "
+        "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+        r"ELSE string_split_regex(trim(text), '\s+') END AS w FROM documents), "
+        "n AS (SELECT doc_id, w, len(w) AS nw FROM w WHERE len(w) > 0), "
+        f"c AS (SELECT doc_id, w, nw, CASE WHEN nw <= {chunk} THEN 1 "
+        f"ELSE (nw - {chunk} + {s} - 1) // {s} + 1 END AS k FROM n) "
+        "SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, "
+        f"CAST(i * {s} AS BIGINT) AS token_start, "
+        f"CAST(least(i * {s} + {chunk}, nw) AS BIGINT) AS token_end, "
+        f"array_to_string(w[i * {s} + 1 : i * {s} + {chunk}], ' ') AS chunk_text "
+        "FROM c, LATERAL unnest(range(0, k)) t(i)"
+    )
+
+
+def _geohash_sql(precision: int) -> str:
+    """DuckDB mirror of cells.geohash_col — same quantize, same bit gather,
+    same base-32 alphabet indexing."""
+    nbits = 5 * precision
+    lonbits = (nbits + 1) // 2
+    latbits = nbits // 2
+    nlon, nlat = 1 << lonbits, 1 << latbits
+    from pbf2json_spark.cells import _GEOHASH_B32
+
+    def bit(i: int) -> str:
+        if i % 2 == 0:
+            return f"((xq >> {lonbits - 1 - i // 2}) & 1)"
+        return f"((yq >> {latbits - 1 - i // 2}) & 1)"
+
+    chars = " || ".join(
+        "substr('" + _GEOHASH_B32 + "', CAST(("
+        + " + ".join(f"({bit(5 * j + b)} << {4 - b})" for b in range(5))
+        + ") AS INT) + 1, 1)"
+        for j in range(precision)
+    )
+    return (
+        "WITH q AS (SELECT c_custkey AS cid, "
+        f"least(greatest(CAST(floor((({_lon_sql('c_custkey')}) + CAST(180.0 AS DOUBLE)) / "
+        f"CAST(360.0 AS DOUBLE) * CAST({nlon}.0 AS DOUBLE)) AS BIGINT), 0), {nlon - 1}) AS xq, "
+        f"least(greatest(CAST(floor((({_lat_sql('c_custkey')}) + CAST(90.0 AS DOUBLE)) / "
+        f"CAST(180.0 AS DOUBLE) * CAST({nlat}.0 AS DOUBLE)) AS BIGINT), 0), {nlat - 1}) AS yq "
+        "FROM customer) "
+        f"SELECT cid, {chars} AS gh FROM q"
+    )
+
+
+def _tile_pyramid_sql(res: int, min_res: int) -> str:
+    x, y = _sql_cell_xy(_lat_sql("c_custkey"), _lon_sql("c_custkey"), res)
+    digits = " || ".join(
+        f"CAST(((y >> {res - 1 - j}) & 1) * 2 + ((x >> {res - 1 - j}) & 1) AS VARCHAR)"
+        for j in range(res)
+    )
+    return (
+        f"WITH xy AS (SELECT {x} AS x, {y} AS y FROM customer), "
+        f"q AS (SELECT {digits} AS qk FROM xy) "
+        "SELECT CAST(level AS INT) AS level, "
+        "substr(qk, 1, CAST(level AS INT)) AS qk, "
+        "CAST(count(*) AS BIGINT) AS n "
+        f"FROM q, LATERAL unnest(range({min_res}, {res} + 1)) t(level) "
+        "GROUP BY 1, 2"
+    )
+
+
+def _compact_cover_sql(res: int, min_res: int) -> str:
+    """DuckDB mirror of _q_compact_cover: same mixed cover, then the same
+    bottom-up sibling promotion unrolled one CTE pair per level."""
+    mask = (1 << 52) - 1
+    x6, y6 = _sql_cell_xy(_lat_sql("c_custkey"), _lon_sql("c_custkey"), 6)
+    x5, y5 = _sql_cell_xy(_lat_sql("c_custkey"), _lon_sql("c_custkey"), 5)
+
+    def from_xy(r: int) -> str:
+        return (
+            f"CAST({r << 52} AS BIGINT) | ({_sql_spread('x', r)}) "
+            f"| (({_sql_spread('y', r)}) << 1)"
+        )
+
+    parts = [
+        f"xy6 AS (SELECT c_custkey, {x6} AS x, {y6} AS y FROM customer)",
+        f"c6 AS (SELECT {from_xy(6)} AS cell FROM xy6)",
+        f"xy5 AS (SELECT {x5} AS x, {y5} AS y FROM customer WHERE c_custkey % 2 = 0)",
+        f"p5 AS (SELECT {from_xy(5)} AS p FROM xy5)",
+        f"kids AS (SELECT CAST({6 << 52} AS BIGINT) | ((p & {mask}) << 2) | q AS cell "
+        "FROM p5, LATERAL unnest(range(0, 4)) t(q))",
+        "cur6 AS (SELECT DISTINCT cell FROM (SELECT cell FROM c6 UNION ALL SELECT cell FROM kids))",
+    ]
+    selects = []
+    for r in range(res, min_res, -1):
+        parent = f"CAST({(r - 1) << 52} AS BIGINT) | ((cell & {mask}) >> 2)"
+        parts.append(
+            f"prom{r - 1} AS (SELECT {parent} AS cell FROM cur{r} "
+            f"GROUP BY 1 HAVING count(*) = 4)"
+        )
+        parts.append(
+            f"keep{r} AS (SELECT cell, {r} AS res FROM cur{r} "
+            f"WHERE ({parent}) NOT IN (SELECT cell FROM prom{r - 1}))"
+        )
+        parts.append(f"cur{r - 1} AS (SELECT cell FROM prom{r - 1})")
+        selects.append(f"SELECT cell, res FROM keep{r}")
+    selects.append(f"SELECT cell, {min_res} AS res FROM cur{min_res}")
+    return (
+        "WITH " + ", ".join(parts)
+        + " SELECT cell, CAST(res AS INT) AS res FROM ("
+        + " UNION ALL ".join(selects) + ")"
     )
 
 
@@ -2212,6 +2408,11 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": _redact_sql(),
         "topk_per_lang": _TOPK_LANG_SQL,
         "poly_metrics": _poly_metrics_sql(),
+        "contamination": _CONTAM_SQL,
+        "chunk_docs": _chunk_sql(32, 8),
+        "geohash_assign": _geohash_sql(7),
+        "tile_pyramid": _tile_pyramid_sql(6, 3),
+        "compact_cover": _compact_cover_sql(6, 3),
         "token_count": (
             "SELECT doc_id, "
             "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "

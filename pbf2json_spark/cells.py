@@ -260,3 +260,125 @@ def cell_parent_col(cell: Column, cell_res: int, parent_res: int) -> Column:
     morton = cell.bitwiseAND(F.lit((1 << _RES_SHIFT) - 1))
     shifted = F.shiftrightunsigned(morton, 2 * (cell_res - parent_res))
     return F.lit(parent_res << _RES_SHIFT).bitwiseOR(shifted).cast("long")
+
+
+_GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_col(lat: Column, lon: Column, precision: int) -> Column:
+    """Standard geohash string (Niemeyer base-32) of `precision` chars —
+    the third tile-key flavor next to the int64 Morton cell and the
+    quadkey: the industry-interchange encoding (Elasticsearch, Redis,
+    PostGIS all speak it), with the same prefix property (a geohash is a
+    prefix of every finer geohash of the same point).
+
+    5*precision bits, even global bit positions (msb-first) from
+    longitude, odd from latitude — the classic bisection encoding, but
+    computed as one quantize + bit-gather instead of a per-bit loop:
+    lon_q = floor((lon+180)/360 * 2^ceil(5p/2)) IS the sequence of
+    bisection decisions, so the whole encode is exact-rounded IEEE
+    multiply + floor + integer bit ops. Pure Column (WholeStageCodegen,
+    no UDF); any engine with the same doubles computes the identical
+    string, which is what makes the DuckDB oracle value-exact.
+
+    precision <= 12 (the standard maximum: 60 bits fit a long).
+    """
+    if not 1 <= precision <= 12:
+        raise ValueError("precision must be in [1, 12]")
+    nbits = 5 * precision
+    lonbits = (nbits + 1) // 2
+    latbits = nbits // 2
+    nlon, nlat = 1 << lonbits, 1 << latbits
+    lon_q = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(nlon)))
+    lat_q = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(nlat)))
+    lon_q = F.greatest(F.lit(0), F.least(F.lit(nlon - 1), lon_q)).cast("long")
+    lat_q = F.greatest(F.lit(0), F.least(F.lit(nlat - 1), lat_q)).cast("long")
+
+    def bit(i: int) -> Column:
+        # global bit i (0 = most significant of the 5p-bit code)
+        if i % 2 == 0:
+            return F.shiftrightunsigned(lon_q, lonbits - 1 - i // 2).bitwiseAND(
+                F.lit(1)
+            )
+        return F.shiftrightunsigned(lat_q, latbits - 1 - i // 2).bitwiseAND(F.lit(1))
+
+    alphabet = F.array(*[F.lit(c) for c in _GEOHASH_B32])
+    chars = []
+    for j in range(precision):
+        v: Column = F.lit(0)
+        for b in range(5):
+            v = v + F.shiftleft(bit(5 * j + b), 4 - b)
+        chars.append(F.element_at(alphabet, (v + 1).cast("int")))
+    return F.concat(*chars)
+
+
+def geohash_bounds(gh: str) -> tuple[float, float, float, float]:
+    """(lat_min, lat_max, lon_min, lon_max) of a geohash cell — driver-side
+    helper (tests, prefix-range pruning)."""
+    if not gh or any(c not in _GEOHASH_B32 for c in gh):
+        raise ValueError(f"invalid geohash {gh!r}")
+    nbits = 5 * len(gh)
+    lonbits = (nbits + 1) // 2
+    latbits = nbits // 2
+    lon_q = lat_q = 0
+    i = 0
+    for ch in gh:
+        v = _GEOHASH_B32.index(ch)
+        for b in range(4, -1, -1):
+            if i % 2 == 0:
+                lon_q = (lon_q << 1) | ((v >> b) & 1)
+            else:
+                lat_q = (lat_q << 1) | ((v >> b) & 1)
+            i += 1
+    lon_w = 360.0 / (1 << lonbits)
+    lat_w = 180.0 / (1 << latbits)
+    return (
+        -90.0 + lat_q * lat_w,
+        -90.0 + (lat_q + 1) * lat_w,
+        -180.0 + lon_q * lon_w,
+        -180.0 + (lon_q + 1) * lon_w,
+    )
+
+
+def compact_cover(
+    cover: "DataFrame", res: int, min_res: int = 0, cell_col: str = "cell"
+) -> "DataFrame":
+    """H3-compact-style cover minimization: wherever all 4 sibling cells of
+    a parent are present, replace them by the parent, recursively up to
+    min_res. The minimal multi-resolution representation of a region —
+    what you ship to a prefilter join instead of millions of fine cells.
+
+    Input: a frame of DISTINCT cell ids all at resolution `res` (the usual
+    product of a polygon cover). Output: (cell:long, res:int), the
+    compacted set; reconstructing all res-level descendants of the output
+    yields exactly the input set.
+
+    Plan: bounded driver loop, res..min_res+1 — per level ONE ids-only
+    groupBy on the parent id (count==4 -> promote) and one left_anti to
+    keep orphans; the frame SHRINKS monotonically (promoted parents are
+    1/4 of their children), and localCheckpoint per level keeps the plan
+    from nesting. At 100 TB the first level dominates and is a pure
+    8-byte-key exchange; everything after is geometrically smaller.
+    """
+    from pyspark.sql import functions as F  # noqa: F811 (module-level alias)
+
+    if not 0 <= min_res <= res:
+        raise ValueError("require 0 <= min_res <= res")
+    out = None
+    cur = cover.select(F.col(cell_col).alias("cell")).distinct()
+    for r in range(res, min_res, -1):
+        parent = cell_parent_col(F.col("cell"), r, r - 1)
+        counts = cur.groupBy(parent.alias("parent")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        promoted = counts.filter(F.col("c") == 4).select(
+            F.col("parent").alias("cell")
+        )
+        kept = cur.withColumn("_p", parent).join(
+            promoted.withColumnRenamed("cell", "_p"), "_p", "left_anti"
+        ).drop("_p")
+        lvl = kept.select("cell", F.lit(r).cast("int").alias("res"))
+        out = lvl if out is None else out.unionByName(lvl)
+        cur = promoted.localCheckpoint(eager=False)
+    final = cur.select("cell", F.lit(min_res).cast("int").alias("res"))
+    return final if out is None else out.unionByName(final)

@@ -758,3 +758,47 @@ def within_distance_join(
         .filter(F.col("dist_sq") <= F.lit(radius_deg * radius_deg))
         .select(query_id, point_id, "dist_sq")
     )
+
+
+def tile_pyramid(
+    df: DataFrame,
+    res: int,
+    min_res: int = 1,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Counts per tile at EVERY resolution min_res..res — the full tile
+    pyramid a slippy-map / heat-map service serves, in two exchanges
+    regardless of how many levels are asked for.
+
+    Plan shape (the 100 TB story): aggregate ONCE at the finest level
+    (exchange 1, map-side combined, bounded by distinct tiles rather than
+    input rows), then explode each aggregated tile's quadkey PREFIXES and
+    re-aggregate (exchange 2, whose input is n_tiles x n_levels — already
+    thousands of times smaller than the data). Rolling up level-by-level
+    instead would pay res-1 extra shuffles; exploding prefixes on the RAW
+    rows would multiply the first exchange by n_levels. The quadkey's
+    prefix property (cells.quadkey_col) is what makes a parent key a
+    substring — no bit math in the rollup.
+
+    Output: (level:int, qk:string, n:long), one row per non-empty tile per
+    level; level res rows are the base aggregation itself.
+    """
+    if not 1 <= min_res <= res:
+        raise ValueError("require 1 <= min_res <= res")
+    qk = cells.quadkey_col(F.col(lat_col), F.col(lon_col), res)
+    base = df.select(qk.alias("qk")).groupBy("qk").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        base.select(
+            F.explode(F.sequence(F.lit(min_res), F.lit(res))).alias("level"),
+            F.col("qk"),
+            F.col("n"),
+        )
+        .select(
+            F.col("level").cast("int").alias("level"),
+            F.col("qk").substr(F.lit(1), F.col("level")).alias("qk"),
+            F.col("n"),
+        )
+        .groupBy("level", "qk")
+        .agg(F.sum("n").alias("n"))
+    )

@@ -272,3 +272,59 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         n = n + F.regexp_count(out, F.lit(pat)).cast("long")
         out = F.regexp_replace(out, pat, tag)
     return df.withColumn("text_redacted", out).withColumn("n_redactions", n)
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document's tokens into overlapping fixed-size chunks —
+    the RAG / context-window preparation step (chunk_size tokens per
+    chunk, consecutive chunks sharing `overlap` tokens).
+
+    Adds per chunk: chunk_id (0-based), token_start (0-based inclusive),
+    token_end (exclusive, clamped to the doc length), chunk_text.
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_size) with
+    stride = chunk_size - overlap; the last chunk is the first one whose
+    window reaches the end of the document (it may be shorter than
+    chunk_size but is never empty). Documents with zero tokens produce
+    zero chunks.
+
+    Pure Column: sequence() + posexplode over the already-split words
+    array — scan-stage, zero shuffles, the chunk fan-out is the only
+    row-count growth (x n_tokens/stride). At 100 TB the output is written
+    straight back out; nothing aggregates.
+    """
+    from pbf2json_spark.corpus import _words
+
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("require 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    w = _words(text_col)
+    nw = F.size(w)
+    # smallest i with i*stride + chunk_size >= nw, plus one: 1 chunk for
+    # short docs, ceil((nw - chunk_size)/stride) + 1 otherwise
+    n_chunks = F.when(
+        nw <= chunk_size, F.lit(1)
+    ).otherwise(
+        F.floor((nw - F.lit(chunk_size) + F.lit(stride) - 1) / F.lit(stride)) + 1
+    ).cast("int")
+    # Spark's sequence(0, -1) DESCENDS — guard the empty-doc case with an
+    # explicit empty array instead of relying on the stop bound
+    idx = F.when(nw <= 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), n_chunks - 1)
+    )
+    exploded = df.withColumn("_w", w).withColumn("_i", F.explode(idx))
+    start = F.col("_i").cast("long") * stride
+    piece = F.slice(F.col("_w"), (start + 1).cast("int"), chunk_size)
+    return exploded.select(
+        F.col(id_col),
+        F.col("_i").cast("long").alias("chunk_id"),
+        start.alias("token_start"),
+        F.least(start + chunk_size, F.size("_w").cast("long")).alias("token_end"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
