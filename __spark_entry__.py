@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from pbf2json_spark import (
     ann, cells, corpus, decontam, dedup, denorm, dsl, pages, relations,
-    sampling, spatial, temporal, textops, weburl,
+    sampling, spatial, temporal, textops, trajectory, weburl,
 )
 
 # --------------------------------------------------------------------------
@@ -1085,6 +1085,85 @@ def _q_compact_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.compact_cover(cover, 6, min_res=3)
 
 
+def _segments_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic road segments keyed by supplier: endpoint A from the
+    within_dist point formulas, endpoint B = A + a deterministic delta in
+    (-6.005, +6.005) degrees. The 6.005 offset (not 6.0) makes the delta
+    provably non-zero: (k*37 % 1200)/100 is an exact multiple of 0.01 and
+    6.005's nearest double is 0.005 away, so no zero-length segments exist
+    at any sf (k ≡ 600 mod 1200 would zero a -6.0 variant)."""
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    alat = (k * 131 % 16000) / F.lit(100.0) - F.lit(80.0)
+    alon = (k * 257 % 34000) / F.lit(100.0) - F.lit(170.0)
+    blat = alat + ((k * 37 % 1200) / F.lit(100.0) - F.lit(6.005))
+    blon = alon + ((k * 61 % 1200) / F.lit(100.0) - F.lit(6.005))
+    return s.select(
+        k.alias("sid"),
+        alat.alias("alat"), alon.alias("alon"),
+        blat.alias("blat"), blon.alias("blon"),
+    )
+
+
+_SEGS_SQL = (
+    "SELECT s_suppkey AS sid, alat, alon, "
+    "alat + ((s_suppkey * 37 % 1200) / CAST(100.0 AS DOUBLE) - CAST(6.005 AS DOUBLE)) AS blat, "
+    "alon + ((s_suppkey * 61 % 1200) / CAST(100.0 AS DOUBLE) - CAST(6.005 AS DOUBLE)) AS blon "
+    "FROM (SELECT s_suppkey, "
+    "(s_suppkey * 131 % 16000) / CAST(100.0 AS DOUBLE) - CAST(80.0 AS DOUBLE) AS alat, "
+    "(s_suppkey * 257 % 34000) / CAST(100.0 AS DOUBLE) - CAST(170.0 AS DOUBLE) AS alon "
+    "FROM supplier)"
+)
+
+
+def _q_nearest_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-matching lite (spatial.nearest_segment_join): every customer
+    point snapped to its nearest supplier road segment within 5°; the
+    oracle is the brute-force cross join + row_number argmin over the
+    identical projection/clamp expression tree."""
+    pts = _points_customer(spark, sf_dir)
+    segs = _segments_supplier(spark, sf_dir)
+    return spatial.nearest_segment_join(
+        pts, segs, radius_deg=5.0, res=6, point_id="cid", seg_id="sid"
+    )
+
+
+def _traj_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory frame from events: one row per (user_id, ts) — ties
+    collapsed to min(event_id) so the time order is total and both engines
+    lag over the same sequence — positions from the shared _lat/_lon
+    formulas on that winning event id."""
+    e = _t(spark, sf_dir, "events")
+    pos = e.groupBy("user_id", "ts").agg(F.min("event_id").alias("eid"))
+    return pos.select(
+        "user_id", "ts",
+        _lat_col(F.col("eid")).alias("lat"),
+        _lon_col(F.col("eid")).alias("lon"),
+    )
+
+
+_TRAJ_SQL = (
+    "SELECT user_id, ts, " + _lat_sql("eid") + " AS lat, " + _lon_sql("eid")
+    + " AS lon FROM (SELECT user_id, ts, min(event_id) AS eid "
+    "FROM events GROUP BY user_id, ts)"
+)
+
+
+def _q_travel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory summary (trajectory.travel_stats): path length
+    accumulated as integer nano-degree steps (an int64 sum is
+    order-independent; a double sum is not), longest step as a plain max."""
+    return trajectory.travel_stats(_traj_events(spark, sf_dir))
+
+
+def _q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell detection (trajectory.stay_points): gaps-and-islands on
+    distance jumps > 40° — run ids, time span, and bbox per stay."""
+    return trajectory.stay_points(
+        _traj_events(spark, sf_dir), dist_thresh_deg=40.0, min_points=2
+    )
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable md5-derived fingerprint columns (Spark md5 == DuckDB md5 on
     the same UTF-8 bytes → value-exact oracle); the engine-internal xxhash64
@@ -1549,6 +1628,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_assign": _q_geohash,
         "tile_pyramid": _q_tile_pyramid,
         "compact_cover": _q_compact_cover,
+        "nearest_segment": _q_nearest_segment,
+        "travel_stats": _q_travel_stats,
+        "stay_points": _q_stay_points,
     }
 
 
@@ -2413,6 +2495,65 @@ def oracle_sql() -> dict[str, str]:
         "geohash_assign": _geohash_sql(7),
         "tile_pyramid": _tile_pyramid_sql(6, 3),
         "compact_cover": _compact_cover_sql(6, 3),
+        # brute-force cross join + row_number argmin over the IDENTICAL
+        # projection/clamp expression tree nearest_segment_join evaluates —
+        # every op is a single correctly-rounded IEEE double op, so the
+        # doubles compare bit-for-bit.
+        "nearest_segment": (
+            f"WITH pts AS ({_PTS_SQL}), "
+            f"seg AS ({_SEGS_SQL}), "
+            "c AS (SELECT pts.cid, seg.sid, pts.lat, pts.lon, "
+            "seg.alat, seg.alon, seg.blon - seg.alon AS dx, "
+            "seg.blat - seg.alat AS dy FROM pts, seg), "
+            "t AS (SELECT cid, sid, lat, lon, alat, alon, dx, dy, "
+            "CASE WHEN dx * dx + dy * dy = 0.0 THEN CAST(0.0 AS DOUBLE) "
+            "ELSE greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE), "
+            "((lon - alon) * dx + (lat - alat) * dy) / (dx * dx + dy * dy))) "
+            "END AS t_along FROM c), "
+            "d AS (SELECT cid, sid, t_along, "
+            "(lon - (alon + t_along * dx)) * (lon - (alon + t_along * dx)) "
+            "+ (lat - (alat + t_along * dy)) * (lat - (alat + t_along * dy)) "
+            "AS dist2_deg FROM t) "
+            "SELECT cid, sid, dist2_deg, t_along FROM ("
+            "SELECT cid, sid, dist2_deg, t_along, "
+            "row_number() OVER (PARTITION BY cid ORDER BY dist2_deg, sid) AS rn "
+            "FROM d WHERE dist2_deg <= 5.0 * 5.0) WHERE rn = 1"
+        ),
+        "travel_stats": (
+            f"WITH t AS ({_TRAJ_SQL}), "
+            "l AS (SELECT user_id, lat, lon, "
+            "lag(lat) OVER (PARTITION BY user_id ORDER BY ts) AS plat, "
+            "lag(lon) OVER (PARTITION BY user_id ORDER BY ts) AS plon FROM t), "
+            "s AS (SELECT user_id, "
+            "CASE WHEN plat IS NULL THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(floor(sqrt((lat - plat) * (lat - plat) "
+            "+ (lon - plon) * (lon - plon)) * CAST(1000000000 AS DOUBLE)) AS BIGINT) "
+            "END AS step_e9, "
+            "CASE WHEN plat IS NULL THEN CAST(0.0 AS DOUBLE) "
+            "ELSE sqrt((lat - plat) * (lat - plat) + (lon - plon) * (lon - plon)) "
+            "END AS step FROM l) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_points, "
+            "CAST(sum(step_e9) AS BIGINT) AS total_dist_e9, "
+            "max(step) AS max_step_deg FROM s GROUP BY user_id"
+        ),
+        "stay_points": (
+            f"WITH t AS ({_TRAJ_SQL}), "
+            "l AS (SELECT user_id, ts, lat, lon, "
+            "lag(lat) OVER (PARTITION BY user_id ORDER BY ts) AS plat, "
+            "lag(lon) OVER (PARTITION BY user_id ORDER BY ts) AS plon FROM t), "
+            "n AS (SELECT user_id, ts, lat, lon, "
+            "CASE WHEN plat IS NULL OR "
+            "sqrt((lat - plat) * (lat - plat) + (lon - plon) * (lon - plon)) "
+            "> CAST(40.0 AS DOUBLE) THEN 1 ELSE 0 END AS new_run FROM l), "
+            "r AS (SELECT user_id, ts, lat, lon, "
+            "CAST(sum(new_run) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS stay_id FROM n) "
+            "SELECT user_id, stay_id, CAST(count(*) AS BIGINT) AS n_points, "
+            "min(ts) AS ts_start, max(ts) AS ts_end, "
+            "min(lat) AS lat_min, max(lat) AS lat_max, "
+            "min(lon) AS lon_min, max(lon) AS lon_max "
+            "FROM r GROUP BY user_id, stay_id HAVING count(*) >= 2"
+        ),
         "token_count": (
             "SELECT doc_id, "
             "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "

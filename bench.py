@@ -69,6 +69,14 @@ BENCH_QUERIES = [
     "redact_pii",
     "topk_per_lang",
     "poly_metrics",
+    "contamination",
+    "chunk_docs",
+    "geohash_assign",
+    "tile_pyramid",
+    "compact_cover",
+    "nearest_segment",
+    "travel_stats",
+    "stay_points",
 ]
 
 

@@ -802,3 +802,86 @@ def tile_pyramid(
         .groupBy("level", "qk")
         .agg(F.sum("n").alias("n"))
     )
+
+
+def nearest_segment_join(
+    points: DataFrame,
+    segments: DataFrame,
+    radius_deg: float,
+    res: int = 10,
+    point_id: str = "point_id",
+    seg_id: str = "seg_id",
+) -> DataFrame:
+    """Map-matching primitive: for each point, the nearest line segment
+    within `radius_deg` (planar degree metric) — ties broken by smallest
+    seg_id; points with no segment in range produce no row.
+
+    Inputs: points (point_id, lat, lon); segments (seg_id, alat, alon,
+    blat, blon). Output: (point_id, seg_id, dist2_deg, t_along) where
+    t_along ∈ [0,1] is the projection parameter of the closest point on
+    the segment.
+
+    Scale shape — the same grid equi-join discipline as the other spatial
+    joins: each segment explodes to the cells covering its bbox INFLATED
+    by the radius (so any point within radius of the segment lies in one
+    of those cells); each point carries its single containing cell; the
+    join is a plain (cx, cy) hash join and every candidate pair meets in
+    EXACTLY one cell (the point's) — no dedup exchange. The argmin is one
+    map-side-combinable min(struct) groupBy. Exactness: point-to-segment
+    distance is projection + clamp — multiply/divide/add, each IEEE
+    exact-rounded, a fixed expression tree the DuckDB oracle reproduces
+    bit-for-bit. The metric is UNWRAPPED planar degrees (same convention,
+    and same honesty, as within_distance_join); latitude/longitude grid
+    coords clamp at the domain edges.
+
+    Pick `res` so the inflated segment bbox covers a handful of cells
+    (road segments are short; radius is small). A road network is ~10^8
+    segments ≪ 10^12 points: Spark will broadcast the exploded segment
+    side under AQE when it fits, else both sides hash-partition by cell —
+    either way no shuffle of the points' payload beyond (id, lat, lon).
+    """
+    pts = points.select(
+        F.col(point_id),
+        F.col("lat").alias("_plat"),
+        F.col("lon").alias("_plon"),
+    )
+    px, py = cells.xy_cols(F.col("_plat"), F.col("_plon"), res)
+    pts = pts.select("*", px.alias("cx"), py.alias("cy"))
+
+    seg = segments.select(
+        F.col(seg_id),
+        F.col("alat"), F.col("alon"), F.col("blat"), F.col("blon"),
+        (F.least("alat", "blat") - radius_deg).alias("lat0"),
+        (F.greatest("alat", "blat") + radius_deg).alias("lat1"),
+        (F.least("alon", "blon") - radius_deg).alias("lon0"),
+        (F.greatest("alon", "blon") + radius_deg).alias("lon1"),
+    )
+    sg = _grid_cover(seg, res, "s_")
+
+    j = pts.join(sg, ["cx", "cy"])
+    ax, ay = F.col("s_alon"), F.col("s_alat")
+    dx, dy = F.col("s_blon") - ax, F.col("s_blat") - ay
+    len2 = dx * dx + dy * dy
+    t_raw = ((F.col("_plon") - ax) * dx + (F.col("_plat") - ay) * dy) / len2
+    t = F.when(len2 == 0.0, F.lit(0.0)).otherwise(
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), t_raw))
+    )
+    qx_, qy_ = ax + t * dx, ay + t * dy
+    dist2 = (F.col("_plon") - qx_) * (F.col("_plon") - qx_) + (
+        F.col("_plat") - qy_
+    ) * (F.col("_plat") - qy_)
+    cand = j.select(
+        F.col(point_id),
+        F.col(f"s_{seg_id}").alias(seg_id),
+        dist2.alias("dist2_deg"),
+        t.alias("t_along"),
+    ).filter(F.col("dist2_deg") <= radius_deg * radius_deg)
+    best = cand.groupBy(point_id).agg(
+        F.min(F.struct("dist2_deg", seg_id, "t_along")).alias("_b")
+    )
+    return best.select(
+        point_id,
+        F.col(f"_b.{seg_id}").alias(seg_id),
+        F.col("_b.dist2_deg").alias("dist2_deg"),
+        F.col("_b.t_along").alias("t_along"),
+    )

@@ -1,0 +1,114 @@
+"""Trajectory operators over (user, ts, lat, lon) event streams: per-user
+travel statistics and stay-point (dwell) detection — the geospatial twin
+of temporal.sessionize (gaps-and-islands on DISTANCE jumps instead of time
+gaps).
+
+Portability discipline (shared with windowed_events): anything SUMMED
+across rows is integer-scaled first — floating-point addition is
+order-dependent, so a double sum over an unordered group is not
+reproducible across engines (or even across partitionings); an int64 sum
+is. Distances are therefore accumulated as floor(dist * 1e9) "nano-degree"
+steps. Per-row doubles (the step distance itself) stay exact: sub/mul/add/
+sqrt are each correctly-rounded IEEE ops over a fixed expression tree.
+
+Shapes at 100 TB: both operators are ONE hash exchange on the user key
+followed by window/groupBy work inside the partition — the same cost as
+any per-user sessionization; no self-joins, no explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SCALE = 1_000_000_000  # nano-degrees: 2^63 / 1e9 ≈ 9e9 degrees of travel per user
+
+
+def _step_dist(lat: str, lon: str, plat: Column, plon: Column) -> Column:
+    dla = F.col(lat) - plat
+    dlo = F.col(lon) - plon
+    return F.sqrt(dla * dla + dlo * dlo)
+
+
+def travel_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Per-user trajectory summary: point count, total path length
+    (planar degrees, integer-scaled sum), and the longest single step.
+
+    Output: (user, n_points, total_dist_e9:long, max_step_deg:double).
+    Rows must have unique (user, ts) for a deterministic order (ties are
+    broken by nothing — assert upstream or pre-dedupe).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    plat, plon = F.lag(lat_col).over(w), F.lag(lon_col).over(w)
+    step = _step_dist(lat_col, lon_col, plat, plon)
+    stepped = df.select(
+        F.col(user_col),
+        F.when(plat.isNull(), F.lit(0).cast("long"))
+        .otherwise(F.floor(step * _SCALE).cast("long"))
+        .alias("_step_e9"),
+        F.when(plat.isNull(), F.lit(0.0)).otherwise(step).alias("_step"),
+    )
+    return stepped.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("_step_e9").alias("total_dist_e9"),
+        F.max("_step").alias("max_step_deg"),
+    )
+
+
+def stay_points(
+    df: DataFrame,
+    dist_thresh_deg: float,
+    min_points: int = 2,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Dwell detection: maximal runs of consecutive points (per user, in
+    time order) where every step moves <= dist_thresh_deg; runs with
+    >= min_points points are stay-points.
+
+    Output: (user, stay_id, n_points, ts_start, ts_end, lat_min, lat_max,
+    lon_min, lon_max) — stay_id numbers the user's runs from 0 in time
+    order (including runs later filtered by min_points, so ids are stable
+    under threshold changes to min_points). The bbox stands in for a
+    centroid because min/max are order-independent (a double-avg centroid
+    is not reproducible across partitionings; derive one downstream from
+    the bbox or an integer-scaled sum if needed).
+
+    Gaps-and-islands: a step longer than the threshold opens a new run
+    (lag + cumsum over the user window), then one groupBy per (user, run).
+    Same single-exchange shape as temporal.sessionize.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    plat, plon = F.lag(lat_col).over(w), F.lag(lon_col).over(w)
+    step = _step_dist(lat_col, lon_col, plat, plon)
+    new_run = F.when(
+        plat.isNull() | (step > F.lit(dist_thresh_deg)), F.lit(1)
+    ).otherwise(F.lit(0))
+    runs = df.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(lat_col),
+        F.col(lon_col),
+        (F.sum(new_run).over(w) - 1).cast("long").alias("stay_id"),
+    )
+    return (
+        runs.groupBy(user_col, "stay_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min(ts_col).alias("ts_start"),
+            F.max(ts_col).alias("ts_end"),
+            F.min(lat_col).alias("lat_min"),
+            F.max(lat_col).alias("lat_max"),
+            F.min(lon_col).alias("lon_min"),
+            F.max(lon_col).alias("lon_max"),
+        )
+        .filter(F.col("n_points") >= min_points)
+    )
