@@ -1164,6 +1164,100 @@ def _q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _segments_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second synthetic segment set (customer-keyed, the shared _lat/_lon
+    point formulas for endpoint A) — 5.005-offset deltas, non-zero by the
+    same argument as _segments_supplier."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    alat = _lat_col(k)
+    alon = _lon_col(k)
+    blat = alat + ((k * 43 % 1000) / F.lit(100.0) - F.lit(5.005))
+    blon = alon + ((k * 67 % 1000) / F.lit(100.0) - F.lit(5.005))
+    return c.select(
+        k.alias("cid"),
+        alat.alias("alat"), alon.alias("alon"),
+        blat.alias("blat"), blon.alias("blon"),
+    )
+
+
+_CSEGS_SQL = (
+    "SELECT c_custkey AS cid, alat, alon, "
+    "alat + ((c_custkey * 43 % 1000) / CAST(100.0 AS DOUBLE) - CAST(5.005 AS DOUBLE)) AS blat, "
+    "alon + ((c_custkey * 67 % 1000) / CAST(100.0 AS DOUBLE) - CAST(5.005 AS DOUBLE)) AS blon "
+    "FROM (SELECT c_custkey, " + _lat_sql("c_custkey") + " AS alat, "
+    + _lon_sql("c_custkey") + " AS alon FROM customer)"
+)
+
+
+def _q_segment_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Road-crossing join (spatial.segment_intersect_join): customer
+    segments × supplier segments, CLRS orientation predicate; oracle is
+    the brute-force cross join over the identical sign tests."""
+    return spatial.segment_intersect_join(
+        _segments_customer(spark, sf_dir),
+        _segments_supplier(spark, sf_dir),
+        res=6, left_id="cid", right_id="sid",
+    )
+
+
+def _q_spatial_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exclusion-zone filter (spatial.spatial_anti_join): customers with
+    NO supplier query point within 6° — one left_anti hash join; oracle is
+    NOT EXISTS over the same squared-distance predicate."""
+    return spatial.spatial_anti_join(
+        _points_customer(spark, sf_dir),
+        _queries_supplier(spark, sf_dir),
+        radius_deg=6.0, res=6, point_id="cid",
+    )
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate line removal (C4/CCNet-style,
+    textops.remove_boilerplate_lines): 3-line synthetic pages where every
+    3rd doc carries a cookie banner and every 4th a footer; lines in >= 10
+    distinct docs are removed, surviving lines keep document order, and
+    fully-boilerplate docs stay as empty rows."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    line1 = F.when(k % 3 == 0, F.lit("accept all cookies")).otherwise(
+        F.concat(F.lit("intro "), k.cast("string"))
+    )
+    line2 = F.substring(F.col("text"), 1, 40)
+    line3 = F.when(k % 4 == 0, F.lit("footer subscribe now")).otherwise(
+        F.concat(F.lit("tail "), k.cast("string"))
+    )
+    pages3 = d.select(
+        "doc_id", F.concat_ws("\n", line1, line2, line3).alias("text")
+    )
+    return textops.remove_boilerplate_lines(pages3, min_docs=10)
+
+
+def _q_simplify_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas-Peucker over per-user trajectories (rows-only: DP's split
+    recursion is not SQL-expressible; the kernel is brute-force-verified
+    in tests/test_round3b.py). Output keeps the simplified vertex count
+    and endpoints per user."""
+    t = _traj_events(spark, sf_dir)
+    lines = (
+        t.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("ts", "lat", "lon"))).alias("_p"))
+        .select(
+            "user_id",
+            F.transform(
+                "_p", lambda s: F.struct(s["lat"].alias("lat"), s["lon"].alias("lon"))
+            ).alias("line"),
+        )
+    )
+    out = spatial.simplify_polylines(lines, eps_deg=30.0)
+    return out.select(
+        "user_id",
+        F.size("line").cast("long").alias("n_vertices"),
+        F.element_at("line", 1)["lat"].alias("lat_first"),
+        F.element_at("line", -1)["lat"].alias("lat_last"),
+    )
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable md5-derived fingerprint columns (Spark md5 == DuckDB md5 on
     the same UTF-8 bytes → value-exact oracle); the engine-internal xxhash64
@@ -1631,6 +1725,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_segment": _q_nearest_segment,
         "travel_stats": _q_travel_stats,
         "stay_points": _q_stay_points,
+        "segment_intersect": _q_segment_intersect,
+        "spatial_anti": _q_spatial_anti,
+        "line_dedup": _q_line_dedup,
+        "simplify_lines": _q_simplify_lines,
     }
 
 
@@ -2518,6 +2616,63 @@ def oracle_sql() -> dict[str, str]:
             "SELECT cid, sid, dist2_deg, t_along, "
             "row_number() OVER (PARTITION BY cid ORDER BY dist2_deg, sid) AS rn "
             "FROM d WHERE dist2_deg <= 5.0 * 5.0) WHERE rn = 1"
+        ),
+        # cross join + the identical CLRS orientation predicate: every
+        # cross product is sub/mul only, the comparisons add no rounding,
+        # so the intersect decision is bit-identical in both engines.
+        "segment_intersect": (
+            f"WITH l AS ({_CSEGS_SQL}), r AS ({_SEGS_SQL}), "
+            "x AS (SELECT l.cid, r.sid, "
+            "(r.blon - r.alon) * (l.alat - r.alat) - (r.blat - r.alat) * (l.alon - r.alon) AS d1, "
+            "(r.blon - r.alon) * (l.blat - r.alat) - (r.blat - r.alat) * (l.blon - r.alon) AS d2, "
+            "(l.blon - l.alon) * (r.alat - l.alat) - (l.blat - l.alat) * (r.alon - l.alon) AS d3, "
+            "(l.blon - l.alon) * (r.blat - l.alat) - (l.blat - l.alat) * (r.blon - l.alon) AS d4, "
+            "l.alat AS lay, l.alon AS lax, l.blat AS lby, l.blon AS lbx, "
+            "r.alat AS ray, r.alon AS rax, r.blat AS rby, r.blon AS rbx "
+            "FROM l, r) "
+            "SELECT cid, sid FROM x WHERE "
+            "(((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0)) "
+            " AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))) "
+            "OR (d1 = 0 AND least(rax, rbx) <= lax AND lax <= greatest(rax, rbx) "
+            "    AND least(ray, rby) <= lay AND lay <= greatest(ray, rby)) "
+            "OR (d2 = 0 AND least(rax, rbx) <= lbx AND lbx <= greatest(rax, rbx) "
+            "    AND least(ray, rby) <= lby AND lby <= greatest(ray, rby)) "
+            "OR (d3 = 0 AND least(lax, lbx) <= rax AND rax <= greatest(lax, lbx) "
+            "    AND least(lay, lby) <= ray AND ray <= greatest(lay, lby)) "
+            "OR (d4 = 0 AND least(lax, lbx) <= rbx AND rbx <= greatest(lax, lbx) "
+            "    AND least(lay, lby) <= rby AND rby <= greatest(lay, lby))"
+        ),
+        "spatial_anti": (
+            f"WITH pts AS ({_PTS_SQL}), "
+            "q AS (SELECT "
+            "(s_suppkey * 131 % 16000) / CAST(100.0 AS DOUBLE) - CAST(80.0 AS DOUBLE) AS qlat, "
+            "(s_suppkey * 257 % 34000) / CAST(100.0 AS DOUBLE) - CAST(170.0 AS DOUBLE) AS qlon "
+            "FROM supplier) "
+            "SELECT cid, lat, lon FROM pts WHERE NOT EXISTS ("
+            "SELECT 1 FROM q WHERE "
+            "(pts.lat - q.qlat) * (pts.lat - q.qlat) "
+            "+ (pts.lon - q.qlon) * (pts.lon - q.qlon) <= 6.0 * 6.0)"
+        ),
+        "line_dedup": (
+            "WITH d AS (SELECT doc_id, "
+            "(CASE WHEN doc_id % 3 = 0 THEN 'accept all cookies' "
+            " ELSE 'intro ' || doc_id END) || chr(10) || "
+            "substr(text, 1, 40) || chr(10) || "
+            "(CASE WHEN doc_id % 4 = 0 THEN 'footer subscribe now' "
+            " ELSE 'tail ' || doc_id END) AS text FROM documents), "
+            "l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d), "
+            "e AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, "
+            "unnest(ls) AS line FROM l), "
+            "b AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM e) "
+            "GROUP BY line HAVING count(*) >= 10), "
+            "k AS (SELECT doc_id, pos, line FROM e "
+            "WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.line = e.line)), "
+            "r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean, "
+            "CAST(count(*) AS BIGINT) AS n_kept FROM k GROUP BY doc_id) "
+            "SELECT l.doc_id, coalesce(r.text_clean, '') AS text_clean, "
+            "coalesce(r.n_kept, 0) AS n_kept, "
+            "CAST(len(l.ls) - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped "
+            "FROM l LEFT JOIN r ON l.doc_id = r.doc_id"
         ),
         "travel_stats": (
             f"WITH t AS ({_TRAJ_SQL}), "

@@ -77,6 +77,10 @@ BENCH_QUERIES = [
     "nearest_segment",
     "travel_stats",
     "stay_points",
+    "segment_intersect",
+    "spatial_anti",
+    "line_dedup",
+    "simplify_lines",
 ]
 
 

@@ -221,3 +221,51 @@ def ring_perimeter_col(ring):
         ),
     )
     return F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
+
+
+# --- polyline simplification (Douglas-Peucker) --------------------------------
+
+
+def dp_keep_mask(lat: np.ndarray, lon: np.ndarray, eps: float) -> np.ndarray:
+    """Douglas-Peucker keep-mask for one polyline, iterative (explicit
+    stack — no recursion limit), numpy-vectorized per span.
+
+    Distance is point-to-SEGMENT (projection + clamp, the same expression
+    tree as spatial.nearest_segment_join), planar degrees. A point splits
+    its span when its squared distance is STRICTLY greater than eps²; ties
+    across the span resolve to the FIRST max index (np.argmax) — both
+    choices fixed so the mask is deterministic for any input. Endpoints
+    are always kept; n <= 2 keeps everything.
+    """
+    n = lat.shape[0]
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    keep[0] = keep[n - 1] = True
+    if n <= 2:
+        return keep
+    eps2 = eps * eps
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        ax, ay = lon[i], lat[i]
+        bx, by = lon[j], lat[j]
+        px, py = lon[i + 1 : j], lat[i + 1 : j]
+        dx, dy = bx - ax, by - ay
+        len2 = dx * dx + dy * dy
+        if len2 == 0.0:
+            d2 = (px - ax) * (px - ax) + (py - ay) * (py - ay)
+        else:
+            t = ((px - ax) * dx + (py - ay) * dy) / len2
+            np.clip(t, 0.0, 1.0, out=t)
+            qx, qy = ax + t * dx, ay + t * dy
+            d2 = (px - qx) * (px - qx) + (py - qy) * (py - qy)
+        k = int(np.argmax(d2))
+        if d2[k] > eps2:
+            split = i + 1 + k
+            keep[split] = True
+            stack.append((i, split))
+            stack.append((split, j))
+    return keep

@@ -885,3 +885,173 @@ def nearest_segment_join(
         F.col("_b.dist2_deg").alias("dist2_deg"),
         F.col("_b.t_along").alias("t_along"),
     )
+
+
+def segment_intersect_join(
+    left: DataFrame,
+    right: DataFrame,
+    res: int,
+    left_id: str = "l_id",
+    right_id: str = "r_id",
+) -> DataFrame:
+    """All (left, right) pairs of line segments that intersect (closed:
+    touching endpoints and collinear overlap count) — the road-crossing /
+    conflation primitive.
+
+    Inputs: frames with (<id>, alat, alon, blat, blon). Output:
+    (left_id, right_id).
+
+    Predicate: the CLRS orientation test — four cross products
+    d = (qx-px)(ry-py) - (qy-py)(rx-px), proper intersection when the two
+    sign pairs straddle, touching/collinear handled by d==0 + on-segment
+    bbox checks. Every d is sub/mul only (each correctly rounded, one fixed
+    expression tree), and the comparisons add no rounding — so the result
+    is the SIGN OF THE DOUBLE-EVALUATED cross product in any IEEE engine
+    and the DuckDB oracle reproduces it bit-for-bit. (That is determinism,
+    not symbolic-exact geometry: inputs needing >53-bit orientation
+    precision resolve by double rounding, identically in both engines.)
+
+    Scale shape — same discipline as bbox_intersect_join: each side
+    explodes to the grid cells covering its segment bbox (sequence ×
+    explode, codegen), the join is a plain (cx, cy) hash equi-join (never
+    a nested-loop theta join), and duplicate cell hits are eliminated by
+    the REPORTING-CELL rule (emit only in the cell holding the max of the
+    two bboxes' min corners) — no post-join distinct exchange.
+    """
+    def boxed(df: DataFrame) -> DataFrame:
+        return df.select(
+            "*",
+            F.least("alat", "blat").alias("lat0"),
+            F.greatest("alat", "blat").alias("lat1"),
+            F.least("alon", "blon").alias("lon0"),
+            F.greatest("alon", "blon").alias("lon1"),
+        )
+
+    lg = _grid_cover(boxed(left), res, "l_")
+    rg = _grid_cover(boxed(right), res, "r_")
+    j = lg.join(rg, ["cx", "cy"])
+    report = (F.col("cx") == F.greatest("l_x0g", "r_x0g")) & (
+        F.col("cy") == F.greatest("l_y0g", "r_y0g")
+    )
+
+    def cross(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    ax, ay = F.col("l_alon"), F.col("l_alat")
+    bx, by = F.col("l_blon"), F.col("l_blat")
+    cx_, cy_ = F.col("r_alon"), F.col("r_alat")
+    dx_, dy_ = F.col("r_blon"), F.col("r_blat")
+    d1 = cross(cx_, cy_, dx_, dy_, ax, ay)
+    d2 = cross(cx_, cy_, dx_, dy_, bx, by)
+    d3 = cross(ax, ay, bx, by, cx_, cy_)
+    d4 = cross(ax, ay, bx, by, dx_, dy_)
+
+    def on_seg(px, py, qx, qy, rx, ry):
+        return (
+            (F.least(px, qx) <= rx) & (rx <= F.greatest(px, qx))
+            & (F.least(py, qy) <= ry) & (ry <= F.greatest(py, qy))
+        )
+
+    proper = (
+        (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0)))
+        & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
+    )
+    inter = (
+        proper
+        | ((d1 == 0) & on_seg(cx_, cy_, dx_, dy_, ax, ay))
+        | ((d2 == 0) & on_seg(cx_, cy_, dx_, dy_, bx, by))
+        | ((d3 == 0) & on_seg(ax, ay, bx, by, cx_, cy_))
+        | ((d4 == 0) & on_seg(ax, ay, bx, by, dx_, dy_))
+    )
+    return j.filter(report & inter).select(
+        F.col(f"l_{left_id}").alias(left_id),
+        F.col(f"r_{right_id}").alias(right_id),
+    )
+
+
+def spatial_anti_join(
+    points: DataFrame,
+    queries: DataFrame,
+    radius_deg: float,
+    res: int = 12,
+    point_id: str = "point_id",
+) -> DataFrame:
+    """Points with NO query point within `radius_deg` (squared planar
+    degree metric, same conventions as within_distance_join) — the
+    exclusion-zone / decontamination primitive for coordinates ("drop
+    every page geocoded near a sensitive site").
+
+    Output: the surviving point rows (point_id, lat, lon).
+
+    Shape: ONE left_anti hash join. Queries explode to their Chebyshev
+    cell disk (covering the radius); points carry their single containing
+    cell; the anti join matches on cell equality AND the exact distance
+    predicate in the same operator — a point survives iff no row matches,
+    so there is no distinct, no second pass, and nothing but (id, lat,
+    lon) ever shuffles. The disk guarantees completeness: any query within
+    radius of a point has that point's cell in its disk. Broadcast the
+    exploded query side when it fits (Spark's planner does this under AQE
+    for metadata-scale query sets — the common case for exclusion zones).
+    """
+    pts = points.select(
+        F.col(point_id),
+        F.col("lat"),
+        F.col("lon"),
+        cells.cell_col(F.col("lat"), F.col("lon"), res).alias("_pcell"),
+    )
+    qx, qy = cells.xy_cols(F.col("lat"), F.col("lon"), res)
+    lat_extent = 180.0 / (1 << res)
+    disk_r = int(np.ceil(radius_deg / lat_extent)) + 1
+    q = queries.select(
+        F.col("lat").alias("_qlat"),
+        F.col("lon").alias("_qlon"),
+        F.explode(
+            F.array_distinct(cells.disk_col(qx, qy, res, F.lit(disk_r)))
+        ).alias("_cells"),
+    )
+    dlat = pts["lat"] - F.col("_qlat")
+    dlon = pts["lon"] - F.col("_qlon")
+    within = dlat * dlat + dlon * dlon <= F.lit(radius_deg * radius_deg)
+    return pts.join(
+        q, (pts["_pcell"] == q["_cells"]) & within, "left_anti"
+    ).select(point_id, "lat", "lon")
+
+
+def simplify_polylines(
+    df: DataFrame,
+    eps_deg: float,
+    line_col: str = "line",
+) -> DataFrame:
+    """Douglas-Peucker polyline simplification: replaces `line_col`
+    (array<struct<lat:double,lon:double>>) with the subsequence of vertices
+    whose removal would deviate the line by more than `eps_deg`
+    (point-to-segment, planar degrees). Endpoints always survive.
+
+    Scale shape: per-row independent — zero shuffle, embarrassingly
+    parallel. DP's split recursion is inherently sequential per line, so
+    this is one of the few legitimately Pandas-UDF operators (Arrow
+    batches; the span-distance inner loop is numpy-vectorized in
+    geo.dp_keep_mask, not per-point Python). Simplification runs BEFORE
+    any explode/join of vertices, so at 100 TB it shrinks every downstream
+    shuffle instead of adding one.
+    """
+    import pandas as pd
+
+    @F.pandas_udf("array<struct<lat:double,lon:double>>")
+    def simp(lines: pd.Series) -> pd.Series:
+        out = []
+        for line in lines:
+            if line is None:
+                out.append(None)
+                continue
+            n = len(line)
+            if n <= 2:
+                out.append(list(line))
+                continue
+            lat = np.fromiter((p["lat"] for p in line), np.float64, n)
+            lon = np.fromiter((p["lon"] for p in line), np.float64, n)
+            keepm = geo.dp_keep_mask(lat, lon, eps_deg)
+            out.append([p for p, k in zip(line, keepm) if k])
+        return pd.Series(out)
+
+    return df.withColumn(line_col, simp(F.col(line_col)))
