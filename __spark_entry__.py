@@ -38,8 +38,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pbf2json_spark import (
-    ann, cells, corpus, decontam, dedup, denorm, dsl, pages, relations,
-    sampling, spatial, temporal, textops, trajectory, weburl,
+    ann, cells, corpus, decontam, dedup, denorm, dsl, graph, pages,
+    relations, sampling, spatial, temporal, textops, trajectory, weburl,
 )
 
 # --------------------------------------------------------------------------
@@ -1233,6 +1233,105 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.remove_boilerplate_lines(pages3, min_docs=10)
 
 
+def _link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic link graph over the document ids (contiguous 0..n-1):
+    every page links to two formula targets, every 5th also to page 0 (the
+    hub). Parallel edges are kept — PageRank treats them as edge weight."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    k = F.col("doc_id")
+    e1 = d.select(k.alias("src"), ((k * 7 + 3) % n).alias("dst"))
+    e2 = d.select(k.alias("src"), ((k * 13 + 5) % n).alias("dst"))
+    e3 = d.filter(k % 5 == 0).select(
+        k.alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    return e1.unionByName(e2).unionByName(e3)
+
+
+_EDGES_SQL = (
+    "SELECT doc_id AS src, (doc_id * 7 + 3) % (SELECT count(*) FROM documents) AS dst "
+    "FROM documents "
+    "UNION ALL SELECT doc_id, (doc_id * 13 + 5) % (SELECT count(*) FROM documents) "
+    "FROM documents "
+    "UNION ALL SELECT doc_id, 0 FROM documents WHERE doc_id % 5 = 0"
+)
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-scaled PageRank, 3 iterations (graph.pagerank_int): every
+    step is int64 div/mul/sum — order-independent and engine-portable, so
+    the DuckDB oracle (the same three steps as chained CTEs) is exact."""
+    return graph.pagerank_int(_link_edges(spark, sf_dir), n_iter=3)
+
+
+def _pagerank_sql(n_iter: int, damping_pct: int = 85) -> str:
+    """DuckDB mirror of graph.pagerank_int: one CTE per iteration, the
+    identical integer recurrence."""
+    scale = graph.SCALE
+    base = (100 - damping_pct) * scale // 100
+    parts = [
+        f"e AS ({_EDGES_SQL})",
+        "nodes AS (SELECT DISTINCT src AS node FROM e "
+        "UNION SELECT DISTINCT dst FROM e)",
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"r{i + 1} AS (SELECT n.node, "
+            f"CAST({base} + {damping_pct} * coalesce(s.m, 0) // 100 AS BIGINT) AS r "
+            f"FROM nodes n LEFT JOIN (SELECT e.dst AS node, sum(r.r // deg.d) AS m "
+            f"FROM e JOIN r{i} r ON e.src = r.node "
+            "JOIN deg ON e.src = deg.src GROUP BY e.dst) s ON n.node = s.node)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node, r AS rank_e9 FROM r{n_iter}"
+    )
+
+
+def _hotspots_sql(res: int, min_pts: int) -> str:
+    """DuckDB mirror of spatial.hotspot_clusters over the orders-keyed
+    points: same xy quantize/clamp, same packed key, components via a
+    recursive CTE (transitive min over the 8-neighbor adjacency, lon
+    wrapped, lat bounded) — exact regardless of iteration count, which is
+    what certifies that the Spark label propagation CONVERGED."""
+    n = 1 << res
+    x, y = _sql_cell_xy(_lat_sql("o_orderkey"), _lon_sql("o_orderkey"), res)
+    return (
+        "WITH RECURSIVE "
+        f"xy AS (SELECT {x} AS x, {y} AS y FROM orders), "
+        f"dk AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_points, "
+        f"y * {n} + x AS key FROM xy GROUP BY x, y HAVING count(*) >= {min_pts}), "
+        "e AS (SELECT a.key AS x, b.key AS y FROM dk a, dk b "
+        "WHERE a.key <> b.key AND abs(b.y - a.y) <= 1 "
+        f"AND ((b.x - a.x + {n}) % {n}) IN (0, 1, {n - 1})), "
+        "walk(x, r) AS (SELECT key, key FROM dk "
+        "UNION SELECT e.y, w.r FROM e JOIN walk w ON e.x = w.x) "
+        "SELECT dk.x AS cx, dk.y AS cy, dk.n_points, min(w.r) AS cluster_id "
+        "FROM dk JOIN walk w ON w.x = dk.key GROUP BY dk.x, dk.y, dk.n_points"
+    )
+
+
+def _q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-graph degree profile (graph.degree_stats): in/out degree and
+    reciprocal-link count over the distinct edge set."""
+    return graph.degree_stats(_link_edges(spark, sf_dir))
+
+
+def _q_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering (spatial.hotspot_clusters): order-keyed
+    points, res-5 cells with >= 3 points are dense, touching dense cells
+    (8-neighborhood, lon wrap) merge; oracle = recursive-CTE connected
+    components over the same dense-cell adjacency."""
+    o = _t(spark, sf_dir, "orders")
+    pts = o.select(
+        _lat_col(F.col("o_orderkey")).alias("lat"),
+        _lon_col(F.col("o_orderkey")).alias("lon"),
+    )
+    return spatial.hotspot_clusters(pts, res=5, min_pts=3, max_iters=80)
+
+
 def _q_simplify_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Douglas-Peucker over per-user trajectories (rows-only: DP's split
     recursion is not SQL-expressible; the kernel is brute-force-verified
@@ -1729,6 +1828,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_anti": _q_spatial_anti,
         "line_dedup": _q_line_dedup,
         "simplify_lines": _q_simplify_lines,
+        "pagerank": _q_pagerank,
+        "degree_stats": _q_degree_stats,
+        "hotspots": _q_hotspots,
     }
 
 
@@ -2674,6 +2776,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(l.ls) - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped "
             "FROM l LEFT JOIN r ON l.doc_id = r.doc_id"
         ),
+        "pagerank": _pagerank_sql(3),
+        "degree_stats": (
+            f"WITH e AS (SELECT DISTINCT src, dst FROM ({_EDGES_SQL})), "
+            "o AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg "
+            "FROM e GROUP BY src), "
+            "i AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg "
+            "FROM e GROUP BY dst), "
+            "rc AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS recip_deg "
+            "FROM e WHERE EXISTS (SELECT 1 FROM e r "
+            "WHERE r.src = e.dst AND r.dst = e.src) GROUP BY src), "
+            "nodes AS (SELECT node FROM o UNION SELECT node FROM i) "
+            "SELECT n.node, coalesce(o.out_deg, 0) AS out_deg, "
+            "coalesce(i.in_deg, 0) AS in_deg, "
+            "coalesce(rc.recip_deg, 0) AS recip_deg "
+            "FROM nodes n LEFT JOIN o ON n.node = o.node "
+            "LEFT JOIN i ON n.node = i.node LEFT JOIN rc ON n.node = rc.node"
+        ),
+        "hotspots": _hotspots_sql(5, 3),
         "travel_stats": (
             f"WITH t AS ({_TRAJ_SQL}), "
             "l AS (SELECT user_id, lat, lon, "

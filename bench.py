@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "spatial_anti",
     "line_dedup",
     "simplify_lines",
+    "pagerank",
+    "degree_stats",
+    "hotspots",
 ]
 
 

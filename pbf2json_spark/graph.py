@@ -1,0 +1,171 @@
+"""Link-graph operators over (src, dst) edge tables — the web-graph side
+of a crawl corpus (host graphs, citation graphs, anchor graphs).
+
+Determinism discipline: PageRank is normally a double-sum fixpoint —
+floating-point addition is order-dependent, so a conventional
+implementation is not reproducible across partitionings, let alone across
+engines. Here every rank is an int64 in 1e-9 units ("nano-rank") and every
+step is integer arithmetic (div / mul / sum) — order-independent and
+bit-identical in any engine, which is what makes the DuckDB oracle exact.
+
+Scale shapes: one iteration of pagerank_int is one hash join
+(ranks ⋈ edges on src) + one map-side-combinable sum by dst + one left
+join back to the node set — all equi-joins on the node id. Edges are the
+big side and never change: repartition them by src ONCE and persist, and
+every iteration's join reuses that layout. localCheckpoint per round cuts
+the lineage (the same discipline as dedup.dedup_groups / relations'
+fixpoint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000  # nano-ranks
+
+
+def pagerank_int(
+    edges: DataFrame,
+    n_iter: int,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Integer-scaled PageRank, `n_iter` synchronous iterations.
+
+    rank⁰ = SCALE for every node (nodes = distinct src ∪ dst);
+    rankᵏ⁺¹(v) = (100-d)·SCALE div 100  +  d · Σ_{u→v} (rankᵏ(u) div out(u)) div 100.
+
+    All ops are int64 div/mul/sum → exact, order-independent,
+    engine-portable. Dangling nodes (no out-links) leak their mass — the
+    standard "no dangling redistribution" variant; ranks are a relative
+    centrality score, not a probability simplex. Overflow budget: the
+    in-sum is bounded by total mass n_nodes·SCALE, so int64 holds through
+    ~9·10⁹ nodes at SCALE=1e9; for a 10¹²-node web graph drop SCALE to 1e6
+    (the parameter is a module constant only for the oracle's sake).
+
+    Output: (node, rank_e9:long).
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct in (0, 100)")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    ed = e.join(deg, "src").repartition("src").persist()
+    base = (100 - damping_pct) * SCALE // 100
+    ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("rank_e9"))
+    for i in range(n_iter):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("rank_e9 div _deg").alias("_c"))
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"{damping_pct} * coalesce(_in, 0L) div 100")
+                ).cast("long").alias("rank_e9"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def degree_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node in/out degree and reciprocal-link count — the crawl-graph
+    health profile. Three map-side-combinable aggregates + one semi-join
+    (reciprocity = edge whose reverse exists), all on the node id."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    out_d = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    in_d = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    recip = (
+        e.join(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            ["src", "dst"],
+            "left_semi",
+        )
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("recip_deg"))
+    )
+    nodes = out_d.select("node").unionByName(in_d.select("node")).distinct()
+    return (
+        nodes.join(out_d, "node", "left")
+        .join(in_d, "node", "left")
+        .join(recip, "node", "left")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            F.coalesce("recip_deg", F.lit(0)).alias("recip_deg"),
+        )
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_iters: int = 40,
+) -> DataFrame:
+    """Connected components with POINTER DOUBLING: each round propagates
+    the min label one hop AND then shortcuts rep → rep's rep, so a
+    diameter-d component converges in O(log d) rounds instead of the O(d)
+    of plain min-label propagation (dedup.dedup_groups — fine for shallow
+    near-dup clusters, ruinous for a continent-wide cell blob). Returns
+    (id, rep), rep = component minimum; localCheckpoint per round bounds
+    lineage; stops early when a round changes nothing.
+    """
+    e = (
+        edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
+        .unionByName(edges.select(F.col(b).alias("x"), F.col(a).alias("y")))
+        .distinct()
+    )
+    labels = e.select("x").distinct().withColumn("rep", F.col("x"))
+    for _ in range(max_iters):
+        prop = (
+            e.join(labels.withColumnRenamed("x", "y"), "y")
+            .groupBy("x")
+            .agg(F.min("rep").alias("_p"))
+        )
+        stepped = labels.join(prop, "x", "left").select(
+            "x", F.least("rep", F.coalesce("_p", "rep")).alias("rep")
+        )
+        # shortcut: rep <- rep(rep). rep is always an existing node id, so
+        # the self-join hit is guaranteed; coalesce only guards planner
+        # nulls on the left join.
+        jumped = (
+            stepped.join(
+                stepped.select(
+                    F.col("x").alias("rep"), F.col("rep").alias("_r2")
+                ),
+                "rep",
+                "left",
+            )
+            .select("x", F.coalesce("_r2", "rep").alias("rep"))
+        )
+        changed = not (
+            jumped.join(labels.withColumnRenamed("rep", "_old"), "x")
+            .filter(F.col("rep") != F.col("_old"))
+            .isEmpty()
+        )
+        labels = jumped.localCheckpoint(eager=True)
+        if not changed:
+            break
+    return labels.select(F.col("x").alias("id"), "rep")

@@ -1055,3 +1055,76 @@ def simplify_polylines(
         return pd.Series(out)
 
     return df.withColumn(line_col, simp(F.col(line_col)))
+
+
+def hotspot_clusters(
+    points: DataFrame,
+    res: int,
+    min_pts: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Grid-density clustering (DBSCAN-lite hotspot detection): cells at
+    `res` holding >= min_pts points are DENSE; dense cells touching
+    (8-neighborhood, longitude wraps, latitude clamps at the poles) merge
+    into one cluster. Output: (cx, cy, n_points, cluster_id) per dense
+    cell, cluster_id = the component-minimum packed key (cy·2^res + cx) —
+    deterministic, partitioning-independent.
+
+    Scale shape: the raw points collapse to per-cell counts FIRST (one
+    map-side-combinable groupBy — the only pass over the data); everything
+    after runs on the dense-cell set, which is bounded by the grid (4^res)
+    and in practice thousands of times smaller than the input. Adjacency
+    is an 8-way explode + hash equi-join on the packed key (never a theta
+    join); the component fixpoint is graph.connected_components — pointer
+    doubling, O(log diameter) rounds, so a continent-spanning blob of
+    thousands of cells converges in ~a dozen rounds (plain min-label
+    propagation à la dedup.dedup_groups would pay one round per cell of
+    diameter).
+    """
+    from pbf2json_spark import graph
+
+    n = 1 << res
+    x, y = cells.xy_cols(F.col(lat_col), F.col(lon_col), res)
+    dense = (
+        points.select(x.alias("cx"), y.alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .filter(F.col("n_points") >= min_pts)
+    )
+    dk = dense.select(
+        "cx", "cy", "n_points", (F.col("cy") * n + F.col("cx")).alias("key")
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+    nb = dk.select(
+        "key",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx, dy in offs
+            ])
+        ).alias("o"),
+        "cx", "cy",
+    ).select(
+        "key",
+        (
+            F.pmod(F.col("cx") + F.col("o.dx"), F.lit(n))
+            + (F.col("cy") + F.col("o.dy")) * n
+        ).alias("nkey"),
+        (F.col("cy") + F.col("o.dy")).alias("ncy"),
+    ).filter((F.col("ncy") >= 0) & (F.col("ncy") <= n - 1))
+    edges = (
+        nb.select("key", "nkey")
+        .join(dk.select(F.col("key").alias("nkey")), "nkey")
+        .filter(F.col("key") < F.col("nkey"))
+        .select(F.col("key").alias("a"), F.col("nkey").alias("b"))
+    )
+    labels = graph.connected_components(edges, max_iters=max_iters)
+    lone = dk.select("key").join(
+        labels.select(F.col("id").alias("key")), "key", "left_anti"
+    ).select("key", F.col("key").alias("rep"))
+    full = labels.select(F.col("id").alias("key"), "rep").unionByName(lone)
+    return dk.join(full, "key").select(
+        "cx", "cy", "n_points", F.col("rep").alias("cluster_id")
+    )
