@@ -58,10 +58,12 @@ def main() -> int:
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
     sections: list[tuple[str, str, list[tuple[str, bool, str]]]] = []
+    # gate entries + locally-certified extras — the audit spans both
+    allq = {**entry_mod.queries(), **entry_mod.extra_queries()}
 
     # 1. tag-DSL filter: predicate must reach the scan as a pushed/codegen'd
     # filter with pruned columns, no Python anywhere
-    q = entry_mod.queries()["dsl_or_values"](spark, sf_dir)
+    q = allq["dsl_or_values"](spark, sf_dir)
     p = plan_text(q)
     sections.append((
         "tag-DSL filter (dsl_or_values)", p,
@@ -74,7 +76,7 @@ def main() -> int:
 
     # 2. way denorm join: the refs⋈nodes join + one grouped aggregation;
     # partial aggregation (map-side combine) must be present
-    d = entry_mod.queries()["way_denorm_bbox"](spark, sf_dir)
+    d = allq["way_denorm_bbox"](spark, sf_dir)
     p = plan_text(d)
     sections.append((
         "way→node denorm (way_denorm_bbox)", p,
@@ -157,7 +159,7 @@ def main() -> int:
     ))
 
     # 6. exact kNN: final rank is a single window over candidates
-    sup = entry_mod.queries()["knn_grid"](spark, sf_dir)
+    sup = allq["knn_grid"](spark, sf_dir)
     p = plan_text(sup)
     sections.append((
         "kNN (knn_grid)", p,
@@ -170,7 +172,7 @@ def main() -> int:
     # 7. bbox range join: the cover-cell equi-join must plan as a hash join
     # (broadcast or shuffled) — NEVER a nested-loop/cartesian theta join —
     # and the whole pipeline is JVM-only
-    b = entry_mod.queries()["bbox_intersect"](spark, sf_dir)
+    b = allq["bbox_intersect"](spark, sf_dir)
     p = plan_text(b)
     sections.append((
         "bbox range join (bbox_intersect)", p,
@@ -184,7 +186,7 @@ def main() -> int:
 
     # 8. crawl dedup: struct-max groupBy must keep map-side combine
     # (partial+final HashAggregate) and read only the columns it needs
-    u = entry_mod.queries()["url_latest_dedup"](spark, sf_dir)
+    u = allq["url_latest_dedup"](spark, sf_dir)
     p = plan_text(u)
     sections.append((
         "crawl dedup (url_latest_dedup)", p,
@@ -202,7 +204,7 @@ def main() -> int:
 
     # 9. repetition features: both token groupBys (word + bigram) keep
     # partial aggregation; everything JVM
-    r = entry_mod.queries()["repetition"](spark, sf_dir)
+    r = allq["repetition"](spark, sf_dir)
     p = plan_text(r)
     sections.append((
         "repetition features (repetition)", p,
@@ -215,7 +217,7 @@ def main() -> int:
 
     # 10. windowed event agg: tumbling-window groupBy keeps partial
     # aggregation; integer-cent sums stay in codegen
-    w = entry_mod.queries()["windowed_events"](spark, sf_dir)
+    w = allq["windowed_events"](spark, sf_dir)
     p = plan_text(w)
     sections.append((
         "windowed event agg (windowed_events)", p,
@@ -229,7 +231,7 @@ def main() -> int:
     # 11. as-of join: the merge shape — exactly ONE exchange for the
     # union'd sides (hashpartitioning on the key), a window, no join
     # node at all, no Python
-    a = entry_mod.queries()["asof_match"](spark, sf_dir)
+    a = allq["asof_match"](spark, sf_dir)
     p = plan_text(a)
     sections.append((
         "as-of join (asof_match)", p,
@@ -242,7 +244,7 @@ def main() -> int:
 
     # 12. sessionization: session_window aggregation with partial
     # aggregation, JVM-only
-    s = entry_mod.queries()["sessionize"](spark, sf_dir)
+    s = allq["sessionize"](spark, sf_dir)
     p = plan_text(s)
     sections.append((
         "sessionization (sessionize)", p,
@@ -258,7 +260,7 @@ def main() -> int:
 
     # 13. corpus top-k: the global top-k must be TakeOrderedAndProject
     # (k rows per partition then a single merge), never a full global Sort
-    t = entry_mod.queries()["top_bigrams"](spark, sf_dir)
+    t = allq["top_bigrams"](spark, sf_dir)
     p = plan_text(t)
     sections.append((
         "corpus top-k n-grams (top_bigrams)", p,
@@ -273,7 +275,7 @@ def main() -> int:
 
     # 14. stratified sample: a pure scan-level filter — no exchange, no
     # aggregate, no Python anywhere
-    ss = entry_mod.queries()["stratified_sample"](spark, sf_dir)
+    ss = allq["stratified_sample"](spark, sf_dir)
     p = plan_text(ss)
     sections.append((
         "stratified sample (stratified_sample)", p,
@@ -285,7 +287,7 @@ def main() -> int:
     ))
 
     # 15. conjunctive search: a scan-stage filter — zero shuffles, codegen
-    ts = entry_mod.queries()["term_search"](spark, sf_dir)
+    ts = allq["term_search"](spark, sf_dir)
     p = plan_text(ts)
     sections.append((
         "conjunctive term search (term_search)", p,
@@ -298,7 +300,7 @@ def main() -> int:
 
     # 16. within-distance join: cell hash equi-join, no nested loop, no
     # post-join dedup aggregate (each pair meets in exactly one cell)
-    wd = entry_mod.queries()["within_dist"](spark, sf_dir)
+    wd = allq["within_dist"](spark, sf_dir)
     p = plan_text(wd)
     sections.append((
         "within-distance join (within_dist)", p,
@@ -312,7 +314,7 @@ def main() -> int:
         ],
     ))
 
-    extra = entry_mod.extra_queries()
+    extra = allq
 
     # 17. sequence packing: the global cumsum must never plan a
     # single-partition window (the driver-shaped trap packing.py exists to
@@ -417,6 +419,174 @@ def main() -> int:
         "ring area/perimeter (poly_metrics)", p,
         [
             ("zero shuffles (per-row folds)", "Exchange" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
+    # 25. decontamination: gram equi-join (broadcastable bench side), never
+    # a nested loop; counts keep partial aggregation
+    dc = extra["contamination"](spark, sf_dir)
+    p = plan_text(dc)
+    sections.append((
+        "decontamination (contamination)", p,
+        [
+            ("hash equi-join on grams (no nested loop)",
+             "NestedLoop" not in p and "CartesianProduct" not in p, ""),
+            ("bench grams broadcast", "Broadcast" in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
+    # 26. chunking: pure per-row sequence/slice — zero shuffles, codegen
+    ch = extra["chunk_docs"](spark, sf_dir)
+    p = plan_text(ch)
+    sections.append((
+        "document chunking (chunk_docs)", p,
+        [
+            ("zero shuffles (per-row explode)", "Exchange" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
+    # 27. geohash: pure scan-stage bit math — zero shuffles, codegen
+    gh = extra["geohash_assign"](spark, sf_dir)
+    p = plan_text(gh)
+    sections.append((
+        "geohash encode (geohash_assign)", p,
+        [
+            ("zero shuffles (scan-stage expression)", "Exchange" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
+    # 28. tile pyramid: exactly two aggregations (finest level + prefix
+    # rollup), partial aggregation on both
+    tp = extra["tile_pyramid"](spark, sf_dir)
+    p = plan_text(tp)
+    sections.append((
+        "tile pyramid (tile_pyramid)", p,
+        [
+            ("partial+final aggregation on both exchanges",
+             p.count("HashAggregate") >= 4, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
+    # 29. nearest-segment join: cell hash equi-join + ONE min(struct)
+    # groupBy (map-side combinable), no nested loop, no Python
+    ns = extra["nearest_segment"](spark, sf_dir)
+    p = plan_text(ns)
+    sections.append((
+        "nearest-segment join (nearest_segment)", p,
+        [
+            ("hash equi-join on cells", "HashJoin" in p, ""),
+            ("no nested-loop / cartesian join",
+             "NestedLoop" not in p and "CartesianProduct" not in p, ""),
+            ("argmin via partial+final aggregate",
+             p.count("HashAggregate") >= 2 or p.count("SortAggregate") >= 2, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
+    # 30. segment-intersect join: cover-cell equi-join, reporting-cell
+    # dedup means NO aggregate/distinct anywhere
+    si = extra["segment_intersect"](spark, sf_dir)
+    p = plan_text(si)
+    sections.append((
+        "segment-intersect join (segment_intersect)", p,
+        [
+            ("hash equi-join on cover cells", "HashJoin" in p, ""),
+            ("no nested-loop / cartesian join",
+             "NestedLoop" not in p and "CartesianProduct" not in p, ""),
+            ("no dedup aggregate (reporting-cell rule)",
+             "HashAggregate" not in p and "SortAggregate" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
+    # 31. spatial anti-join: ONE left_anti hash join, no aggregate, no
+    # second pass
+    sa = extra["spatial_anti"](spark, sf_dir)
+    p = plan_text(sa)
+    sections.append((
+        "spatial anti-join (spatial_anti)", p,
+        [
+            ("left_anti hash join", "LeftAnti" in p, ""),
+            ("no aggregate (single-pass anti)",
+             "HashAggregate" not in p and "SortAggregate" not in p, ""),
+            ("no nested-loop / cartesian join",
+             "CartesianProduct" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
+    # 32. trajectory stats: per-user window + groupBy — partitioned by the
+    # user key, never a single-partition window
+    tv = extra["travel_stats"](spark, sf_dir)
+    p = plan_text(tv)
+    sections.append((
+        "trajectory stats (travel_stats)", p,
+        [
+            ("window partitioned by user (no SinglePartition)",
+             "Window" in p and "SinglePartition" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
+    # 33. line-level dedup: df-count on md5 fingerprints with partial
+    # aggregation; boilerplate set comes back as a broadcastable anti join
+    ld = extra["line_dedup"](spark, sf_dir)
+    p = plan_text(ld)
+    sections.append((
+        "boilerplate line dedup (line_dedup)", p,
+        [
+            ("partial aggregation on line df-count",
+             p.count("HashAggregate") >= 2, ""),
+            ("anti join against the boilerplate set", "LeftAnti" in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
+    # 34. Douglas-Peucker: the ONLY Python crossing is the Arrow-batched
+    # simplify UDF; no row-at-a-time Python
+    sl = extra["simplify_lines"](spark, sf_dir)
+    p = plan_text(sl)
+    sections.append((
+        "polyline simplification (simplify_lines)", p,
+        [
+            ("vectorized Python (Arrow) only", "ArrowEvalPython" in p, ""),
+            ("no row-at-a-time Python", "BatchEvalPython" not in p, ""),
+        ],
+    ))
+
+    # 35. PageRank: rank⋈edges is a hash equi-join; contribution sum keeps
+    # partial aggregation; all-JVM integer math
+    pr = extra["pagerank"](spark, sf_dir)
+    p = plan_text(pr)
+    sections.append((
+        "integer PageRank (pagerank)", p,
+        [
+            ("hash equi-joins only (no nested loop)",
+             "NestedLoop" not in p and "CartesianProduct" not in p, ""),
+            ("partial aggregation on contribution sums",
+             p.count("HashAggregate") >= 2, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
+    # 36. hotspot clustering: raw points collapse to cell counts FIRST
+    # (partial agg), adjacency is an equi-join, no Python
+    hs = extra["hotspots"](spark, sf_dir)
+    p = plan_text(hs)
+    sections.append((
+        "hotspot clustering (hotspots)", p,
+        [
+            ("partial aggregation on cell counts",
+             p.count("HashAggregate") >= 2, ""),
+            ("hash equi-joins only (no nested loop)",
+             "NestedLoop" not in p and "CartesianProduct" not in p, ""),
             ("no Python eval", "EvalPython" not in p, ""),
         ],
     ))
