@@ -1164,6 +1164,114 @@ def _q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STAY_SQL = (
+    f"WITH t AS ({_TRAJ_SQL}), "
+    "l AS (SELECT user_id, ts, lat, lon, "
+    "lag(lat) OVER (PARTITION BY user_id ORDER BY ts) AS plat, "
+    "lag(lon) OVER (PARTITION BY user_id ORDER BY ts) AS plon FROM t), "
+    "n AS (SELECT user_id, ts, lat, lon, "
+    "CASE WHEN plat IS NULL OR "
+    "sqrt((lat - plat) * (lat - plat) + (lon - plon) * (lon - plon)) "
+    "> CAST(40.0 AS DOUBLE) THEN 1 ELSE 0 END AS new_run FROM l), "
+    "r AS (SELECT user_id, ts, lat, lon, "
+    "CAST(sum(new_run) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS stay_id FROM n) "
+    "SELECT user_id, stay_id, CAST(count(*) AS BIGINT) AS n_points, "
+    "min(ts) AS ts_start, max(ts) AS ts_end, "
+    "min(lat) AS lat_min, max(lat) AS lat_max, "
+    "min(lon) AS lon_min, max(lon) AS lon_max "
+    "FROM r GROUP BY user_id, stay_id HAVING count(*) >= 2"
+)
+
+
+def _q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination matrix (trajectory.od_flows) over the stay-point
+    output at res 4 — one lag window on the per-user stays + one
+    map-side-combinable groupBy on the 4-part cell key."""
+    stays = trajectory.stay_points(
+        _traj_events(spark, sf_dir), dist_thresh_deg=40.0, min_points=2
+    )
+    return trajectory.od_flows(stays, res=4)
+
+
+def _od_flows_sql(res: int) -> str:
+    """DuckDB mirror of trajectory.od_flows over _STAY_SQL: same midpoint
+    (two exact-rounded ops), same quantize/clamp, same lag/groupBy."""
+    x, y = _sql_cell_xy("mlat", "mlon", res)
+    return (
+        f"WITH s AS ({_STAY_SQL}), "
+        "m AS (SELECT user_id, ts_start, "
+        "(lat_min + lat_max) / CAST(2.0 AS DOUBLE) AS mlat, "
+        "(lon_min + lon_max) / CAST(2.0 AS DOUBLE) AS mlon FROM s), "
+        f"g AS (SELECT user_id, ts_start, {x} AS x, {y} AS y FROM m), "
+        "l AS (SELECT lag(x) OVER (PARTITION BY user_id ORDER BY ts_start) AS from_x, "
+        "lag(y) OVER (PARTITION BY user_id ORDER BY ts_start) AS from_y, "
+        "x AS to_x, y AS to_y FROM g) "
+        "SELECT from_x, from_y, to_x, to_y, CAST(count(*) AS BIGINT) AS n_trips "
+        "FROM l WHERE from_x IS NOT NULL GROUP BY from_x, from_y, to_x, to_y"
+    )
+
+
+def _synth_domain_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URLs with multi-label hosts across registered-domain shapes:
+    plain .com with one or two subdomain labels, two-label public suffixes
+    (.co.uk / .com.au), and a bare 2-label host passthrough."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    # variant from the quotient, not k % 5 (5 divides 20 — a residue pick
+    # would lock each host index to one variant; _synth_urls' same trap)
+    v = F.expr("doc_id div 20") % 5
+    url = (
+        F.when(v == 0, F.format_string("https://www.shop%d.co.uk/p/%d", k % 20, k))
+        .when(v == 1, F.format_string("https://news.site%d.com/a/%d", k % 20, k))
+        .when(v == 2, F.format_string("https://a.b.site%d.com/%d", k % 20, k))
+        .when(v == 3, F.format_string("https://blog.media%d.com.au/%d", k % 20, k))
+        .otherwise(F.format_string("https://host%d.example/p/%d", k % 20, k))
+    )
+    ts = (F.lit(1_600_000_000) + (k * 37) % 100_000).cast("long")
+    return d.select(url.alias("url"), ts.alias("warc_ts"))
+
+
+def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain rollup (weburl.domain_stats): pages, distinct
+    hosts, first/last capture per pay-level domain; the PSL-lite suffix
+    heuristic picks 3 labels under .co.uk/.com.au, else 2."""
+    return weburl.domain_stats(_synth_domain_urls(spark, sf_dir))
+
+
+def _domain_stats_sql() -> str:
+    host = (
+        r"regexp_replace(regexp_replace(lower(regexp_extract(url, "
+        r"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':[0-9]+$', ''), '^www\.', '')"
+    )
+    suffixes = ", ".join(f"'{s}'" for s in weburl._TWO_LABEL_SUFFIXES)
+    return (
+        "WITH u AS (SELECT CASE (doc_id // 20) % 5 "
+        "WHEN 0 THEN printf('https://www.shop%d.co.uk/p/%d', doc_id % 20, doc_id) "
+        "WHEN 1 THEN printf('https://news.site%d.com/a/%d', doc_id % 20, doc_id) "
+        "WHEN 2 THEN printf('https://a.b.site%d.com/%d', doc_id % 20, doc_id) "
+        "WHEN 3 THEN printf('https://blog.media%d.com.au/%d', doc_id % 20, doc_id) "
+        "ELSE printf('https://host%d.example/p/%d', doc_id % 20, doc_id) END AS url, "
+        "CAST(1600000000 + (doc_id * 37) % 100000 AS BIGINT) AS warc_ts "
+        "FROM documents), "
+        f"h AS (SELECT {host} AS host, warc_ts FROM u), "
+        "p AS (SELECT host, warc_ts, string_split(host, '.') AS parts FROM h), "
+        "d AS (SELECT host, warc_ts, CASE "
+        "WHEN len(parts) <= 2 THEN host "
+        "WHEN parts[len(parts)-1] || '.' || parts[len(parts)] IN "
+        f"({suffixes}) THEN "
+        "parts[len(parts)-2] || '.' || parts[len(parts)-1] || '.' || parts[len(parts)] "
+        "ELSE parts[len(parts)-1] || '.' || parts[len(parts)] END AS domain "
+        "FROM p), "
+        "hh AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_hosts FROM "
+        "(SELECT DISTINCT domain, host FROM d) GROUP BY domain), "
+        "pp AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_pages, "
+        "min(warc_ts) AS first_ts, max(warc_ts) AS last_ts FROM d GROUP BY domain) "
+        "SELECT pp.domain, pp.n_pages, pp.first_ts, pp.last_ts, hh.n_hosts "
+        "FROM pp JOIN hh ON pp.domain = hh.domain"
+    )
+
+
 def _segments_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second synthetic segment set (customer-keyed, the shared _lat/_lon
     point formulas for endpoint A) — 5.005-offset deltas, non-zero by the
@@ -1831,6 +1939,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "degree_stats": _q_degree_stats,
         "hotspots": _q_hotspots,
+        "od_flows": _q_od_flows,
+        "domain_stats": _q_domain_stats,
     }
 
 
@@ -2794,6 +2904,7 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN i ON n.node = i.node LEFT JOIN rc ON n.node = rc.node"
         ),
         "hotspots": _hotspots_sql(5, 3),
+        "domain_stats": _domain_stats_sql(),
         "travel_stats": (
             f"WITH t AS ({_TRAJ_SQL}), "
             "l AS (SELECT user_id, lat, lon, "
@@ -2811,24 +2922,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(step_e9) AS BIGINT) AS total_dist_e9, "
             "max(step) AS max_step_deg FROM s GROUP BY user_id"
         ),
-        "stay_points": (
-            f"WITH t AS ({_TRAJ_SQL}), "
-            "l AS (SELECT user_id, ts, lat, lon, "
-            "lag(lat) OVER (PARTITION BY user_id ORDER BY ts) AS plat, "
-            "lag(lon) OVER (PARTITION BY user_id ORDER BY ts) AS plon FROM t), "
-            "n AS (SELECT user_id, ts, lat, lon, "
-            "CASE WHEN plat IS NULL OR "
-            "sqrt((lat - plat) * (lat - plat) + (lon - plon) * (lon - plon)) "
-            "> CAST(40.0 AS DOUBLE) THEN 1 ELSE 0 END AS new_run FROM l), "
-            "r AS (SELECT user_id, ts, lat, lon, "
-            "CAST(sum(new_run) OVER (PARTITION BY user_id ORDER BY ts "
-            "ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS stay_id FROM n) "
-            "SELECT user_id, stay_id, CAST(count(*) AS BIGINT) AS n_points, "
-            "min(ts) AS ts_start, max(ts) AS ts_end, "
-            "min(lat) AS lat_min, max(lat) AS lat_max, "
-            "min(lon) AS lon_min, max(lon) AS lon_max "
-            "FROM r GROUP BY user_id, stay_id HAVING count(*) >= 2"
-        ),
+        "stay_points": _STAY_SQL,
+        "od_flows": _od_flows_sql(4),
         "token_count": (
             "SELECT doc_id, "
             "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "

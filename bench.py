@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "pagerank",
     "degree_stats",
     "hotspots",
+    "od_flows",
+    "domain_stats",
 ]
 
 

@@ -112,3 +112,40 @@ def stay_points(
         )
         .filter(F.col("n_points") >= min_points)
     )
+
+
+def od_flows(
+    stays: DataFrame,
+    res: int,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Origin-destination matrix from stay_points output: consecutive
+    stays of a user (in ts_start order) form a trip; trips aggregate to
+    flows between the grid cells (at `res`) of the stays' bbox midpoints.
+
+    Output: (from_x, from_y, to_x, to_y, n_trips:long). Midpoint =
+    ((min+max)/2) per axis — two exact-rounded IEEE ops, so the cell
+    assignment (floor/clamp quantize, cells.xy_cols) is engine-portable.
+
+    Shape: ONE window (lag over the user's stays — already a per-user
+    frame thousands of times smaller than the raw pings) + ONE
+    map-side-combinable groupBy on the 4-part cell key. Nothing about the
+    raw trajectory is touched here: stay_points did the heavy single
+    exchange; this is analytics on its output.
+    """
+    from pbf2json_spark import cells
+
+    mid_lat = (F.col("lat_min") + F.col("lat_max")) / F.lit(2.0)
+    mid_lon = (F.col("lon_min") + F.col("lon_max")) / F.lit(2.0)
+    x, y = cells.xy_cols(mid_lat, mid_lon, res)
+    s = stays.select(F.col(user_col), F.col("ts_start"), x.alias("x"), y.alias("y"))
+    w = Window.partitionBy(user_col).orderBy("ts_start")
+    t = s.select(
+        F.lag("x").over(w).alias("from_x"),
+        F.lag("y").over(w).alias("from_y"),
+        F.col("x").alias("to_x"),
+        F.col("y").alias("to_y"),
+    ).filter(F.col("from_x").isNotNull())
+    return t.groupBy("from_x", "from_y", "to_x", "to_y").agg(
+        F.count(F.lit(1)).alias("n_trips")
+    )

@@ -207,3 +207,62 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select(F.col(key), status.alias("status"))
+
+
+# two-label public suffixes common enough for a stdlib-only heuristic (a
+# full Public Suffix List would be a data dependency; the env forbids one —
+# swap in the PSL at deploy time if exactness matters)
+_TWO_LABEL_SUFFIXES = [
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "net.uk",
+    "com.au", "net.au", "org.au", "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.tw", "co.in", "co.kr", "co.za",
+    "com.mx", "com.ar", "com.tr",
+]
+
+
+def registered_domain(host: Column) -> Column:
+    """Registered (pay-level) domain of a lowercase host: the last TWO
+    labels, or the last THREE when the host ends in a known two-label
+    public suffix (heuristic list above — the standard stdlib-only
+    approximation of the PSL). Hosts with fewer labels pass through
+    unchanged. Pure Column string ops — scan-stage, zero shuffle."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(
+        ".", F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    last3 = F.concat_ws(
+        ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    is_two_label_suffix = last2.isin(*_TWO_LABEL_SUFFIXES)
+    return (
+        F.when(n <= 2, host)
+        .when(is_two_label_suffix & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
+def domain_stats(
+    df: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"
+) -> DataFrame:
+    """Per-registered-domain crawl profile: page count, distinct hosts,
+    first/last capture — host_stats rolled one level up. One map-side-
+    combinable groupBy; distinct hosts via a pre-dedup (domain, host)
+    pass, never count(distinct) over raw rows."""
+    base = df.select(
+        registered_domain(host_of(F.col(url_col))).alias("domain"),
+        host_of(F.col(url_col)).alias("host"),
+        F.col(ts_col),
+    )
+    hosts = (
+        base.select("domain", "host")
+        .distinct()
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_hosts"))
+    )
+    pages = base.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.min(ts_col).alias("first_ts"),
+        F.max(ts_col).alias("last_ts"),
+    )
+    return pages.join(hosts, "domain")

@@ -187,3 +187,41 @@ def test_stay_points_ids_stable_and_bboxes(spark):
     assert all(g[1] == 8 for g in got)
     assert got[0][2] == _ts(0) and got[0][3] == _ts(7)
     assert got[4][2] == _ts(32) and got[4][3] == _ts(39)
+
+
+# --- OD flows ---------------------------------------------------------------------------
+
+
+def test_od_flows_counts_transitions(spark):
+    from pbf2json_spark import trajectory
+
+    # user 1: A -> B -> A ; user 2: A -> B  (A and B in distinct res-4 cells)
+    stays = spark.createDataFrame(
+        [
+            (1, _ts(0), 10.0, 10.0, 10.0, 10.0),
+            (1, _ts(10), 10.0, 10.0, 60.0, 60.0),
+            (1, _ts(20), 10.0, 10.0, 10.0, 10.0),
+            (2, _ts(0), 10.0, 10.0, 10.0, 10.0),
+            (2, _ts(10), 10.0, 10.0, 60.0, 60.0),
+        ],
+        "user_id long, ts_start timestamp, lat_min double, lat_max double, "
+        "lon_min double, lon_max double",
+    )
+    got = {
+        (r.from_x, r.from_y, r.to_x, r.to_y): r.n_trips
+        for r in trajectory.od_flows(stays, res=4).collect()
+    }
+    # res 4: n=16; A midpoint (10,10) -> x=floor((10+180)/360*16)=8, y=floor((10+90)/180*16)=8
+    # B midpoint (10,60) -> x=floor(240/360*16)=10, y=8
+    assert got == {(8, 8, 10, 8): 2, (10, 8, 8, 8): 1}
+
+
+def test_od_flows_single_stay_user_no_rows(spark):
+    from pbf2json_spark import trajectory
+
+    stays = spark.createDataFrame(
+        [(7, _ts(0), 0.0, 0.0, 0.0, 0.0)],
+        "user_id long, ts_start timestamp, lat_min double, lat_max double, "
+        "lon_min double, lon_max double",
+    )
+    assert trajectory.od_flows(stays, res=4).count() == 0

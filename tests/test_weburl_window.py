@@ -286,3 +286,45 @@ def test_scd2_null_fp_versions(spark):
         key=lambda t: t[1],
     )
     assert got == [("x", 10, 20), (None, 20, 40), ("x", 40, None)]
+
+
+# --- registered domain ------------------------------------------------------------------
+
+
+def test_registered_domain_rules(spark):
+    from pbf2json_spark import weburl
+
+    rows = [
+        ("news.site.com", "site.com"),
+        ("a.b.site.com", "site.com"),
+        ("shop.co.uk", "shop.co.uk"),          # 3 labels w/ 2-label suffix
+        ("www2.shop.co.uk", "shop.co.uk"),
+        ("blog.media.com.au", "media.com.au"),
+        ("host.example", "host.example"),       # 2 labels passthrough
+        ("localhost", "localhost"),             # 1 label passthrough
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], "host string")
+    got = df.select(
+        "host", weburl.registered_domain(F.col("host")).alias("d")
+    ).collect()
+    assert {r.host: r.d for r in got} == dict(rows)
+
+
+def test_domain_stats_rollup(spark):
+    from pbf2json_spark import weburl
+
+    df = spark.createDataFrame(
+        [
+            ("https://a.site.com/1", 100),
+            ("https://b.site.com/2", 200),
+            ("https://a.site.com/3", 300),
+            ("https://only.example/x", 50),
+        ],
+        "url string, warc_ts long",
+    )
+    got = {r.domain: (r.n_pages, r.n_hosts, r.first_ts, r.last_ts)
+           for r in weburl.domain_stats(df).collect()}
+    assert got == {
+        "site.com": (3, 2, 100, 300),
+        "only.example": (1, 1, 50, 50),
+    }
