@@ -1184,6 +1184,37 @@ _STAY_SQL = (
 )
 
 
+def _q_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heat-map smoothing (spatial.focal_sum): per-cell order counts at
+    res 5 blurred over the 3×3 Chebyshev window (lon wraps, lat clamps);
+    runs on the aggregated tile set, one scatter-sum groupBy."""
+    o = _t(spark, sf_dir, "orders")
+    x, y = cells.xy_cols(
+        _lat_col(F.col("o_orderkey")), _lon_col(F.col("o_orderkey")), 5
+    )
+    tiles = (
+        o.select(x.alias("cx"), y.alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return spatial.focal_sum(tiles, res=5, k=1)
+
+
+def _focal_sql(res: int, k: int) -> str:
+    n = 1 << res
+    x, y = _sql_cell_xy(_lat_sql("o_orderkey"), _lon_sql("o_orderkey"), res)
+    return (
+        f"WITH xy AS (SELECT {x} AS x, {y} AS y FROM orders), "
+        "t AS (SELECT x AS cx, y AS cy, CAST(count(*) AS BIGINT) AS n "
+        "FROM xy GROUP BY x, y), "
+        f"s AS (SELECT (cx + a.dx + {n}) % {n} AS cx, cy + b.dy AS cy, n "
+        f"FROM t, LATERAL unnest(range(-{k}, {k + 1})) a(dx), "
+        f"LATERAL unnest(range(-{k}, {k + 1})) b(dy)) "
+        "SELECT cx, cy, CAST(sum(n) AS BIGINT) AS n_focal FROM s "
+        f"WHERE cy BETWEEN 0 AND {n - 1} GROUP BY cx, cy"
+    )
+
+
 def _q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Origin-destination matrix (trajectory.od_flows) over the stay-point
     output at res 4 — one lag window on the per-user stays + one
@@ -1941,6 +1972,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspots": _q_hotspots,
         "od_flows": _q_od_flows,
         "domain_stats": _q_domain_stats,
+        "focal_smooth": _q_focal,
     }
 
 
@@ -2905,6 +2937,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hotspots": _hotspots_sql(5, 3),
         "domain_stats": _domain_stats_sql(),
+        "focal_smooth": _focal_sql(5, 1),
         "travel_stats": (
             f"WITH t AS ({_TRAJ_SQL}), "
             "l AS (SELECT user_id, lat, lon, "

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "hotspots",
     "od_flows",
     "domain_stats",
+    "focal_smooth",
 ]
 
 

@@ -1128,3 +1128,50 @@ def hotspot_clusters(
     return dk.join(full, "key").select(
         "cx", "cy", "n_points", F.col("rep").alias("cluster_id")
     )
+
+
+def focal_sum(
+    tiles: DataFrame,
+    res: int,
+    k: int = 1,
+    value_col: str = "n",
+) -> DataFrame:
+    """Focal (k-ring window) smoothing over an AGGREGATED tile frame: each
+    cell's smoothed value = sum of `value_col` over the (2k+1)² Chebyshev
+    neighborhood — the heat-map blur / density-surface pass. Longitude
+    wraps, latitude clamps (out-of-range rows drop, matching the grid).
+
+    Input: (cx, cy, value_col) — one row per NON-EMPTY tile (the output of
+    tile_aggregate/hotspot counting). Output: (cx, cy, <value_col>_focal)
+    for every cell that RECEIVES mass (a cell with an empty neighborhood
+    emits nothing — sparse in, sparse out).
+
+    Scale shape: runs on the aggregated tile set (bounded by 4^res, already
+    thousands of times smaller than the points), so the (2k+1)²-way
+    explode is cheap; the scatter-sum is ONE map-side-combinable groupBy on
+    the target cell — no self-join, no window over the grid. Integer
+    values stay integers (order-independent sums).
+    """
+    if k < 1:
+        raise ValueError("k >= 1")
+    n = 1 << res
+    offs = [(dx, dy) for dx in range(-k, k + 1) for dy in range(-k, k + 1)]
+    scattered = tiles.select(
+        F.col(value_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.pmod(F.col("cx") + dx, F.lit(n)).alias("tx"),
+                    (F.col("cy") + dy).alias("ty"),
+                )
+                for dx, dy in offs
+            ])
+        ).alias("o"),
+    ).select(
+        F.col("o.tx").alias("cx"),
+        F.col("o.ty").alias("cy"),
+        F.col(value_col),
+    ).filter((F.col("cy") >= 0) & (F.col("cy") <= n - 1))
+    return scattered.groupBy("cx", "cy").agg(
+        F.sum(value_col).alias(f"{value_col}_focal")
+    )

@@ -145,3 +145,31 @@ def test_hotspot_isolated_cell_is_own_cluster(spark):
     assert len(got) == 1
     r = got[0]
     assert r.cluster_id == r.cy * (1 << 6) + r.cx and r.n_points == 7
+
+
+# --- focal smoothing --------------------------------------------------------------------
+
+
+def test_focal_sum_matches_brute_force(spark):
+    res, k = 4, 1
+    n = 1 << res
+    tiles = [(2, 3, 10), (3, 3, 5), (5, 8, 7), (0, 0, 2), (n - 1, 0, 4)]
+    df = spark.createDataFrame(tiles, "cx long, cy long, n long")
+    got = {(r.cx, r.cy): r.n_focal
+           for r in spatial.focal_sum(df, res=res, k=k).collect()}
+    want = {}
+    for cx, cy, v in tiles:
+        for dx in range(-k, k + 1):
+            for dy in range(-k, k + 1):
+                tx, ty = (cx + dx) % n, cy + dy
+                if 0 <= ty < n:
+                    want[(tx, ty)] = want.get((tx, ty), 0) + v
+    assert got == want
+    # wrap: mass from x=n-1 lands on x=0 and vice versa
+    assert got[(0, 0)] == 2 + 4 and got[(n - 1, 1)] >= 6
+
+
+def test_focal_sum_k2_window(spark):
+    df = spark.createDataFrame([(8, 8, 1)], "cx long, cy long, n long")
+    got = spatial.focal_sum(df, res=5, k=2).collect()
+    assert len(got) == 25 and all(r.n_focal == 1 for r in got)

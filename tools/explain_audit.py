@@ -591,6 +591,34 @@ def main() -> int:
         ],
     ))
 
+    # 37. OD flows: lag window partitioned by user + partial aggregation
+    # on the 4-part cell key; all-JVM
+    od = allq["od_flows"](spark, sf_dir)
+    p = plan_text(od)
+    sections.append((
+        "OD-flow matrix (od_flows)", p,
+        [
+            ("window partitioned by user (no SinglePartition)",
+             "Window" in p and "SinglePartition" not in p, ""),
+            ("partial aggregation on flow counts",
+             p.count("HashAggregate") >= 2, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
+    # 38. domain stats: registered-domain extraction is scan-stage string
+    # ops; both aggregates keep map-side combine; no Python
+    ds = allq["domain_stats"](spark, sf_dir)
+    p = plan_text(ds)
+    sections.append((
+        "registered-domain rollup (domain_stats)", p,
+        [
+            ("partial aggregation on both rollups",
+             p.count("HashAggregate") >= 4, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
     failed = 0
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     for title, plan, props in sections:
