@@ -619,6 +619,21 @@ def main() -> int:
         ],
     ))
 
+    # 39. focal smoothing: scatter over the aggregated tile set + ONE
+    # map-side-combinable groupBy; no self-join, no window
+    fs = allq["focal_smooth"](spark, sf_dir)
+    p = plan_text(fs)
+    sections.append((
+        "focal k-ring smoothing (focal_smooth)", p,
+        [
+            ("partial aggregation on the scatter-sum",
+             p.count("HashAggregate") >= 4, ""),  # base tiles + focal, each 2x
+            ("no join, no window (pure scatter-sum)",
+             "Join" not in p and "Window" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
     failed = 0
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     for title, plan, props in sections:
