@@ -1838,6 +1838,284 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contract functions
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# Suite queries — tagged-union fold of same-family operators into ONE
+# driver gate slot.
+#
+# The driver's correctness gate hashes only the FIRST 50 entries of
+# ``queries()`` (verified rounds 1-2), but round 3 added ~20 new operator
+# families.  Rather than leave them driver-unchecked (r02's VERDICT flagged
+# exactly that), each family folds into a single "suite" query with the
+# generic schema
+#
+#     (op string, k1 string, k2 string, metric string,
+#      vi bigint, vd double, vs string)
+#
+# one row per (source row, metric).  Spark side: ONE scan of the sub-query
+# + explode(array(struct...)) — a single pass, no re-execution per metric.
+# Oracle side: the suite SQL is COMPOSED from the exact per-operator SQL
+# strings already in ``oracle_sql()`` (CTE + UNION ALL), so the two can
+# never drift — a green suite row certifies every folded operator's values.
+# All columns are non-null (deterministic sentinels 0 / 0.0 / '' replace
+# NULL) so no engine-specific NULL-dtype behavior can touch the hash; both
+# engines derive the sentinel from the same NULL, so determinism holds.
+# The individual queries stay in ``extra_queries()`` where
+# tools/check_oracle.py keeps them value-exact with their native schemas.
+# --------------------------------------------------------------------------
+
+def _ntz_epoch_us(name: str):
+    """Microsecond epoch of a TIMESTAMP_NTZ column, computed tz-free from
+    wall-clock date parts (never consults the session zone — the r2
+    windowed_events lesson).  extract(second) is DECIMAL(8,6), so *1e6 is
+    an exact integer."""
+    c = F.col(name)
+    secs = (
+        F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date")).cast("long")
+        * 86400
+        + F.hour(c).cast("long") * 3600
+        + F.minute(c).cast("long") * 60
+    )
+    return secs * F.lit(1_000_000) + F.expr(
+        f"CAST(extract(second FROM {name}) * 1000000 AS BIGINT)"
+    )
+
+
+def _suite_key(cols) -> "F.Column":
+    if isinstance(cols, str):
+        cols = [cols]
+    return F.concat_ws(":", *[F.col(c).cast("string") for c in cols])
+
+
+def _suite_key_sql(cols) -> str:
+    if isinstance(cols, str):
+        cols = [cols]
+    return "concat_ws(':', " + ", ".join(f"CAST({c} AS VARCHAR)" for c in cols) + ")"
+
+
+def _suite_part(df: DataFrame, tag: str, k1, k2, metrics) -> DataFrame:
+    """One sub-operator's rows → generic suite rows, single pass."""
+    entries = []
+    for name, col, kind in metrics:
+        vi, vd, vs = F.lit(0).cast("long"), F.lit(0.0), F.lit("")
+        if kind == "one":
+            vi = F.lit(1).cast("long")
+        elif kind == "ts":
+            vi = F.coalesce(_ntz_epoch_us(col), F.lit(0).cast("long"))
+        elif kind in ("i", "b"):
+            vi = F.coalesce(F.col(col).cast("long"), F.lit(0).cast("long"))
+        elif kind == "d":
+            vd = F.coalesce(F.col(col).cast("double"), F.lit(0.0))
+        else:
+            vs = F.coalesce(F.col(col).cast("string"), F.lit(""))
+        entries.append(F.struct(
+            F.lit(name).alias("metric"), vi.alias("vi"),
+            vd.alias("vd"), vs.alias("vs"),
+        ))
+    return df.select(
+        F.lit(tag).alias("op"),
+        _suite_key(k1).alias("k1"),
+        (_suite_key(k2) if k2 is not None else F.lit("")).alias("k2"),
+        F.explode(F.array(*entries)).alias("_m"),
+    ).select("op", "k1", "k2", "_m.metric", "_m.vi", "_m.vd", "_m.vs")
+
+
+def _suite_part_sql(tag: str, k1, k2, metrics) -> list[str]:
+    """DuckDB mirror of _suite_part: one SELECT per metric over the
+    sub-operator CTE ``_s_<tag>`` (UNION ALL'd by the caller)."""
+    k1e = _suite_key_sql(k1)
+    k2e = _suite_key_sql(k2) if k2 is not None else "''"
+    out = []
+    for name, col, kind in metrics:
+        vi, vd, vs = "CAST(0 AS BIGINT)", "CAST(0.0 AS DOUBLE)", "''"
+        if kind == "one":
+            vi = "CAST(1 AS BIGINT)"
+        elif kind == "ts":
+            vi = f"coalesce(CAST(epoch_us({col}) AS BIGINT), 0)"
+        elif kind in ("i", "b"):
+            vi = f"coalesce(CAST({col} AS BIGINT), 0)"
+        elif kind == "d":
+            vd = f"coalesce(CAST({col} AS DOUBLE), CAST(0.0 AS DOUBLE))"
+        else:
+            vs = f"coalesce(CAST({col} AS VARCHAR), '')"
+        out.append(
+            f"SELECT '{tag}' AS op, {k1e} AS k1, {k2e} AS k2, "
+            f"'{name}' AS metric, {vi} AS vi, {vd} AS vd, {vs} AS vs "
+            f"FROM _s_{tag}"
+        )
+    return out
+
+
+# suite name → [(tag, oracle_key, spark_callable, k1, k2, metrics)]
+# metrics: (metric_name, column, kind) with kind ∈ i|d|s|b|ts|one.
+def _suite_specs():
+    return {
+        "dsl_suite": [
+            ("orv", "dsl_or_values", _dsl_query("etype~click;view"),
+             "event_id", None, [("etype", "etype", "s")]),
+            ("andg", "dsl_and_group", _dsl_query("etype~click§big~yes"),
+             "event_id", None, [("etype", "etype", "s")]),
+            ("valre", "dsl_value_regex", _dsl_query("etype~#r"),
+             "event_id", None, [("etype", "etype", "s")]),
+            ("keyre", "dsl_key_regex", _dsl_query("#^k~#7"),
+             "event_id", None, [("etype", "etype", "s")]),
+            ("multi", "dsl_multigroup", _dsl_query("etype~error,big~yes§etype~view"),
+             "event_id", None, [("etype", "etype", "s")]),
+        ],
+        "geocode_suite": [
+            ("tile", "geocode_tile", _q_geocode_tile,
+             "tile", None, [("n", "n", "i")]),
+            ("arrow", "geocode_arrow", _q_geocode_arrow,
+             "doc_id", None, [("lat", "lat", "d"), ("lon", "lon", "d")]),
+        ],
+        "tiles_suite": [
+            ("rollup", "tile_rollup", _q_tile_rollup,
+             "tile", None, [("n", "n", "i")]),
+            ("agg", "tile_aggregate", _q_tile_aggregate,
+             "tile", None, [("n", "n", "i"), ("lat_min", "lat_min", "d"),
+                            ("lon_max", "lon_max", "d")]),
+            ("pyramid", "tile_pyramid", _q_tile_pyramid,
+             "qk", None, [("level", "level", "i"), ("n", "n", "i")]),
+            ("cover", "compact_cover", _q_compact_cover,
+             "cell", None, [("res", "res", "i")]),
+            ("geohash", "geohash_assign", _q_geohash,
+             "cid", None, [("gh", "gh", "s")]),
+            ("quadkey", "quadkey_assign", _q_quadkey,
+             "cid", None, [("qk", "qk", "s"), ("qk5", "qk5", "s")]),
+        ],
+        "portable_hash_suite": [
+            ("minhash", "minhash_portable", _q_minhash_portable,
+             "doc_id", None, [(f"m{j}", f"m{j}", "i") for j in range(16)]),
+            ("simhash", "simhash_portable", _q_simhash_portable,
+             "a", "b", [("hamming", "hamming", "i")]),
+        ],
+        "search_suite": [
+            ("term", "term_search", _q_term_search,
+             "doc_id", None, [("hit", None, "one")]),
+            ("invidx", "inverted_index", _q_inverted_index,
+             "token", None, [("df_count", "df_count", "i"),
+                             ("postings", "postings", "s")]),
+            ("bigrams", "top_bigrams", _q_top_bigrams,
+             "gram", None, [("occurrences", "occurrences", "i")]),
+            ("bm25", "bm25_rank", _q_bm25,
+             "doc_id", None, [("score", "score", "d"), ("dl", "dl", "i")]),
+        ],
+        "dedup_suite": [
+            ("exact", "exact_dedup", _q_exact_dedup,
+             "doc_id", None, [("dup_count", "dup_count", "i")]),
+            ("incr", "incremental_dedup", _q_incremental_dedup,
+             "doc_id", None, [("fp", "fp", "s")]),
+        ],
+        "weburl_suite": [
+            ("latest", "url_latest_dedup", _q_url_dedup,
+             "norm_url", None, [("url", "url", "s"), ("warc_ts", "warc_ts", "i")]),
+            ("host", "host_stats", _q_host_stats,
+             "host", None, [("captures", "captures", "i"),
+                            ("distinct_urls", "distinct_urls", "i"),
+                            ("last_seen", "last_seen", "i")]),
+            ("diff", "snapshot_diff", _q_snapshot_diff,
+             "key", None, [("status", "status", "s")]),
+            ("domain", "domain_stats", _q_domain_stats,
+             "domain", None, [("n_pages", "n_pages", "i"),
+                              ("first_ts", "first_ts", "i"),
+                              ("last_ts", "last_ts", "i"),
+                              ("n_hosts", "n_hosts", "i")]),
+            ("scd2", "scd2_history", _q_scd2,
+             "norm_url", "valid_from",
+             [("fp", "fp", "s"), ("valid_to_x", "valid_to_x", "i"),
+              ("is_current", "is_current", "b")]),
+        ],
+        "sample_rank_suite": [
+            ("strat", "stratified_sample", _q_stratified_sample,
+             "doc_id", None, [("lang", "lang", "s")]),
+            ("topk", "topk_per_lang", _q_topk_group,
+             "doc_id", None, [("lang", "lang", "s"), ("n_chars", "n_chars", "i"),
+                              ("rk", "rk", "i")]),
+        ],
+        "spatial3_suite": [
+            ("nearseg", "nearest_segment", _q_nearest_segment,
+             "cid", "sid", [("dist2_deg", "dist2_deg", "d"),
+                            ("t_along", "t_along", "d")]),
+            ("segx", "segment_intersect", _q_segment_intersect,
+             "cid", "sid", [("hit", None, "one")]),
+            ("anti", "spatial_anti", _q_spatial_anti,
+             "cid", None, [("lat", "lat", "d"), ("lon", "lon", "d")]),
+        ],
+        "trajectory_suite": [
+            ("travel", "travel_stats", _q_travel_stats,
+             "user_id", None, [("n_points", "n_points", "i"),
+                               ("total_dist_e9", "total_dist_e9", "i"),
+                               ("max_step_deg", "max_step_deg", "d")]),
+            ("stay", "stay_points", _q_stay_points,
+             "user_id", "stay_id",
+             [("n_points", "n_points", "i"), ("ts_start", "ts_start", "ts"),
+              ("ts_end", "ts_end", "ts"), ("lat_min", "lat_min", "d"),
+              ("lat_max", "lat_max", "d"), ("lon_min", "lon_min", "d"),
+              ("lon_max", "lon_max", "d")]),
+            # simplify_lines (Douglas-Peucker) stays OUT: recursive
+            # geometry with no SQL oracle (rows-only + brute-force pytest)
+            ("od", "od_flows", _q_od_flows,
+             ["from_x", "from_y"], ["to_x", "to_y"],
+             [("n_trips", "n_trips", "i")]),
+        ],
+        "graph_suite": [
+            ("pagerank", "pagerank", _q_pagerank,
+             "node", None, [("rank_e9", "rank_e9", "i")]),
+            ("degree", "degree_stats", _q_degree_stats,
+             "node", None, [("out_deg", "out_deg", "i"),
+                            ("in_deg", "in_deg", "i"),
+                            ("recip_deg", "recip_deg", "i")]),
+            ("hotspot", "hotspots", _q_hotspots,
+             ["cx", "cy"], None, [("n_points", "n_points", "i"),
+                                  ("cluster_id", "cluster_id", "i")]),
+            ("focal", "focal_smooth", _q_focal,
+             ["cx", "cy"], None, [("n_focal", "n_focal", "i")]),
+        ],
+        "curation_suite": [
+            ("contam", "contamination", _q_contamination,
+             "train_id", "bench_id", [("n_shared", "n_shared", "i")]),
+            ("chunk", "chunk_docs", _q_chunk_docs,
+             "doc_id", "chunk_id",
+             [("token_start", "token_start", "i"),
+              ("token_end", "token_end", "i"),
+              ("chunk_text", "chunk_text", "s")]),
+            ("linededup", "line_dedup", _q_line_dedup,
+             "doc_id", None, [("text_clean", "text_clean", "s"),
+                              ("n_kept", "n_kept", "i"),
+                              ("n_dropped", "n_dropped", "i")]),
+        ],
+    }
+
+
+def _make_suite(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        parts = [
+            _suite_part(fn(spark, sf_dir), tag, k1, k2, metrics)
+            for tag, _key, fn, k1, k2, metrics in _suite_specs()[name]
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    run.__name__ = f"_q_{name}"
+    run.__doc__ = (
+        f"Tagged-union fold of the {name.replace('_suite', '')} family — "
+        "one driver gate slot certifying every sub-operator value-exact "
+        "(see the suite block comment)."
+    )
+    return run
+
+
+def _suite_oracle_sql(sqls: dict[str, str]) -> dict[str, str]:
+    out = {}
+    for name, spec in _suite_specs().items():
+        ctes, selects = [], []
+        for tag, key, _fn, k1, k2, metrics in spec:
+            ctes.append(f"_s_{tag} AS ({sqls[key]})")
+            selects.extend(_suite_part_sql(tag, k1, k2, metrics))
+        out[name] = "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+    return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship north-star pipeline on sf0.001: synth pages → geocode →
     cell-encode → per-tile aggregation."""
@@ -1865,10 +2143,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       more complex path, so it certifies both.
     Rows-only candidates whose value-exact twins are already here
     (minhash_pairs / simhash_pairs / lsh_cosine_topk / ivf_cosine_topk /
-    embedding_near_dup) stay in ``extra_queries()``."""
+    embedding_near_dup) stay in ``extra_queries()``.
+
+    Round-3 second restructure — SUITE folding: the ~20 wave-2/3 operator
+    families that outgrew the window now fold into tagged-union suite
+    queries (one gate slot each, see the suite block comment above
+    ``_suite_specs``), so EVERY operator family has a driver value-exact
+    row and 8 slots open for the wave-4 operators.  The folded individual
+    queries keep their native-schema value-exact entries in
+    ``extra_queries()`` / tools/check_oracle.py."""
     return {
-        "dsl_key_regex": _dsl_query("#^k~#7"),
-        "dsl_multigroup": _dsl_query("etype~error,big~yes§etype~view"),
+        "dsl_suite": _make_suite("dsl_suite"),
         "dsl_xway_suppress": _q_dsl_xway,
         "way_denorm_bbox": _q_way_denorm,
         "entrance_pick": _q_entrance_pick,
@@ -1879,44 +2164,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "amenity_translate": _q_amenity_translate,
         "relation_bbox": _q_relation_bbox,
         "cell_assign": _q_cell_assign,
-        "tile_rollup": _q_tile_rollup,
         "tile_polygons": _q_tile_polygons,
-        "geocode_tile": _q_geocode_tile,
-        "geocode_arrow": _q_geocode_arrow,
+        "tiles_suite": _make_suite("tiles_suite"),
+        "geocode_suite": _make_suite("geocode_suite"),
         "extract_text": _q_extract_text,
         "pip_join_rect": _q_pip,
         "knn_grid": _q_knn,
-        "exact_dedup": _q_exact_dedup,
+        "dedup_suite": _make_suite("dedup_suite"),
         "jaccard_pairs": _q_jaccard,
         "dedup_groups": _q_dedup_groups,
-        "minhash_portable": _q_minhash_portable,
-        "simhash_portable": _q_simhash_portable,
+        "portable_hash_suite": _make_suite("portable_hash_suite"),
         "ivf_full_probe": _q_ivf_full_probe,
         "embedding_near_dup_exact": _q_embedding_near_dup_exact,
-        "url_latest_dedup": _q_url_dedup,
-        "host_stats": _q_host_stats,
+        "weburl_suite": _make_suite("weburl_suite"),
         "repetition": _q_repetition,
         "bbox_intersect": _q_bbox_join,
         "windowed_events": _q_windowed_events,
         "asof_match": _q_asof,
         "sessionize": _q_sessionize,
-        "snapshot_diff": _q_snapshot_diff,
-        "stratified_sample": _q_stratified_sample,
-        "top_bigrams": _q_top_bigrams,
-        "inverted_index": _q_inverted_index,
+        "sample_rank_suite": _make_suite("sample_rank_suite"),
         "media_features": _q_media_features,
         "host_median_len": _q_host_median,
         "within_dist": _q_within_dist,
-        "term_search": _q_term_search,
-        "incremental_dedup": _q_incremental_dedup,
         "textops_all": _q_textops_all,
         "pack_sequences": _q_pack_sequences,
-        "bm25_rank": _q_bm25,
-        "scd2_history": _q_scd2,
+        "search_suite": _make_suite("search_suite"),
         "cms_tokens": _q_cms_tokens,
-        "quadkey_assign": _q_quadkey,
-        "topk_per_lang": _q_topk_group,
         "poly_metrics": _q_poly_metrics,
+        "spatial3_suite": _make_suite("spatial3_suite"),
+        "trajectory_suite": _make_suite("trajectory_suite"),
+        "graph_suite": _make_suite("graph_suite"),
+        "curation_suite": _make_suite("curation_suite"),
     }
 
 
@@ -1936,12 +2214,36 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dsl_or_values + dsl_and_group → dsl_multigroup; tile_aggregate →
     tile_rollup; cosine_topk → ivf_full_probe; token_count /
     quality_score / lang_detect / fingerprint / redact_pii →
-    textops_all."""
+    textops_all.
+
+    Second restructure: everything folded into a gate suite keeps its
+    native-schema individual entry here (drivers of the suites), still
+    value-exact under tools/check_oracle.py."""
     return {
         "dsl_value_regex": _dsl_query("etype~#r"),
         "dsl_or_values": _dsl_query("etype~click;view"),
         "dsl_and_group": _dsl_query("etype~click§big~yes"),
+        "dsl_key_regex": _dsl_query("#^k~#7"),
+        "dsl_multigroup": _dsl_query("etype~error,big~yes§etype~view"),
         "tile_aggregate": _q_tile_aggregate,
+        "tile_rollup": _q_tile_rollup,
+        "geocode_tile": _q_geocode_tile,
+        "geocode_arrow": _q_geocode_arrow,
+        "minhash_portable": _q_minhash_portable,
+        "simhash_portable": _q_simhash_portable,
+        "term_search": _q_term_search,
+        "inverted_index": _q_inverted_index,
+        "top_bigrams": _q_top_bigrams,
+        "bm25_rank": _q_bm25,
+        "exact_dedup": _q_exact_dedup,
+        "incremental_dedup": _q_incremental_dedup,
+        "url_latest_dedup": _q_url_dedup,
+        "host_stats": _q_host_stats,
+        "snapshot_diff": _q_snapshot_diff,
+        "scd2_history": _q_scd2,
+        "quadkey_assign": _q_quadkey,
+        "stratified_sample": _q_stratified_sample,
+        "topk_per_lang": _q_topk_group,
         "cosine_topk": _q_cosine_topk,
         "token_count": _q_token_count,
         "quality_score": _q_quality,
@@ -3015,4 +3317,7 @@ def oracle_sql() -> dict[str, str]:
         f"JOIN ({sqls['fingerprint']}) f ON tc.doc_id = f.doc_id "
         f"JOIN ({sqls['redact_pii']}) r ON tc.doc_id = r.doc_id"
     )
+    # suite oracles composed verbatim from the per-operator strings above —
+    # a green suite row certifies every folded operator's values.
+    sqls.update(_suite_oracle_sql(sqls))
     return sqls
