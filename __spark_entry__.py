@@ -38,8 +38,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pbf2json_spark import (
-    ann, cells, corpus, decontam, dedup, denorm, dsl, graph, pages,
-    relations, sampling, spatial, temporal, textops, trajectory, weburl,
+    ann, cells, cluster, corpus, decontam, dedup, denorm, dsl, graph,
+    pages, raster, relations, routing, sampling, spans, spatial, temporal,
+    textops, trajectory, weburl,
 )
 
 # --------------------------------------------------------------------------
@@ -1839,6 +1840,217 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 # --------------------------------------------------------------------------
+# wave-4 operators: span dedup / rasterize / routing / clustering
+# --------------------------------------------------------------------------
+
+_SPAN_DOCS_SQL = "SELECT doc_id AS id, text FROM documents"
+
+
+def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-substring removal (spans.duplicated_span_dedup;
+    Lee et al. 2022's suffix-array dedup re-expressed as one k-gram-hash
+    count shuffle + gaps-and-islands span merge): every 5-token window that
+    occurs >= 2x corpus-wide is cut from every document. clean_text matches
+    the DuckDB mirror byte-for-byte (md5 window keys, integer island math)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    return spans.duplicated_span_dedup(docs, k=5, min_count=2)
+
+
+# Box synth: every fractional literal carries an explicit exponent (85.5e0)
+# because bare 0.9 parses as DECIMAL in both Spark SQL and DuckDB —
+# the e0 form forces DOUBLE so both engines run the identical IEEE tree.
+_BOX_EXPRS = [
+    "p_partkey AS id",
+    "(p_partkey % 171) - 85.5e0 + 0.0 AS lat_min",
+    "(p_partkey % 353) - 176.5e0 AS lon_min",
+    "(p_partkey % 171) - 85.5e0 + 0.7e0 + (p_partkey % 7) * 0.3e0 AS lat_max",
+    "(p_partkey % 353) - 176.5e0 + 0.9e0 + (p_partkey % 5) * 0.4e0 AS lon_max",
+    "1 + p_partkey % 9 AS weight",
+]
+_BOXES_SQL = "SELECT " + ", ".join(_BOX_EXPRS) + " FROM part"
+
+
+def _q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Area-weighted rasterization (raster.rasterize_boxes): part-keyed
+    weighted boxes burned onto the res-7 grid with partial-coverage credit;
+    per-tile totals are int64 millionths² so the sum is order-independent
+    and engine-portable."""
+    boxes = _t(spark, sf_dir, "part").selectExpr(*_BOX_EXPRS)
+    return raster.rasterize_boxes(boxes, res=7)
+
+
+_ROUTE_EDGES_SQL = (
+    "SELECT c_custkey % 150 AS src, (c_custkey * 7 + 3) % 150 AS dst, "
+    "1 + (c_custkey % 13) AS w FROM customer GROUP BY 1, 2, 3"
+)
+_ROUTE_SOURCES_SQL = "SELECT unnest(range(0, 150, 17)) AS node"
+
+
+def _q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source bounded-hop shortest paths (routing.shortest_paths,
+    synchronous Bellman-Ford: frontier join + min-combine per round) over a
+    150-node customer-keyed road graph with integer weights; the DuckDB
+    recursive-walk oracle is exact because every op is int64 min/add."""
+    cust = _t(spark, sf_dir, "customer")
+    edges = cust.selectExpr(
+        "c_custkey % 150 AS src",
+        "(c_custkey * 7 + 3) % 150 AS dst",
+        "1 + (c_custkey % 13) AS w",
+    ).distinct()
+    srcs = spark.range(0, 150, 17).selectExpr("id AS node")
+    return routing.shortest_paths(edges, srcs, n_rounds=6)
+
+
+def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding clustering (cluster.kmeans_fit/kmeans_assign): seed
+    centroids = the 8 lowest-vec_id vectors (n_iter=0 here — the iterative
+    quantized-Lloyd's training loop is not SQL-expressible and is certified
+    by pytest against a local numpy reference), assignment = argmax cosine
+    in one Arrow-batch matmul. Output is integer-only per-cluster
+    aggregates (n / sum_id / min_id), so the comparison is ulp-proof: the
+    min best-vs-second-best cosine gap is ~4e-4 at sf0.01, far above any
+    cross-engine float-rounding difference."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = cluster.kmeans_fit(emb, k=8, n_iter=0)
+    assigned = cluster.kmeans_assign(emb, cents)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vec_id").alias("sum_id"),
+        F.min("vec_id").alias("min_id"),
+    )
+
+
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document tf-idf keywords (corpus.tfidf_keywords): rational
+    un-logged idf (bm25_rank's portability discipline — pure +,*,/ so the
+    double score is bit-identical in DuckDB), df-bounds drop stop words
+    before ranking, exact top-3 per doc."""
+    return corpus.tfidf_keywords(
+        _t(spark, sf_dir, "documents"), k=3, min_df=2, max_df_frac=0.78
+    )
+
+
+def _tfidf_sql(k: int, min_df: int, max_df_frac: float) -> str:
+    """DuckDB mirror of corpus.tfidf_keywords — same tokenization, same
+    rational-idf expression tree (every fractional literal forced DOUBLE),
+    same (score DESC, term ASC) tie-break."""
+    half = "CAST(0.5 AS DOUBLE)"
+    return (
+        "WITH w AS (SELECT doc_id, "
+        "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+        r"ELSE string_split_regex(trim(text), '\s+') END AS words "
+        "FROM documents), "
+        "t AS (SELECT doc_id, u.term FROM w, LATERAL unnest(words) u(term)), "
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+        "FROM t GROUP BY doc_id, term), "
+        "nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents), "
+        "dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term), "
+        f"d2 AS (SELECT term, df, n_docs FROM dfq, nd WHERE df >= {min_df} "
+        f"AND CAST(df AS DOUBLE) <= CAST({max_df_frac} AS DOUBLE) * CAST(n_docs AS DOUBLE)), "
+        "s AS (SELECT tf.doc_id, tf.term, tf.tf, "
+        f"CAST(tf.tf AS DOUBLE) * ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + {half}) "
+        f"/ (CAST(df AS DOUBLE) + {half})) AS score "
+        "FROM tf JOIN d2 USING (term)), "
+        "r AS (SELECT doc_id, term, tf, score, CAST(row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rnk FROM s) "
+        f"SELECT doc_id, term, tf, score, rnk FROM r WHERE rnk <= {k}"
+    )
+
+
+_MIX_WEIGHTS = {"en": 0.6, "de": 2.25, "zh": 0.0, "fr": 1.0}
+_MIX_DEFAULT = 1.5
+
+
+def _q_resample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture resampling (sampling.resample_mixture):
+    per-lang repeat factors exercising downsample (en 0.6), integer+
+    fractional upsample (de 2.25), drop (zh 0.0), identity (fr 1.0) and
+    the default (es → 1.5). Row multiplicity is a pure function of the
+    row hash, so the DuckDB mirror reproduces the exact copy set."""
+    return sampling.resample_mixture(
+        _t(spark, sf_dir, "documents"),
+        _MIX_WEIGHTS,
+        default_weight=_MIX_DEFAULT,
+    ).select("doc_id", "lang", "copy")
+
+
+def _mixture_sql(weights: dict[str, float], default_weight: float) -> str:
+    """DuckDB mirror of sampling.resample_mixture — thresholds computed by
+    the IDENTICAL Python int arithmetic, so the literals cannot drift."""
+    span = 1 << 32
+
+    def _parts(w: float) -> tuple[int, int]:
+        base = int(w)
+        return base, int((w - base) * span)
+
+    db, dt = _parts(default_weight)
+    base_case = " ".join(
+        f"WHEN '{v}' THEN {_parts(w)[0]}" for v, w in weights.items()
+    )
+    thr_case = " ".join(
+        f"WHEN '{v}' THEN {_parts(w)[1]}" for v, w in weights.items()
+    )
+    u32 = "('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 8))::BIGINT"
+    return (
+        "WITH d AS (SELECT doc_id, lang, "
+        f"CASE lang {base_case} ELSE {db} END "
+        f"+ CASE WHEN {u32} < CASE lang {thr_case} ELSE {dt} END "
+        "THEN 1 ELSE 0 END AS copies FROM documents) "
+        "SELECT doc_id, lang, CAST(r.c AS INTEGER) AS copy "
+        "FROM d, LATERAL unnest(range(0, copies)) r(c) WHERE copies > 0"
+    )
+
+
+def _q_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (sketch.kmv_build/kmv_estimate): per
+    event_type bottom-64 of the 60-bit md5 user_id hashes; 150 distinct
+    users > k = 64 exercises the estimator path, whose float tree is two
+    exact-rounded ops — value-exact in DuckDB like every sketch here."""
+    from pbf2json_spark import sketch as sketch_mod
+
+    sk = sketch_mod.kmv_build(
+        _t(spark, sf_dir, "events"), "user_id", ["event_type"], k=64
+    )
+    return sketch_mod.kmv_estimate(sk, k=64, group_cols=["event_type"])
+
+
+def _kmv_sql(k: int) -> str:
+    span = 1 << 60
+    return (
+        "WITH h AS (SELECT DISTINCT event_type, "
+        "('0x' || substr(md5(user_id::VARCHAR || ':0'), 1, 15))::BIGINT AS h "
+        "FROM events), "
+        "r AS (SELECT event_type, h, row_number() OVER "
+        "(PARTITION BY event_type ORDER BY h) AS rk FROM h), "
+        f"s AS (SELECT event_type, h FROM r WHERE rk <= {k}), "
+        "a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hashes, "
+        "max(h) AS kth_hash FROM s GROUP BY event_type) "
+        "SELECT event_type, n_hashes, kth_hash, "
+        f"CASE WHEN n_hashes < {k} THEN CAST(n_hashes AS DOUBLE) "
+        f"ELSE (CAST({k - 1} AS DOUBLE) * CAST({span} AS DOUBLE)) "
+        "/ CAST(kth_hash AS DOUBLE) END AS est_distinct FROM a"
+    )
+
+
+_KMEANS_SQL = (
+    "WITH c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) "
+    "AS cluster, CAST(embedding AS DOUBLE[]) AS cv "
+    "FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)), "
+    "s AS (SELECT e.vec_id, c.cluster, "
+    "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) AS cos "
+    "FROM embeddings e, c), "
+    "a AS (SELECT vec_id, cluster, row_number() OVER "
+    "(PARTITION BY vec_id ORDER BY cos DESC, cluster) AS rn FROM s) "
+    "SELECT cluster, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(vec_id) AS BIGINT) AS sum_id, "
+    "CAST(min(vec_id) AS BIGINT) AS min_id "
+    "FROM a WHERE rn = 1 GROUP BY cluster"
+)
+
+
+# --------------------------------------------------------------------------
 # Suite queries — tagged-union fold of same-family operators into ONE
 # driver gate slot.
 #
@@ -2195,6 +2407,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trajectory_suite": _make_suite("trajectory_suite"),
         "graph_suite": _make_suite("graph_suite"),
         "curation_suite": _make_suite("curation_suite"),
+        # wave 4 — 49/50 slots used
+        "span_dedup": _q_span_dedup,
+        "rasterize": _q_rasterize,
+        "shortest_paths": _q_shortest_paths,
+        "kmeans_clusters": _q_kmeans,
+        "tfidf_keywords": _q_tfidf,
+        "resample_mixture": _q_resample_mixture,
+        "kmv_distinct": _q_kmv,
     }
 
 
@@ -3317,6 +3537,19 @@ def oracle_sql() -> dict[str, str]:
         f"JOIN ({sqls['fingerprint']}) f ON tc.doc_id = f.doc_id "
         f"JOIN ({sqls['redact_pii']}) r ON tc.doc_id = r.doc_id"
     )
+    # wave-4 oracles: module-owned SQL generators (spans/raster/routing keep
+    # query and mirror in one file so they cannot drift) + the kmeans mirror.
+    sqls["span_dedup"] = spans.duplicated_span_dedup_sql(
+        _SPAN_DOCS_SQL, k=5, min_count=2
+    )
+    sqls["rasterize"] = raster.rasterize_boxes_sql(_BOXES_SQL, res=7)
+    sqls["shortest_paths"] = routing.shortest_paths_sql(
+        _ROUTE_EDGES_SQL, _ROUTE_SOURCES_SQL, 6
+    )
+    sqls["kmeans_clusters"] = _KMEANS_SQL
+    sqls["tfidf_keywords"] = _tfidf_sql(k=3, min_df=2, max_df_frac=0.78)
+    sqls["resample_mixture"] = _mixture_sql(_MIX_WEIGHTS, _MIX_DEFAULT)
+    sqls["kmv_distinct"] = _kmv_sql(64)
     # suite oracles composed verbatim from the per-operator strings above —
     # a green suite row certifies every folded operator's values.
     sqls.update(_suite_oracle_sql(sqls))

@@ -87,6 +87,14 @@ BENCH_QUERIES = [
     "od_flows",
     "domain_stats",
     "focal_smooth",
+    # wave 4
+    "span_dedup",
+    "rasterize",
+    "shortest_paths",
+    "kmeans_clusters",
+    "tfidf_keywords",
+    "resample_mixture",
+    "kmv_distinct",
 ]
 
 

@@ -211,3 +211,91 @@ def search_all_terms(
         c = F.array_contains(words, t)
         cond = c if cond is None else cond & c
     return df.filter(cond).select(id_col)
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 5,
+    min_df: int = 1,
+    max_df_frac: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k keywords by tf-idf — the unsupervised keyword /
+    topic-tag extractor of a training-data pipeline (metadata enrichment,
+    domain mixing features, index terms).
+
+    Scoring uses a RATIONAL idf (the same discipline as bm25_rank):
+    idf(t) = (N - df_t + 0.5) / (df_t + 0.5), un-logged — order-isomorphic
+    to the log form per term, and pure +,*,/ on doubles, so score values
+    are bit-identical across engines (a libm/JVM log would differ in the
+    last ulp). score = tf · idf; ties break (score DESC, term ASC).
+
+    Stop-word control: terms with df > max_df_frac·N or df < min_df are
+    dropped BEFORE the per-doc ranking — the same degenerate-head bound as
+    inverted_index's max_df (a stop word has idf ≈ (0.5/(N+0.5)) but would
+    still occupy (doc, term) rows for every document it appears in).
+
+    Shape at 10^12 docs:
+      * tf: explode → ONE map-side-combinable groupBy on (doc, term) —
+        the exchange carries (doc, term, partial_count), bounded by
+        distinct terms per task, not token volume.
+      * df: a SECOND combinable groupBy over the (doc, term) table (which
+        is already distinct), keyed by term — vocabulary-sized output.
+      * scoring join on term: vocabulary-sized build side (post df-bounds
+        it is the non-stop-word vocabulary; Spark/AQE broadcasts it when
+        small, shuffle-hash otherwise).
+      * top-k per doc: window row_number over (doc) — the per-doc group is
+        bounded by the distinct terms of one document, so no skew blowup;
+        exact, no pre-thin needed.
+
+    Output: (doc_id, term, tf:long, score:double, rnk:long), rnk <= k.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_words(text_col)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df") >= F.lit(min_df))
+            & (
+                F.col("df").cast("double")
+                <= F.lit(float(max_df_frac)) * F.col("n_docs").cast("double")
+            )
+        )
+    )
+    idf = (
+        (
+            F.col("n_docs").cast("double")
+            - F.col("df").cast("double")
+            + F.lit(0.5)
+        )
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        (F.col("tf").cast("double") * idf).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn(
+            "rnk", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "score", "rnk")
+    )

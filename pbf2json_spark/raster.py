@@ -1,0 +1,173 @@
+"""Area-weighted rasterization — vector boxes → raster tiles with PARTIAL
+coverage, the continuous-field counterpart of spatial.tile_aggregate's
+point counting. Burns each weighted lat/lon box onto the equirectangular
+cell grid (cells.py), crediting every overlapped tile with
+weight × (overlap area / tile area) — the standard "area-weighted
+rasterize" of zonal statistics / population-gridding pipelines, and the
+raster half of the reference's bbox computation (pbf2json.go computes the
+box; this spreads it onto the grid).
+
+Scale shape: 100% Column expressions — the tile enumeration is
+sequence()×explode (factor = tiles per box, caller bounds it via `res`),
+the overlap is min/max arithmetic, and the final per-tile Σ is ONE
+map-side-combinable groupBy. No UDF, no driver collect.
+
+Determinism/portability discipline: per-tile overlap fractions are
+computed as a FIXED IEEE expression tree (identical doubles in any
+engine) and then QUANTIZED to int64 millionths before the sum — float
+addition across a shuffle is order-dependent, integer addition is not, so
+per-tile totals are bit-exact across partitionings and engines (the
+pagerank_int / kmeans discipline). cover_e12 units: 1e12 = weight 1
+covering one full tile. Overflow budget: int64 holds ≈9.2e6 full-cover
+weight-units per tile — pre-scale weights if a single tile can exceed
+that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import cells
+
+E6 = 1_000_000
+
+
+def _cell_from_xy_col(x: Column, y: Column, res: int) -> Column:
+    m = cells._spread_col(x).bitwiseOR(F.shiftleft(cells._spread_col(y), 1))
+    return F.lit(res << cells._RES_SHIFT).bitwiseOR(m).cast("long")
+
+
+def _grid_u(lon: Column, res: int) -> Column:
+    """Longitude → continuous grid units in [0, 2^res]."""
+    return (lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << res))
+
+
+def _grid_v(lat: Column, res: int) -> Column:
+    return (lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << res))
+
+
+def rasterize_boxes(
+    df: DataFrame,
+    res: int,
+    weight_col: str = "weight",
+    lat_min: str = "lat_min",
+    lon_min: str = "lon_min",
+    lat_max: str = "lat_max",
+    lon_max: str = "lon_max",
+    per_box: bool = False,
+) -> DataFrame:
+    """Burn weighted boxes onto the res-grid with partial-area credit.
+
+    Per overlapped tile: cover_e12 = weight · ⌊ox·1e6⌋ · ⌊oy·1e6⌋ where
+    ox, oy ∈ [0, 1] are the box∩tile overlap fractions along each axis in
+    grid units. Zero-overlap boundary tiles are dropped.
+
+    Output: (tile:long, cover_e12:long) summed per tile — or, with
+    per_box=True, one row per (box, tile) with all input columns kept
+    (the join-back form for zonal statistics).
+    """
+    n = 1 << res
+    u0, u1 = _grid_u(F.col(lon_min), res), _grid_u(F.col(lon_max), res)
+    v0, v1 = _grid_v(F.col(lat_min), res), _grid_v(F.col(lat_max), res)
+    # clamp to the world grid, then enumerate the integer tile range
+    u0c = F.greatest(F.lit(0.0), F.least(F.lit(float(n)), u0))
+    u1c = F.greatest(F.lit(0.0), F.least(F.lit(float(n)), u1))
+    v0c = F.greatest(F.lit(0.0), F.least(F.lit(float(n)), v0))
+    v1c = F.greatest(F.lit(0.0), F.least(F.lit(float(n)), v1))
+    x0 = F.least(F.lit(n - 1), F.floor(u0c)).cast("long")
+    x1 = F.least(F.lit(n - 1), F.floor(u1c)).cast("long")
+    y0 = F.least(F.lit(n - 1), F.floor(v0c)).cast("long")
+    y1 = F.least(F.lit(n - 1), F.floor(v1c)).cast("long")
+
+    g = (
+        df.withColumn("_u0", u0c).withColumn("_u1", u1c)
+        .withColumn("_v0", v0c).withColumn("_v1", v1c)
+        .withColumn("_x", F.explode(F.sequence(x0, x1)))
+        .withColumn("_y", F.explode(F.sequence(y0, y1)))
+    )
+    ox = F.greatest(
+        F.lit(0.0),
+        F.least(F.col("_u1"), F.col("_x") + F.lit(1.0))
+        - F.greatest(F.col("_u0"), F.col("_x").cast("double")),
+    )
+    oy = F.greatest(
+        F.lit(0.0),
+        F.least(F.col("_v1"), F.col("_y") + F.lit(1.0))
+        - F.greatest(F.col("_v0"), F.col("_y").cast("double")),
+    )
+    cover = (
+        F.col(weight_col).cast("long")
+        * F.floor(ox * E6).cast("long")
+        * F.floor(oy * E6).cast("long")
+    )
+    tiled = (
+        g.withColumn("tile", _cell_from_xy_col(F.col("_x"), F.col("_y"), res))
+        .withColumn("cover_e12", cover)
+        .filter(F.col("cover_e12") > 0)
+        .drop("_u0", "_u1", "_v0", "_v1", "_x", "_y")
+    )
+    if per_box:
+        return tiled
+    return tiled.groupBy("tile").agg(
+        F.sum("cover_e12").alias("cover_e12")
+    )
+
+
+def rasterize_boxes_sql(
+    source_sql: str,
+    res: int,
+    weight_col: str = "weight",
+    lat_min: str = "lat_min",
+    lon_min: str = "lon_min",
+    lat_max: str = "lat_max",
+    lon_max: str = "lon_max",
+) -> str:
+    """DuckDB mirror of rasterize_boxes (aggregated form): same clamp /
+    floor / overlap expression tree, same e6 quantization, same cell-id
+    bit layout — per-tile sums are bit-exact."""
+    n = 1 << res
+    spread = _sql_spread
+    u0 = f"greatest(0.0, least({float(n)}, ({lon_min} + 180.0) / 360.0 * {float(n)}))"
+    u1 = f"greatest(0.0, least({float(n)}, ({lon_max} + 180.0) / 360.0 * {float(n)}))"
+    v0 = f"greatest(0.0, least({float(n)}, ({lat_min} + 90.0) / 180.0 * {float(n)}))"
+    v1 = f"greatest(0.0, least({float(n)}, ({lat_max} + 90.0) / 180.0 * {float(n)}))"
+    return f"""
+WITH src AS ({source_sql}),
+b AS (
+  SELECT CAST({weight_col} AS BIGINT) AS w,
+         {u0} AS u0, {u1} AS u1, {v0} AS v0, {v1} AS v1,
+         CAST(least({n - 1}, floor({u0})) AS BIGINT) AS x0,
+         CAST(least({n - 1}, floor({u1})) AS BIGINT) AS x1,
+         CAST(least({n - 1}, floor({v0})) AS BIGINT) AS y0,
+         CAST(least({n - 1}, floor({v1})) AS BIGINT) AS y1
+  FROM src
+),
+g AS (
+  SELECT w, u0, u1, v0, v1,
+         CAST(tx.x AS BIGINT) AS x, CAST(ty.y AS BIGINT) AS y
+  FROM b,
+       LATERAL unnest(range(x0, x1 + 1)) tx(x),
+       LATERAL unnest(range(y0, y1 + 1)) ty(y)
+),
+c AS (
+  SELECT
+    CAST({res << cells._RES_SHIFT} AS BIGINT)
+      | ({spread('x')}) | (({spread('y')}) << 1) AS tile,
+    w * CAST(floor(greatest(0.0, least(u1, x + 1.0) - greatest(u0, CAST(x AS DOUBLE))) * 1000000) AS BIGINT)
+      * CAST(floor(greatest(0.0, least(v1, y + 1.0) - greatest(v0, CAST(y AS DOUBLE))) * 1000000) AS BIGINT)
+      AS cover_e12
+  FROM g
+)
+SELECT tile, sum(cover_e12) AS cover_e12
+FROM c WHERE cover_e12 > 0 GROUP BY tile
+"""
+
+
+def _sql_spread(v: str) -> str:
+    """Morton bit-spread of a 26-bit coordinate, SQL expression (matches
+    cells._spread_col's mask ladder)."""
+    e = f"CAST({v} AS BIGINT)"
+    for shift, mask in cells._MASKS:
+        e = f"((({e}) | (({e}) << {shift})) & {mask})"
+    return e

@@ -65,3 +65,60 @@ def stratified_sample(
         expr = F.when(cond, t) if expr is None else expr.when(cond, t)
     thr = expr.otherwise(thr) if expr is not None else thr
     return df.filter(_u32(F.col(id_col), seed) < thr)
+
+
+def resample_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Deterministic mixture resampling — the "mix webtext 60%, wiki x2,
+    code x1.5" step that turns a curated corpus into a training mix.
+    `weights` maps stratum value → repeat factor w >= 0: every row is
+    emitted floor(w) times plus one more iff u32(row) < frac(w)·2^32, so
+    E[copies] = w exactly, per-row multiplicity is a pure function of the
+    row (reproducible across re-runs/partitionings/engines), and w < 1 is
+    plain deterministic downsampling (same membership rule as
+    sample_exact). Strata not listed get `default_weight`.
+
+    Output: the input columns + ``copy`` (0-based repeat index — so
+    downstream shuffles can spread copies and an exact de-resample is
+    ``filter(copy = 0)``).
+
+    Shape at 10^12 rows: the copy count is a CASE expression + one integer
+    hash compare, the duplication is explode(sequence()) — scan-stage,
+    ZERO shuffle, explode factor bounded by max(w)+1. No driver state.
+    """
+    if any(w < 0 for w in weights.values()) or default_weight < 0:
+        raise ValueError("weights must be >= 0")
+
+    def _parts(w: float) -> tuple[int, int]:
+        base = int(w)
+        return base, int((w - base) * _U32_SPAN)
+
+    db, dt = _parts(default_weight)
+    base_e, thr_e = None, None
+    for value, w in weights.items():
+        b, t = _parts(w)
+        cond = F.col(stratum_col) == value
+        base_e = (
+            F.when(cond, b) if base_e is None else base_e.when(cond, b)
+        )
+        thr_e = F.when(cond, t) if thr_e is None else thr_e.when(cond, t)
+    base_c = base_e.otherwise(db) if base_e is not None else F.lit(db)
+    thr_c = thr_e.otherwise(dt) if thr_e is not None else F.lit(dt)
+    copies = (
+        base_c.cast("int")
+        + (_u32(F.col(id_col), seed) < thr_c).cast("int")
+    )
+    return (
+        df.withColumn("_copies", copies)
+        .filter(F.col("_copies") > 0)
+        .withColumn(
+            "copy", F.explode(F.sequence(F.lit(0), F.col("_copies") - 1))
+        )
+        .drop("_copies")
+    )

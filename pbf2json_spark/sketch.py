@@ -120,3 +120,125 @@ def cms_estimate(
         "_c", F.coalesce(F.col("cnt"), F.lit(0).cast("long"))
     )
     return joined.groupBy(key_col).agg(F.min("_c").alias("est"))
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch
+# ---------------------------------------------------------------------------
+#
+# Why a sketch when countDistinct is exact: the exact distinct of a
+# 10^12-row key column is a data-sized shuffle (every distinct key crosses
+# the wire); Spark's own approx_count_distinct (HyperLogLog++) avoids that
+# but its hash is JVM-private — no other engine can reproduce the estimate,
+# so it can't be value-checked. KMV keeps the k smallest 60-bit md5-derived
+# key hashes per group: O(k) state, mergeable by union+re-thin, and — like
+# cms_* above — every cell is reproducible in DuckDB, so the oracle
+# comparison is exact (the estimator is ONE double multiply + ONE divide of
+# exactly-representable integers; no float aggregation anywhere).
+#
+# Estimator: with n >= k distinct keys, the k-th smallest of n uniform
+# hashes sits at ~ k/(n+1) of the [0, 2^60) span, so
+# est = (k-1) * 2^60 / h_k (the standard KMV/bottom-k estimator,
+# Bar-Yossef et al. 2002); with fewer than k hashes the sketch holds the
+# whole distinct set and the count is exact.
+#
+# Shape at 10^12 rows: distinct (group, hash) is ONE map-side-combinable
+# exchange (8-byte hashes, not keys); the per-group bottom-k reuses
+# ranking.top_k_per_group (salted pre-thin available for degenerate hot
+# groups); estimates are computed on the k-row-per-group sketch —
+# metadata-scale.
+
+_KMV_SPAN = 1 << 60
+
+
+def kmv_hash(key: Column, seed: int = 0) -> Column:
+    """60-bit portable key hash: first 15 hex digits of md5(key ':' seed).
+    60 bits keeps the value positive in an int64 in any engine and makes
+    the collision rate negligible for estimation (p ~ n^2 / 2^61)."""
+    s = F.concat(key.cast("string"), F.lit(f":{seed}"))
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_build(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 64,
+    seed: int = 0,
+    pre_thin_salt: int = 0,
+) -> DataFrame:
+    """Build the per-group KMV sketch: the k smallest distinct key hashes.
+
+    Output: group_cols + (h:long, rank_in_group:int), <= k rows per group.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from .ranking import top_k_per_group
+
+    gs = list(group_cols or [])
+    base = df.select(
+        *[F.col(c) for c in gs], kmv_hash(F.col(key_col), seed).alias("h")
+    ).distinct()
+    if gs:
+        return top_k_per_group(
+            base, gs, [F.col("h").asc()], k, pre_thin_salt=pre_thin_salt
+        )
+    # global sketch: TakeOrdered (k rows through the final merge, no
+    # global sort materialized)
+    out = base.orderBy("h").limit(k)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("h")  # <= k rows by construction — not a scale risk
+    return out.withColumn("rank_in_group", F.row_number().over(w))
+
+
+def kmv_merge(
+    sketches: list[DataFrame],
+    group_cols: list[str] | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """Union sketches from independent dumps and re-thin to the k smallest
+    per group — associative/commutative, never touches the source data."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    u = sketches[0].select(*(group_cols or []), "h")
+    for s in sketches[1:]:
+        u = u.unionByName(s.select(*(group_cols or []), "h"))
+    from .ranking import top_k_per_group
+
+    base = u.distinct()
+    gs = list(group_cols or [])
+    if gs:
+        return top_k_per_group(base, gs, [F.col("h").asc()], k)
+    out = base.orderBy("h").limit(k)
+    from pyspark.sql.window import Window
+
+    return out.withColumn(
+        "rank_in_group", F.row_number().over(Window.orderBy("h"))
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, k: int, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Per-group distinct estimate from a kmv_build/kmv_merge sketch.
+
+    Output: group_cols + (n_hashes:long, kth_hash:long, est_distinct:
+    double). n_hashes < k → the sketch saw every distinct key and the
+    estimate IS the exact count; otherwise the bottom-k estimator. The
+    float path is a fixed two-op tree ((k-1)·2^60 then ÷ h_k, both
+    exact-rounded) — bit-identical in any IEEE engine."""
+    gs = list(group_cols or [])
+    agg = sketch.groupBy(*gs).agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.max("h").alias("kth_hash"),
+    )
+    est = F.when(
+        F.col("n_hashes") < k, F.col("n_hashes").cast("double")
+    ).otherwise(
+        (F.lit(float(k - 1)) * F.lit(float(_KMV_SPAN)))
+        / F.col("kth_hash").cast("double")
+    )
+    return agg.withColumn("est_distinct", est)

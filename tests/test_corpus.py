@@ -110,3 +110,61 @@ def test_bm25_rank_matches_bruteforce(spark):
         corpus.bm25_rank(df, [])
     with _pytest.raises(ValueError):
         corpus.bm25_rank(df, ["two words"])
+
+
+def test_tfidf_keywords_matches_bruteforce(spark):
+    texts = {
+        0: "apple banana apple cherry stop stop",
+        1: "banana cherry date stop stop stop",
+        2: "apple date elderberry stop",
+        3: "fig fig fig stop unique",
+        4: "stop stop stop stop",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    k, min_df, max_frac = 2, 2, 0.7
+    got = {
+        (r["doc_id"], r["rnk"]): (r["term"], r["tf"], r["score"])
+        for r in corpus.tfidf_keywords(
+            df, k=k, min_df=min_df, max_df_frac=max_frac
+        ).collect()
+    }
+    # brute force with the identical rational idf
+    toks = {i: t.split() for i, t in texts.items()}
+    n = len(texts)
+    dfreq = Counter()
+    for ts in toks.values():
+        for w in set(ts):
+            dfreq[w] += 1
+    want = {}
+    for i, ts in toks.items():
+        cand = []
+        for w in set(ts):
+            d = dfreq[w]
+            if d < min_df or d > max_frac * n:
+                continue
+            tf = ts.count(w)
+            cand.append((tf * ((n - d + 0.5) / (d + 0.5)), w, tf))
+        cand.sort(key=lambda c: (-c[0], c[1]))
+        for rnk, (s, w, tf) in enumerate(cand[:k], 1):
+            want[(i, rnk)] = (w, tf, s)
+    assert got == want
+    # 'stop' (df=5 > 0.7*5) and 'unique'/'elderberry' (df=1 < 2) never appear
+    terms = {v[0] for v in got.values()}
+    assert "stop" not in terms and "unique" not in terms
+
+
+def test_tfidf_keywords_validation_and_empty(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(0, "a b"), (1, "   ")],
+                               "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        corpus.tfidf_keywords(df, k=0)
+    out = corpus.tfidf_keywords(df, k=3, min_df=1, max_df_frac=1.0).collect()
+    # empty doc contributes no rows; doc 0's two singleton terms rank by term
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["term"])
+    assert 1 not in by_doc and by_doc[0] == ["a", "b"]

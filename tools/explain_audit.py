@@ -634,6 +634,137 @@ def main() -> int:
         ],
     ))
 
+    # 40. duplicated-span dedup: the k-gram count is the only corpus-wide
+    # shuffle (partial agg), islands/reassembly key on doc id; no Python
+    sd = allq["span_dedup"](spark, sf_dir)
+    p = plan_text(sd)
+    sections.append((
+        "duplicated-span dedup (span_dedup)", p,
+        [
+            ("partial aggregation on the k-gram count",
+             p.count("HashAggregate") >= 2, ""),
+            ("duplicated-start semi/anti joins stay id+position-slim",
+             "LeftSemi" in p and "LeftAnti" in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
+    # 41. rasterize: explode(sequence) tile enumeration + ONE partial-agg
+    # groupBy; pure Column, no join
+    rz = allq["rasterize"](spark, sf_dir)
+    p = plan_text(rz)
+    sections.append((
+        "area-weighted rasterize (rasterize)", p,
+        [
+            ("single per-tile aggregation, map-side combinable",
+             p.count("HashAggregate") >= 2, ""),
+            ("no join (pure scatter)", "Join" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
+    # 42a. shortest paths, default path: every round ends in an eager
+    # localCheckpoint, so the RETURNED plan must be materialized state —
+    # O(1) lineage no matter how many rounds ran
+    sp_ = allq["shortest_paths"](spark, sf_dir)
+    p = plan_text(sp_)
+    sections.append((
+        "bounded-hop shortest paths (shortest_paths, converged state)", p,
+        [
+            ("result is checkpoint-materialized (lineage truncated)",
+             "ExistingRDD" in p, ""),
+            ("no residual shuffle/join above the checkpoint",
+             "Exchange" not in p and "Join" not in p, ""),
+        ],
+    ))
+
+    # 42b. the per-round shape (checkpointing disabled): frontier⋈edges
+    # equi-join + min-combine groupBy, partial+final
+    from pbf2json_spark import routing as routing_mod
+    cust = entry_mod._t(spark, sf_dir, "customer")
+    edges = cust.selectExpr(
+        "c_custkey % 150 AS src", "(c_custkey * 7 + 3) % 150 AS dst",
+        "1 + (c_custkey % 13) AS w",
+    ).distinct()
+    srcs = spark.range(0, 150, 17).selectExpr("id AS node")
+    rnd = routing_mod.shortest_paths(
+        edges, srcs, n_rounds=2, early_stop=False, checkpoint_every=99
+    )
+    p = plan_text(rnd)
+    sections.append((
+        "bounded-hop shortest paths (per-round shape, no checkpoint)", p,
+        [
+            ("min-combine is a partial+final aggregate",
+             p.count("HashAggregate") >= 2, ""),
+            ("frontier⋈edges is an equi-join (hash, not NL)",
+             "HashJoin" in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("no cartesian product", "Cartesian" not in p, ""),
+        ],
+    ))
+
+    # 43. k-means assignment: centroid matrix lives in the UDF closure —
+    # ONE ArrowEvalPython on the scan, no join, one partial-agg groupBy
+    km = allq["kmeans_clusters"](spark, sf_dir)
+    p = plan_text(km)
+    sections.append((
+        "k-means assign + stats (kmeans_clusters)", p,
+        [
+            ("assignment is vectorized Arrow (no per-row Python)",
+             "ArrowEvalPython" in p and "BatchEvalPython" not in p, ""),
+            ("no join (broadcast-in-closure centroids)", "Join" not in p, ""),
+            ("per-cluster aggregate partial+final",
+             p.count("HashAggregate") >= 2, ""),
+        ],
+    ))
+
+    # 44. tf-idf keywords: two combinable groupBys (tf, df) + vocab join +
+    # per-doc ranking window; the token explode never re-shuffles raw text
+    tk = allq["tfidf_keywords"](spark, sf_dir)
+    p = plan_text(tk)
+    sections.append((
+        "tf-idf keywords (tfidf_keywords)", p,
+        [
+            ("tf and df aggregates partial+final",
+             p.count("HashAggregate") >= 4, ""),
+            ("per-doc top-k is a ranking window",
+             "Window" in p and "row_number" in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
+    # 45. mixture resampling: CASE copies + hash compare + explode —
+    # scan-stage, zero shuffle, no Python
+    rm = allq["resample_mixture"](spark, sf_dir)
+    p = plan_text(rm)
+    sections.append((
+        "mixture resampling (resample_mixture)", p,
+        [
+            ("zero shuffle (scan-stage explode)", "Exchange" not in p, ""),
+            ("no join", "Join" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
+    # 46. KMV distinct sketch: distinct hash exchange (partial agg) +
+    # per-group bottom-k window; estimate over <= k rows per group
+    kv = allq["kmv_distinct"](spark, sf_dir)
+    p = plan_text(kv)
+    sections.append((
+        "KMV distinct sketch (kmv_distinct)", p,
+        [
+            ("distinct + estimate aggregates partial+final",
+             p.count("HashAggregate") >= 4, ""),
+            ("bottom-k is a ranking window", "row_number" in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
     failed = 0
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     for title, plan, props in sections:
