@@ -28,6 +28,9 @@ Operator → query map:
                                    / top_bigrams / inverted_index
   range + temporal               → bbox_intersect / windowed_events
                                    / asof_match / sessionize
+  wave 4                         → span_dedup / rasterize / shortest_paths
+                                   / kmeans_clusters / tfidf_keywords
+                                   / resample_mixture / kmv_distinct
 """
 
 from __future__ import annotations
