@@ -2054,6 +2054,180 @@ _KMEANS_SQL = (
 
 
 # --------------------------------------------------------------------------
+# wave 5 — weighted sampling, grid resample+ffill, geofence transitions,
+# anchor-text aggregation, token co-occurrence lift
+# --------------------------------------------------------------------------
+
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli sample, E[k]=50 docs per language, longer docs
+    proportionally likelier (sampling.weighted_sample): all-integer
+    membership rule — (k<<32)*w div sum_w vs the row's md5-u32."""
+    d = _t(spark, sf_dir, "documents")
+    return sampling.weighted_sample(
+        d, k=50, weight_col="n_chars", stratum_col="lang"
+    ).select("doc_id", "lang", "w_used")
+
+
+_WEIGHTED_SAMPLE_SQL = (
+    "WITH t AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_w "
+    "FROM documents GROUP BY lang) "
+    "SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w_used "
+    "FROM documents d JOIN t USING (lang) "
+    "WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 8))::BIGINT "
+    "< (CAST(50 AS BIGINT) * 4294967296 * n_chars) // sum_w"
+)
+
+
+def _q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-grid resample with forward fill (temporal.resample_ffill):
+    per-user last value per day carried across gaps; bucket ids are
+    tz-free NTZ wall-clock epochs, values pass through untouched."""
+    return temporal.resample_ffill(
+        _t(spark, sf_dir, "events"), step=86400
+    )
+
+
+_RESAMPLE_SQL = (
+    "WITH b AS (SELECT user_id, epoch_us(ts) // 86400000000 AS bucket, "
+    "ts, event_id, value FROM events), "
+    "o AS (SELECT user_id, bucket, "
+    "(max(struct_pack(ts := ts, id := event_id, v := value))).v AS v "
+    "FROM b GROUP BY user_id, bucket), "
+    "s AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi "
+    "FROM o GROUP BY user_id), "
+    "g AS (SELECT user_id, r.b AS bucket "
+    "FROM s, LATERAL unnest(range(lo, hi + 1)) r(b)), "
+    "j AS (SELECT g.user_id, g.bucket, o.v FROM g LEFT JOIN o "
+    "ON g.user_id = o.user_id AND g.bucket = o.bucket) "
+    "SELECT user_id, bucket, bucket * 86400 AS bucket_start, "
+    "last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket "
+    "ROWS UNBOUNDED PRECEDING) AS value, v IS NULL AS filled FROM j"
+)
+
+
+_FENCES = [
+    (1, -45.0, 45.0, -90.0, 90.0),
+    (2, 0.0, 85.0, 0.0, 175.0),
+    (3, -85.0, 0.0, -175.0, 0.0),
+]
+
+
+def _q_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence enter/exit events (trajectory.geofence_transitions) of the
+    order-keyed user trajectories against three literal rectangular
+    fences; timestamps emitted as tz-free epoch µs for hash portability."""
+    fences = spark.createDataFrame(
+        _FENCES,
+        "fence_id INT, lat_min DOUBLE, lat_max DOUBLE, "
+        "lon_min DOUBLE, lon_max DOUBLE",
+    )
+    out = trajectory.geofence_transitions(_traj_events(spark, sf_dir), fences)
+    return out.select(
+        "user_id", "fence_id", _ntz_epoch_us("ts").alias("ts_us"), "event"
+    )
+
+
+def _geofence_sql() -> str:
+    vals = ", ".join(
+        "(" + ", ".join(
+            [str(row[0])] + [f"CAST({v} AS DOUBLE)" for v in row[1:]]
+        ) + ")"
+        for row in _FENCES
+    )
+    return (
+        f"WITH t AS ({_TRAJ_SQL}), "
+        f"f AS (SELECT * FROM (VALUES {vals}) "
+        "v(fence_id, lat_min, lat_max, lon_min, lon_max)), "
+        "x AS (SELECT user_id, fence_id, ts, "
+        "(lat BETWEEN lat_min AND lat_max AND "
+        "lon BETWEEN lon_min AND lon_max) AS inz FROM t, f), "
+        "l AS (SELECT user_id, fence_id, ts, inz, "
+        "coalesce(lag(inz) OVER (PARTITION BY user_id, fence_id "
+        "ORDER BY ts), false) AS prev FROM x) "
+        "SELECT user_id, fence_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+        "CASE WHEN inz THEN 'enter' ELSE 'exit' END AS event "
+        "FROM l WHERE inz <> prev"
+    )
+
+
+def _synth_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-labeled link graph over the document ids: the two formula
+    edge sets of _link_edges, each with a deterministic anchor token."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    k = F.col("doc_id")
+    e1 = d.select(
+        k.alias("src"), ((k * 7 + 3) % n).alias("dst"),
+        F.concat(F.lit("a"), (k * 11 % 7).cast("string")).alias("anchor"),
+    )
+    e2 = d.select(
+        k.alias("src"), ((k * 13 + 5) % n).alias("dst"),
+        F.concat(F.lit("a"), (k * 5 % 3).cast("string")).alias("anchor"),
+    )
+    return e1.unionByName(e2)
+
+
+_LINKS_SQL = (
+    "SELECT doc_id AS src, "
+    "(doc_id * 7 + 3) % (SELECT count(*) FROM documents) AS dst, "
+    "'a' || CAST(doc_id * 11 % 7 AS VARCHAR) AS anchor FROM documents "
+    "UNION ALL SELECT doc_id, "
+    "(doc_id * 13 + 5) % (SELECT count(*) FROM documents), "
+    "'a' || CAST(doc_id * 5 % 3 AS VARCHAR) FROM documents"
+)
+
+
+def _q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text profile (weburl.anchor_stats): link count,
+    distinct sources, and the (count, anchor)-max top anchor — all
+    combinable groupBys, no window sort."""
+    return weburl.anchor_stats(_synth_links(spark, sf_dir))
+
+
+_ANCHOR_SQL = (
+    f"WITH l AS ({_LINKS_SQL}), "
+    "ba AS (SELECT dst, anchor, CAST(count(*) AS BIGINT) AS cnt "
+    "FROM l GROUP BY dst, anchor), "
+    "top AS (SELECT dst, CAST(sum(cnt) AS BIGINT) AS n_links, "
+    "max(struct_pack(cnt := cnt, anchor := anchor)) AS t FROM ba "
+    "GROUP BY dst), "
+    "srcs AS (SELECT dst, CAST(count(*) AS BIGINT) AS n_srcs FROM "
+    "(SELECT DISTINCT dst, src FROM l) GROUP BY dst) "
+    "SELECT top.dst, n_links, n_srcs, (t).anchor AS top_anchor, "
+    "(t).cnt AS top_anchor_count FROM top JOIN srcs ON top.dst = srcs.dst"
+)
+
+
+def _q_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence lift (corpus.token_lift): integer-scaled
+    association score over document presence — one multiply + one
+    truncating div, no log, no float."""
+    return corpus.token_lift(
+        _t(spark, sf_dir, "documents"),
+        min_pair_count=2, min_df=1, max_df_frac=1.0,
+    )
+
+
+_TOKEN_LIFT_SQL = (
+    "WITH w AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] "
+    r"ELSE list_distinct(string_split_regex(trim(text), '\s+')) END AS s "
+    "FROM documents), "
+    "p AS (SELECT doc_id, u.term FROM w, LATERAL unnest(s) u(term)), "
+    "d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term), "
+    "n AS (SELECT count(*) AS n_docs FROM documents), "
+    "pr AS (SELECT a.term AS term_a, b.term AS term_b, "
+    "CAST(count(*) AS BIGINT) AS pair_count "
+    "FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.term < b.term "
+    "GROUP BY a.term, b.term HAVING count(*) >= 2) "
+    "SELECT term_a, term_b, pair_count, da.df AS df_a, db.df AS df_b, "
+    "(pair_count * CAST(n.n_docs AS BIGINT) * 1000000) "
+    "// (da.df * db.df) AS lift_e6 "
+    "FROM pr JOIN d da ON da.term = pr.term_a "
+    "JOIN d db ON db.term = pr.term_b CROSS JOIN n"
+)
+
+
+# --------------------------------------------------------------------------
 # Suite queries — tagged-union fold of same-family operators into ONE
 # driver gate slot.
 #
@@ -2285,6 +2459,25 @@ def _suite_specs():
             ("focal", "focal_smooth", _q_focal,
              ["cx", "cy"], None, [("n_focal", "n_focal", "i")]),
         ],
+        "wave5_suite": [
+            ("wsample", "weighted_sample", _q_weighted_sample,
+             "doc_id", None, [("lang", "lang", "s"), ("w_used", "w_used", "i")]),
+            ("ffill", "resample_ffill", _q_resample_ffill,
+             "user_id", "bucket",
+             [("bucket_start", "bucket_start", "i"), ("value", "value", "d"),
+              ("filled", "filled", "b")]),
+            ("fence", "geofence_transitions", _q_geofence,
+             "user_id", ["fence_id", "ts_us"], [("event", "event", "s")]),
+            ("anchor", "anchor_stats", _q_anchor_stats,
+             "dst", None,
+             [("n_links", "n_links", "i"), ("n_srcs", "n_srcs", "i"),
+              ("top_anchor", "top_anchor", "s"),
+              ("top_anchor_count", "top_anchor_count", "i")]),
+            ("lift", "token_lift", _q_token_lift,
+             "term_a", "term_b",
+             [("pair_count", "pair_count", "i"), ("df_a", "df_a", "i"),
+              ("df_b", "df_b", "i"), ("lift_e6", "lift_e6", "i")]),
+        ],
         "curation_suite": [
             ("contam", "contamination", _q_contamination,
              "train_id", "bench_id", [("n_shared", "n_shared", "i")]),
@@ -2418,6 +2611,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": _q_tfidf,
         "resample_mixture": _q_resample_mixture,
         "kmv_distinct": _q_kmv,
+        # wave 5 — the final (50th) slot: one tagged-union suite covering
+        # weighted sampling, grid resample+ffill, geofence transitions,
+        # anchor-text aggregation, and token co-occurrence lift
+        "wave5_suite": _make_suite("wave5_suite"),
     }
 
 
@@ -2498,6 +2695,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_flows": _q_od_flows,
         "domain_stats": _q_domain_stats,
         "focal_smooth": _q_focal,
+        # wave 5 — native-schema drivers of wave5_suite
+        "weighted_sample": _q_weighted_sample,
+        "resample_ffill": _q_resample_ffill,
+        "geofence_transitions": _q_geofence,
+        "anchor_stats": _q_anchor_stats,
+        "token_lift": _q_token_lift,
     }
 
 
@@ -3553,6 +3756,12 @@ def oracle_sql() -> dict[str, str]:
     sqls["tfidf_keywords"] = _tfidf_sql(k=3, min_df=2, max_df_frac=0.78)
     sqls["resample_mixture"] = _mixture_sql(_MIX_WEIGHTS, _MIX_DEFAULT)
     sqls["kmv_distinct"] = _kmv_sql(64)
+    # wave-5 oracles
+    sqls["weighted_sample"] = _WEIGHTED_SAMPLE_SQL
+    sqls["resample_ffill"] = _RESAMPLE_SQL
+    sqls["geofence_transitions"] = _geofence_sql()
+    sqls["anchor_stats"] = _ANCHOR_SQL
+    sqls["token_lift"] = _TOKEN_LIFT_SQL
     # suite oracles composed verbatim from the per-operator strings above —
     # a green suite row certifies every folded operator's values.
     sqls.update(_suite_oracle_sql(sqls))

@@ -95,6 +95,12 @@ BENCH_QUERIES = [
     "tfidf_keywords",
     "resample_mixture",
     "kmv_distinct",
+    # wave 5
+    "weighted_sample",
+    "resample_ffill",
+    "geofence_transitions",
+    "anchor_stats",
+    "token_lift",
 ]
 
 

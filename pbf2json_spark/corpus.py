@@ -299,3 +299,69 @@ def tfidf_keywords(
         .filter(F.col("rnk") <= k)
         .select("doc_id", "term", "tf", "score", "rnk")
     )
+
+
+def token_lift(
+    df: DataFrame,
+    min_pair_count: int = 2,
+    min_df: int = 1,
+    max_df_frac: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token co-occurrence association ("lift") — which word pairs appear
+    in the same document far more often than independence predicts. The
+    collocation/phrase-mining primitive of a corpus pipeline (multi-word
+    expression discovery, topic seeds, query suggestion).
+
+    lift(a,b) = P(a,b) / (P(a)·P(b)) over document presence. To keep the
+    score engine-portable it is emitted INTEGER-scaled, computed with one
+    multiply and one truncating div:
+        lift_e6 = (pair_count · N · 1e6) div (df_a · df_b)
+    (order-isomorphic to PMI = log lift per pair; no log, no float).
+    Overflow budget: pair_count·N·1e6 needs pair_count·N < 9.2e12 — fine
+    to ~3M docs; past that pre-scale 1e6 down (the div is exact either
+    way at the emitted precision).
+
+    Shape at 10^12 docs: presence sets via ONE (doc, term) distinct
+    groupBy; df via a combinable term groupBy; the pair generator is a
+    SELF-JOIN ON doc_id of the df-bounded presence table with term_a <
+    term_b — per-doc cost is |terms|² AFTER the df bounds, so max_df_frac
+    (stop words) and min_df (hapax noise) are the blowup controls, and
+    the join key (doc_id) is uniform by construction. Pairs shuffle as
+    (term_a, term_b) for one final combinable count.
+
+    Output: (term_a, term_b, pair_count, df_a, df_b, lift_e6), pairs with
+    pair_count >= min_pair_count.
+    """
+    presence = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(_words(text_col))).alias("term"),
+    )
+    n_docs = df.count()  # one row per document (id_col unique upstream)
+    dfreq = presence.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    max_df = int(max_df_frac * n_docs)
+    dfreq = dfreq.filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+    bounded = presence.join(dfreq, "term").select("doc_id", "term", "df")
+    a = bounded.select(
+        "doc_id", F.col("term").alias("term_a"), F.col("df").alias("df_a")
+    )
+    b = bounded.select(
+        "doc_id", F.col("term").alias("term_b"), F.col("df").alias("df_b")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(
+            F.count(F.lit(1)).alias("pair_count"),
+            F.first("df_a").alias("df_a"),
+            F.first("df_b").alias("df_b"),
+        )
+        .filter(F.col("pair_count") >= min_pair_count)
+    )
+    lift = F.expr(
+        f"(pair_count * CAST({n_docs} AS BIGINT) * 1000000)"
+        " div (df_a * df_b)"
+    )
+    return pairs.withColumn("lift_e6", lift)

@@ -122,3 +122,51 @@ def resample_mixture(
         )
         .drop("_copies")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted Bernoulli sampling with expected size k per stratum —
+    "pick ~k docs per language, longer docs proportionally more likely",
+    the importance-weighted cousin of stratified_sample.
+
+    Row r in stratum s is kept iff
+        u32(r) < (k << 32) * w_r  div  sum_w(s)
+    i.e. with probability min(1, k * w_r / sum_w(s)); E[kept per stratum]
+    = k when no single weight exceeds sum_w / k. EVERY comparison is
+    int64 (one multiply, one truncating div, one compare) — no float, no
+    transcendental, so membership is bit-identical in any engine and a
+    pure function of the row + the stratum total (Spark `div` and DuckDB
+    `//` agree on non-negative operands).
+
+    Overflow budget: (k << 32) * w needs k * w < 2^31 (raise k or scale
+    weights down past that); u32 * sum_w is NOT computed (the div form
+    keeps the big product on the constant side).
+
+    Shape at 10^12 rows: one map-side-combinable groupBy for the stratum
+    totals (|strata| rows), broadcast back, then a pure Column filter —
+    no row-level shuffle of the data itself.
+
+    Output: the input columns + ``w_used`` (the weight that priced the
+    row in).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    w = F.col(weight_col).cast("long")
+    totals = df.groupBy(stratum_col).agg(F.sum(w).alias("_sum_w"))
+    thr = F.expr(
+        f"(CAST({k} AS BIGINT) * {_U32_SPAN} * CAST({weight_col} AS BIGINT))"
+        " div _sum_w"
+    )
+    return (
+        df.join(F.broadcast(totals), stratum_col)
+        .filter(_u32(F.col(id_col), seed) < thr)
+        .withColumn("w_used", w)
+        .drop("_sum_w")
+    )

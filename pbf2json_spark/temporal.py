@@ -198,3 +198,94 @@ def sessionize(
         "n_events",
         *extra,
     )
+
+
+def _ntz_epoch_secs(c: Column) -> Column:
+    """Whole-second epoch of a TIMESTAMP_NTZ column from its wall-clock
+    parts — never consults the session zone (the r2 windowed_events
+    portability lesson)."""
+    return (
+        F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date")).cast("long")
+        * 86400
+        + F.hour(c).cast("long") * 3600
+        + F.minute(c).cast("long") * 60
+        + F.second(c).cast("long")
+    )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    id_col: str = "event_id",
+    step: int = 3600,
+    max_buckets: int = 100_000,
+) -> DataFrame:
+    """Regular-grid resampling with forward fill — turn an irregular
+    event series into one observation per `step` seconds per key, carrying
+    the last-seen value across gaps (the gap-fill step before any
+    rolling-window feature or per-interval diff).
+
+    Semantics per key:
+      * bucket = floor(epoch_secs(ts) / step) — tz-free NTZ wall-clock
+        epoch, so the grid is engine- and zone-portable.
+      * the bucket's observation is the LAST event in it (max ts, ties
+        broken by max id_col — a total order, so both engines pick the
+        same row); its `value` passes through untouched (no float
+        arithmetic → parquet-exact).
+      * the grid spans min(bucket)..max(bucket) inclusive; empty buckets
+        take the most recent earlier observation (``filled`` marks them).
+
+    Shape at 10^12 rows: one groupBy (key, bucket) with a max_by struct
+    (map-side combinable), one sequence()+explode for the grid (factor =
+    span/step, guarded by `max_buckets`), one window scan per key for the
+    fill — no self-join, no range theta join. Keys are independent, so
+    skew is bounded by a single key's span, not the table size.
+
+    Output: key, bucket (BIGINT grid index), bucket_start (epoch secs),
+    value, filled (boolean).
+    """
+    b = F.floor(_ntz_epoch_secs(F.col(ts)) / F.lit(step)).cast("long")
+    obs = (
+        df.select(F.col(key), b.alias("bucket"), F.col(ts), F.col(id_col),
+                  F.col(value))
+        .groupBy(key, "bucket")
+        .agg(F.max_by(value, F.struct(ts, id_col)).alias("_v"))
+    )
+    # obs feeds the guard action, the grid span AND the final join —
+    # checkpoint so the (key,bucket) aggregation runs once, not three times
+    obs = obs.localCheckpoint(eager=False)
+    span = obs.groupBy(key).agg(
+        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
+    )
+    # loud guard, never a silent cap: a span/step blowup is a config error
+    # and must fail here, not OOM three stages later or quietly drop the
+    # tail of a key's grid. One metadata-scale agg over the per-key spans.
+    worst = span.agg(
+        F.max(F.col("_hi") - F.col("_lo") + 1).alias("m")
+    ).collect()[0]["m"]
+    if worst is not None and worst > max_buckets:
+        raise ValueError(
+            f"resample_ffill: a key spans {worst} buckets at step={step}s "
+            f"(max_buckets={max_buckets}); widen step or raise the limit"
+        )
+    grid = span.select(
+        F.col(key),
+        F.explode(F.sequence("_lo", "_hi")).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, [key, "bucket"], "left")
+        .select(
+            F.col(key),
+            F.col("bucket"),
+            (F.col("bucket") * step).alias("bucket_start"),
+            F.last("_v", ignorenulls=True).over(w).alias(value),
+            F.col("_v").isNull().alias("filled"),
+        )
+    )

@@ -149,3 +149,51 @@ def od_flows(
     return t.groupBy("from_x", "from_y", "to_x", "to_y").agg(
         F.count(F.lit(1)).alias("n_trips")
     )
+
+
+def geofence_transitions(
+    points: DataFrame,
+    fences: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Geofence enter/exit detection — the event-generating half of a
+    geofencing product ("alert when a device enters the depot"): given
+    per-user pings and a set of rectangular fences (fence_id, lat_min,
+    lat_max, lon_min, lon_max), emit one row per state CHANGE per
+    (user, fence), with the state before the first ping defined as
+    outside (so a first ping inside emits an `enter`).
+
+    Shape at 10^12 pings: the fence table is a broadcast nested-loop
+    against the pings (fences are product config — tens to thousands of
+    rows), the containment test is four Column compares, and the
+    transition detection is ONE hash exchange on (user, fence) + a lag
+    window. For fence sets too large to broadcast, pre-filter with
+    spatial.pip_join's cell cover and feed the survivors here. Pings
+    never self-join.
+
+    Precondition: (user_col, ts_col) is unique (collapse duplicate
+    timestamps first, as _traj_events does) — otherwise the lag order,
+    hence the transition sequence, is undefined in ANY engine.
+
+    Output: user_col, fence_id, ts, event ('enter' | 'exit').
+    """
+    inside = (
+        F.col("lat").between(F.col("lat_min"), F.col("lat_max"))
+        & F.col("lon").between(F.col("lon_min"), F.col("lon_max"))
+    )
+    flagged = points.crossJoin(F.broadcast(fences)).select(
+        F.col(user_col), F.col("fence_id"), F.col(ts_col), inside.alias("_in")
+    )
+    w = Window.partitionBy(user_col, "fence_id").orderBy(ts_col)
+    prev = F.coalesce(F.lag("_in").over(w), F.lit(False))
+    return (
+        flagged.withColumn("_prev", prev)
+        .filter(F.col("_in") != F.col("_prev"))
+        .select(
+            F.col(user_col),
+            F.col("fence_id"),
+            F.col(ts_col),
+            F.when(F.col("_in"), F.lit("enter")).otherwise(F.lit("exit")).alias("event"),
+        )
+    )

@@ -266,3 +266,49 @@ def domain_stats(
         F.max(ts_col).alias("last_ts"),
     )
     return pages.join(hosts, "domain")
+
+
+def anchor_stats(
+    links: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Anchor-text aggregation over a link graph — per target page, how
+    many links point at it, from how many distinct sources, and the most
+    common anchor text (web-search's strongest off-page relevance signal;
+    also the label source for link-text training pairs).
+
+    Determinism: the top anchor is max (count, anchor) — count first,
+    then the anchor string itself breaks ties, so the winner is a pure
+    function of the multiset of links on any partitioning/engine.
+
+    Shape at 10^12 edges: two groupBys, both map-side combinable —
+    (dst, anchor) counts, then a struct-max fold per dst (NOT a window
+    sort: a hot page with 10^8 in-links folds in the combiner instead of
+    materializing a sorted partition) — plus a pre-deduped (dst, src)
+    pass for the distinct-source count, never count(distinct) over raw
+    edges. Anchors travel the shuffle once, as (dst, anchor, count).
+
+    Output: dst, n_links, n_srcs, top_anchor, top_anchor_count.
+    """
+    by_anchor = links.groupBy(
+        F.col(dst_col).alias("dst"), F.col(anchor_col).alias("anchor")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    top = by_anchor.groupBy("dst").agg(
+        F.sum("cnt").alias("n_links"),
+        F.max(F.struct(F.col("cnt"), F.col("anchor"))).alias("_t"),
+    )
+    srcs = (
+        links.select(F.col(dst_col).alias("dst"), F.col(src_col).alias("src"))
+        .distinct()
+        .groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("n_srcs"))
+    )
+    return top.join(srcs, "dst").select(
+        "dst",
+        "n_links",
+        "n_srcs",
+        F.col("_t.anchor").alias("top_anchor"),
+        F.col("_t.cnt").alias("top_anchor_count"),
+    )

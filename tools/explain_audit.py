@@ -765,6 +765,88 @@ def main() -> int:
         ],
     ))
 
+    # 47. weighted sampling: one tiny stratum-totals agg broadcast back,
+    # then a pure integer-Column filter — no row-level shuffle of the data
+    ws = allq["weighted_sample"](spark, sf_dir)
+    p = plan_text(ws)
+    # shuffle exchanges only (BroadcastExchange is free co-location; AQE
+    # prints initial+final copies, so the totals agg legitimately shows 2x)
+    # tree lines only ("+- Exchange (n)") — formatted explain repeats every
+    # node name in the detail section as "(n) Exchange"
+    shuffles = [
+        ln for ln in p.splitlines()
+        if "+- Exchange" in ln and "Broadcast" not in ln
+    ]
+    sections.append((
+        "weighted per-stratum sampling (weighted_sample)", p,
+        [
+            ("stratum totals join is broadcast", "BroadcastHashJoin" in p, ""),
+            ("the ONLY shuffle is the stratum-totals agg (data rows never "
+             "exchange)", len(shuffles) <= 2, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
+    # 48. grid resample + ffill: ONE combinable (key,bucket) agg, grid via
+    # explode(sequence), fill is a per-key window — no self-join of raw rows
+    rf = allq["resample_ffill"](spark, sf_dir)
+    p = plan_text(rf)
+    sections.append((
+        "grid resample + forward fill (resample_ffill)", p,
+        [
+            ("bucket winner is a partial-agg max_by",
+             p.count("HashAggregate") >= 2, ""),
+            ("forward fill is a window scan", "Window" in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
+    # 49. geofence transitions: fences broadcast against pings, transition
+    # detection one (user,fence) window — pings never self-join
+    gf = allq["geofence_transitions"](spark, sf_dir)
+    p = plan_text(gf)
+    sections.append((
+        "geofence enter/exit transitions (geofence_transitions)", p,
+        [
+            ("fence table broadcast (nested-loop on the tiny side)",
+             "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, ""),
+            ("transition detection is a lag window", "Window" in p, ""),
+            ("no sort-merge join of pings", "SortMergeJoin" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
+    # 50. anchor stats: combinable groupBys + struct-max fold; the top
+    # anchor is NOT a window sort (hot pages fold in the combiner)
+    an = allq["anchor_stats"](spark, sf_dir)
+    p = plan_text(an)
+    sections.append((
+        "anchor-text aggregation (anchor_stats)", p,
+        [
+            ("anchor counts and struct-max fold are partial aggs",
+             p.count("HashAggregate") >= 4, ""),
+            ("top anchor is not a window sort", "Window" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
+    # 51. token lift: df-bounded presence self-join on doc_id + combinable
+    # pair count; association score is pure integer Column math
+    tl = allq["token_lift"](spark, sf_dir)
+    p = plan_text(tl)
+    sections.append((
+        "token co-occurrence lift (token_lift)", p,
+        [
+            ("pair generator joins on doc_id (equi-join, never cartesian)",
+             "CartesianProduct" not in p and "NestedLoop" not in p, ""),
+            ("pair count is a partial agg", p.count("HashAggregate") >= 2, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
     failed = 0
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     for title, plan, props in sections:
