@@ -2227,6 +2227,150 @@ _TOKEN_LIFT_SQL = (
 )
 
 
+def _q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + integer-scaled clustering coefficient
+    (graph.triangle_stats, degree-ordered orientation): each triangle is
+    counted at its (degree,id)-minimum corner, so the wedge join's fan-out
+    is O(sqrt(m)) even at a hub. cc_e6 is one mul + one truncating div."""
+    return graph.triangle_stats(_link_edges(spark, sf_dir))
+
+
+# oracle enumerates each triangle once via the id-ordered adjacency
+# (a<b<c ⇒ edges (a,b),(b,c),(a,c)) — equivalent to the degree-ordered
+# orientation for COUNTS, and simpler in SQL.
+_TRIANGLE_SQL = (
+    f"WITH e AS ({_EDGES_SQL}), "
+    "und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v "
+    "FROM e WHERE src <> dst), "
+    "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM "
+    "(SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY node), "
+    "tri AS (SELECT a.u AS x, a.v AS y, b.v AS z FROM und a "
+    "JOIN und b ON a.v = b.u JOIN und c ON c.u = a.u AND c.v = b.v), "
+    "pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM "
+    "(SELECT x AS node FROM tri UNION ALL SELECT y FROM tri "
+    "UNION ALL SELECT z FROM tri) GROUP BY node) "
+    "SELECT d.node, d.deg, CAST(coalesce(pn.n_tri, 0) AS BIGINT) AS n_tri, "
+    "CAST(CASE WHEN d.deg >= 2 THEN "
+    "(2 * coalesce(pn.n_tri, 0) * 1000000) // (d.deg * (d.deg - 1)) "
+    "ELSE 0 END AS BIGINT) AS cc_e6 "
+    "FROM deg d LEFT JOIN pn ON pn.node = d.node"
+)
+
+
+_FRONTIER_EXPRS = [
+    "concat('http://h', CAST(doc_id % 37 AS STRING), '.example/p', "
+    "CAST(doc_id AS STRING)) AS url",
+    "concat('h', CAST(doc_id % 37 AS STRING)) AS host",
+    "CAST(n_chars % 100 AS BIGINT) AS priority",
+]
+
+
+def _q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness crawl scheduling (weburl.crawl_schedule): per-host budget
+    via ranking.top_k_per_group, then slot·delay spacing — the schedule is
+    a pure integer function of the frontier (url breaks every tie)."""
+    frontier = _t(spark, sf_dir, "documents").selectExpr(*_FRONTIER_EXPRS)
+    return weburl.crawl_schedule(frontier, per_host_budget=8, delay_ms=250)
+
+
+_CRAWL_SCHED_SQL = (
+    "WITH f AS (SELECT 'http://h' || CAST(doc_id % 37 AS VARCHAR) "
+    "|| '.example/p' || CAST(doc_id AS VARCHAR) AS url, "
+    "'h' || CAST(doc_id % 37 AS VARCHAR) AS host, "
+    "CAST(n_chars % 100 AS BIGINT) AS priority FROM documents), "
+    "r AS (SELECT url, host, priority, row_number() OVER "
+    "(PARTITION BY host ORDER BY priority DESC, url ASC) AS rk FROM f) "
+    "SELECT url, host, priority, CAST(rk - 1 AS BIGINT) AS slot, "
+    "CAST((rk - 1) * 250 AS BIGINT) AS fetch_offset_ms FROM r WHERE rk <= 8"
+)
+
+
+# areal interpolation synth: part-keyed source boxes carrying an integer
+# value, customer-keyed target boxes on a slightly offset lattice (the e0
+# exponent forces DOUBLE in both engines — see _BOX_EXPRS).
+_AREAL_SRC_EXPRS = [
+    "p_partkey AS s_id",
+    "(p_partkey % 171) - 85.5e0 AS lat0",
+    "(p_partkey % 171) - 85.5e0 + 0.7e0 + (p_partkey % 7) * 0.3e0 AS lat1",
+    "(p_partkey % 353) - 176.5e0 AS lon0",
+    "(p_partkey % 353) - 176.5e0 + 0.9e0 + (p_partkey % 5) * 0.4e0 AS lon1",
+    "CAST(1000 + p_partkey % 9000 AS BIGINT) AS value",
+]
+_AREAL_DST_EXPRS = [
+    "c_custkey AS d_id",
+    "(c_custkey % 173) - 86.5e0 AS lat0",
+    "(c_custkey % 173) - 86.5e0 + 1.1e0 AS lat1",
+    "(c_custkey % 359) - 179.5e0 AS lon0",
+    "(c_custkey % 359) - 179.5e0 + 1.3e0 AS lon1",
+]
+
+
+def _q_areal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Areal interpolation (spatial.areal_interpolate): transfer the part
+    boxes' integer value onto the customer boxes, weighted by quantized
+    intersection/source area — grid-cover candidate join, reporting-cell
+    dedup, one combinable groupBy(d_id)."""
+    src = _t(spark, sf_dir, "part").selectExpr(*_AREAL_SRC_EXPRS)
+    dst = _t(spark, sf_dir, "customer").selectExpr(*_AREAL_DST_EXPRS)
+    return spatial.areal_interpolate(src, dst, res=6)
+
+
+def _areal_sql() -> str:
+    src = "SELECT " + ", ".join(_AREAL_SRC_EXPRS) + " FROM part"
+    dst = ", ".join(_AREAL_DST_EXPRS)
+    u = lambda c: f"CAST(floor({c} * 10000.0e0) AS BIGINT)"  # noqa: E731
+    return (
+        f"WITH s AS ({src}), "
+        f"d AS (SELECT {dst} FROM customer), "
+        "p AS (SELECT d.d_id, s.value, "
+        f"greatest(least({u('s.lon1')}, {u('d.lon1')}) - "
+        f"greatest({u('s.lon0')}, {u('d.lon0')}), 0) * "
+        f"greatest(least({u('s.lat1')}, {u('d.lat1')}) - "
+        f"greatest({u('s.lat0')}, {u('d.lat0')}), 0) AS inter_u2, "
+        f"({u('s.lon1')} - {u('s.lon0')}) * ({u('s.lat1')} - {u('s.lat0')}) "
+        "AS src_u2 "
+        "FROM s JOIN d ON s.lat0 <= d.lat1 AND d.lat0 <= s.lat1 "
+        "AND s.lon0 <= d.lon1 AND d.lon0 <= s.lon1 "
+        "WHERE (" + u("s.lon1") + " - " + u("s.lon0") + ") * "
+        "(" + u("s.lat1") + " - " + u("s.lat0") + ") > 0) "
+        "SELECT d_id, CAST(count(*) AS BIGINT) AS n_src, "
+        "CAST(sum(inter_u2) AS BIGINT) AS inter_u2, "
+        "CAST(sum((value * ((inter_u2 * 1000000) // src_u2)) // 1000000) "
+        "AS BIGINT) AS value_out FROM p GROUP BY d_id"
+    )
+
+
+def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency scoring (corpus.bigram_lm_score): train on the
+    even-id documents, score every document — mean conditional probability
+    in integer millionths (the portable perplexity-filter proxy)."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.bigram_lm_score(docs.filter(F.col("doc_id") % 2 == 0), docs)
+
+
+_LM_SCORE_SQL = (
+    "WITH w AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] "
+    r"ELSE string_split_regex(trim(text), '\s+') END AS s FROM documents), "
+    "bg AS (SELECT doc_id, s[i] AS w1, s[i+1] AS w2 FROM w, "
+    "LATERAL unnest(range(1, len(s))) t(i)), "
+    "tb AS (SELECT w1, w2 FROM bg WHERE doc_id % 2 = 0), "
+    "c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM tb "
+    "GROUP BY w1, w2), "
+    "c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM tb GROUP BY w1), "
+    "lm AS (SELECT c2.w1, c2.w2, (c2.c2 * 1000000) // c1.c1 AS cond_e6 "
+    "FROM c2 JOIN c1 ON c2.w1 = c1.w1), "
+    "sc AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+    "CAST(sum(CASE WHEN lm.cond_e6 IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_oov, sum(coalesce(lm.cond_e6, 0)) AS sm "
+    "FROM bg LEFT JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2 "
+    "GROUP BY bg.doc_id) "
+    "SELECT d.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams, "
+    "CAST(coalesce(sc.n_oov, 0) AS BIGINT) AS n_oov, "
+    "CAST(coalesce(sc.sm // sc.n_bigrams, 0) AS BIGINT) AS lm_score_e6 "
+    "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"
+)
+
+
 # --------------------------------------------------------------------------
 # Suite queries — tagged-union fold of same-family operators into ONE
 # driver gate slot.
@@ -2477,6 +2621,24 @@ def _suite_specs():
              "term_a", "term_b",
              [("pair_count", "pair_count", "i"), ("df_a", "df_a", "i"),
               ("df_b", "df_b", "i"), ("lift_e6", "lift_e6", "i")]),
+            # wave 6 folds into the same slot (all-integer outputs)
+            ("tri", "triangle_stats", _q_triangle_stats,
+             "node", None,
+             [("deg", "deg", "i"), ("n_tri", "n_tri", "i"),
+              ("cc_e6", "cc_e6", "i")]),
+            ("crawl", "crawl_schedule", _q_crawl_schedule,
+             "url", None,
+             [("host", "host", "s"), ("priority", "priority", "i"),
+              ("slot", "slot", "i"),
+              ("fetch_offset_ms", "fetch_offset_ms", "i")]),
+            ("areal", "areal_interpolate", _q_areal,
+             "d_id", None,
+             [("n_src", "n_src", "i"), ("inter_u2", "inter_u2", "i"),
+              ("value_out", "value_out", "i")]),
+            ("lm", "lm_score", _q_lm_score,
+             "doc_id", None,
+             [("n_bigrams", "n_bigrams", "i"), ("n_oov", "n_oov", "i"),
+              ("lm_score_e6", "lm_score_e6", "i")]),
         ],
         "curation_suite": [
             ("contam", "contamination", _q_contamination,
@@ -2611,9 +2773,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": _q_tfidf,
         "resample_mixture": _q_resample_mixture,
         "kmv_distinct": _q_kmv,
-        # wave 5 — the final (50th) slot: one tagged-union suite covering
+        # waves 5+6 — the final (50th) slot: one tagged-union suite covering
         # weighted sampling, grid resample+ffill, geofence transitions,
-        # anchor-text aggregation, and token co-occurrence lift
+        # anchor-text aggregation, token co-occurrence lift, triangle
+        # counting, crawl scheduling, areal interpolation, and bigram-LM
+        # fluency scoring
         "wave5_suite": _make_suite("wave5_suite"),
     }
 
@@ -2695,12 +2859,16 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_flows": _q_od_flows,
         "domain_stats": _q_domain_stats,
         "focal_smooth": _q_focal,
-        # wave 5 — native-schema drivers of wave5_suite
+        # waves 5+6 — native-schema drivers of wave5_suite
         "weighted_sample": _q_weighted_sample,
         "resample_ffill": _q_resample_ffill,
         "geofence_transitions": _q_geofence,
         "anchor_stats": _q_anchor_stats,
         "token_lift": _q_token_lift,
+        "triangle_stats": _q_triangle_stats,
+        "crawl_schedule": _q_crawl_schedule,
+        "areal_interpolate": _q_areal,
+        "lm_score": _q_lm_score,
     }
 
 
@@ -3762,6 +3930,11 @@ def oracle_sql() -> dict[str, str]:
     sqls["geofence_transitions"] = _geofence_sql()
     sqls["anchor_stats"] = _ANCHOR_SQL
     sqls["token_lift"] = _TOKEN_LIFT_SQL
+    # wave-6 oracles
+    sqls["triangle_stats"] = _TRIANGLE_SQL
+    sqls["crawl_schedule"] = _CRAWL_SCHED_SQL
+    sqls["areal_interpolate"] = _areal_sql()
+    sqls["lm_score"] = _LM_SCORE_SQL
     # suite oracles composed verbatim from the per-operator strings above —
     # a green suite row certifies every folded operator's values.
     sqls.update(_suite_oracle_sql(sqls))

@@ -101,6 +101,11 @@ BENCH_QUERIES = [
     "geofence_transitions",
     "anchor_stats",
     "token_lift",
+    # wave 6
+    "triangle_stats",
+    "crawl_schedule",
+    "areal_interpolate",
+    "lm_score",
 ]
 
 

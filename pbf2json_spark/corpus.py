@@ -365,3 +365,91 @@ def token_lift(
         " div (df_a * df_b)"
     )
     return pairs.withColumn("lift_e6", lift)
+
+
+def bigram_lm_score(
+    train: DataFrame,
+    score: DataFrame,
+    min_count: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram-LM fluency scoring — the CCNet/Gopher "perplexity filter"
+    re-expressed portably: train bigram/context counts on a reference
+    corpus, then score every candidate document by how predictable its
+    word transitions are. High score ≈ fluent prose; low ≈ boilerplate,
+    tag soup, gibberish — the standard pretraining quality gate.
+
+    A real perplexity is exp(−mean log p) — log makes the score
+    engine-float-dependent, so instead each in-vocabulary bigram (w1,w2)
+    contributes its conditional probability in integer millionths:
+
+        cond_e6(w1,w2) = (C(w1,w2) · 1e6) div C(w1·)
+        lm_score_e6    = Σ cond_e6  div  n_bigrams      (0 when none)
+
+    (mean conditional probability — monotone with fluency like the
+    perplexity it proxies, but pure int64 mul/div/sum: bit-identical on
+    any engine/partitioning.) Unseen bigrams contribute 0 and are counted
+    in n_oov — the OOV rate is itself a quality feature.
+
+    Shape at 10^12 docs: counts are two map-side-combinable groupBys over
+    the TRAIN corpus (C(w1·) derived from the bigram table, one pass);
+    scoring is one equi-join of candidate bigram OCCURRENCES on (w1,w2) —
+    the LM table is df-bounded by `min_count` and broadcastable when the
+    vocab is small — then one combinable per-doc sum. Text never crosses
+    a shuffle; (doc_id, w1, w2) does.
+
+    Output: one row per `score` doc — (doc_id, n_bigrams, n_oov,
+    lm_score_e6); docs under 2 words score (0, 0, 0).
+    """
+    def big(df):
+        w = _words(text_col)
+        # zip_with over the two shifted slices (the ngrams_col shape);
+        # sequence() is unusable here — sequence(1, 0) DESCENDS in Spark
+        length = F.greatest(F.size(w) - 1, F.lit(0))
+        pair = F.zip_with(
+            F.slice(w, 1, length),
+            F.slice(w, 2, length),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        return (
+            df.select(F.col(id_col).alias("doc_id"), pair.alias("_ps"))
+            .select("doc_id", F.explode("_ps").alias("_p"))
+            .select("doc_id", "_p.w1", "_p.w2")
+        )
+
+    c2 = (
+        big(train)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .filter(F.col("c2") >= min_count)
+    )
+    # context totals from the UNFILTERED bigram stream so probabilities
+    # stay proper (sum over w2 of cond <= 1 even after min_count pruning)
+    c1 = big(train).groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    lm = c2.join(c1, "w1").select(
+        "w1", "w2", F.expr("(c2 * 1000000) div c1").alias("cond_e6")
+    )
+    sb = big(score)
+    scored = (
+        sb.join(lm, ["w1", "w2"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("cond_e6").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_oov"),
+            F.sum(F.coalesce("cond_e6", F.lit(0).cast("long"))).alias("_s"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        score.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", zero).alias("n_bigrams"),
+            F.coalesce("n_oov", zero).alias("n_oov"),
+            F.coalesce(F.expr("_s div n_bigrams"), zero).alias("lm_score_e6"),
+        )
+    )

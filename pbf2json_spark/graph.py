@@ -169,3 +169,111 @@ def connected_components(
         if not changed:
             break
     return labels.select(F.col("x").alias("id"), "rep")
+
+
+def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Enumerate every triangle of the UNDIRECTED graph underlying
+    (src, dst) — the primitive under clustering coefficients, community
+    seeding, and link-spam detection (farms are triangle-dense).
+
+    Algorithm — degree-ordered orientation ("compact-forward"): each
+    undirected edge is oriented from its (degree, id)-smaller endpoint to
+    the larger; every triangle then has EXACTLY ONE node with two
+    out-edges inside it (the (degree, id)-minimum corner), so counting
+    closed wedges at that node counts each triangle once — no /6, no /3,
+    no distinct pass. The payoff at scale: an oriented out-degree is
+    O(sqrt(m)) even for a 10^8-degree hub (a hub ranks above almost all
+    neighbors, so almost all its edges point IN), so the wedge self-join's
+    per-key fan-out — the only quadratic-looking step — is bounded by
+    sqrt(m), not by the max degree. Three shuffles total: degree groupBy,
+    wedge equi-join on the pivot node, and the closing-edge left_semi on
+    the canonical pair.
+
+    Output: one row per triangle, corners (a, b, c) with a < b < c by
+    node id — a pure function of the edge multiset (self-loops dropped,
+    parallel/reverse duplicates collapse).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    und = e.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    w = und.join(
+        deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u"
+    ).join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = w.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+    )
+    wedges = (
+        oriented.select("lo", F.col("hi").alias("p"))
+        .join(oriented.select("lo", F.col("hi").alias("q")), "lo")
+        .filter(F.col("p") < F.col("q"))
+    )
+    closed = wedges.join(
+        und.select(F.col("u").alias("p"), F.col("v").alias("q")),
+        ["p", "q"],
+        "left_semi",
+    )
+    corners = F.array_sort(F.array("lo", "p", "q"))
+    return closed.select(
+        corners.getItem(0).alias("a"),
+        corners.getItem(1).alias("b"),
+        corners.getItem(2).alias("c"),
+    )
+
+
+def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over the
+    undirected graph of (src, dst).
+
+    cc is emitted INTEGER-scaled (the module's portability discipline):
+        cc_e6 = (2 · n_tri · 1e6) div (deg · (deg−1)),  0 when deg < 2
+    — one multiply + one truncating div, bit-identical in any engine.
+
+    Shape: triangles() + one explode(corners) groupBy + a left join back
+    onto the degree table so zero-triangle nodes keep a row. Nothing here
+    adds a shuffle beyond triangles()' three.
+
+    Output: (node, deg, n_tri, cc_e6), one row per node of the graph.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    und = e.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangles(edges, src=src, dst=dst)
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    out = deg.join(per_node, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce("n_tri", F.lit(0).cast("long")).alias("n_tri"),
+    )
+    return out.withColumn(
+        "cc_e6",
+        F.when(
+            F.col("deg") >= 2,
+            F.expr("(2 * n_tri * 1000000) div (deg * (deg - 1))"),
+        ).otherwise(F.lit(0).cast("long")),
+    )

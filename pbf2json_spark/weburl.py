@@ -312,3 +312,57 @@ def anchor_stats(
         F.col("_t.anchor").alias("top_anchor"),
         F.col("_t.cnt").alias("top_anchor_count"),
     )
+
+
+def crawl_schedule(
+    frontier: DataFrame,
+    per_host_budget: int,
+    delay_ms: int,
+    host_col: str = "host",
+    url_col: str = "url",
+    priority_col: str = "priority",
+    pre_thin_salt: int = 0,
+) -> DataFrame:
+    """Politeness-aware fetch scheduling over a crawl frontier: each host
+    gets at most `per_host_budget` URLs this cycle, picked by priority,
+    and consecutive fetches of the same host are spaced `delay_ms` apart
+    (the crawl-delay contract every large crawler honors per host).
+
+    slot = rank within host under (priority DESC, url ASC) − 1;
+    fetch_offset_ms = slot · delay_ms. Both are exact integers — the
+    schedule is a pure function of the frontier contents, reproducible
+    across partitionings and engines (url is the total-order tie-break).
+
+    Shape at 10^12 candidate URLs: the budget cap runs FIRST through
+    ranking.top_k_per_group (one hash exchange on host; with
+    `pre_thin_salt` > 0 a salted exact pre-thin bounds the reducer that
+    would otherwise hold a 10^9-URL hot host), so the final rank window
+    sees at most `per_host_budget` rows per host. Nothing downstream of
+    the cap carries the losers.
+
+    Output: (url, host, priority, slot, fetch_offset_ms).
+    """
+    from pbf2json_spark import ranking
+
+    if delay_ms < 0:
+        raise ValueError("delay_ms must be >= 0")
+    capped = ranking.top_k_per_group(
+        frontier.select(
+            F.col(url_col).alias("url"),
+            F.col(host_col).alias("host"),
+            F.col(priority_col).alias("priority"),
+        ),
+        ["host"],
+        [F.col("priority").desc(), F.col("url").asc()],
+        per_host_budget,
+        pre_thin_salt=pre_thin_salt,
+    )
+    return capped.select(
+        "url",
+        "host",
+        "priority",
+        (F.col("rank_in_group") - 1).cast("long").alias("slot"),
+        ((F.col("rank_in_group") - 1) * F.lit(delay_ms)).cast("long").alias(
+            "fetch_offset_ms"
+        ),
+    )
