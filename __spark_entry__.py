@@ -2371,6 +2371,167 @@ _LM_SCORE_SQL = (
 )
 
 
+# wave 7 — BPE pair counts, dissolve (union area), co-location pairs,
+# parallel-page alignment by URL structure.
+
+def _q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration (corpus.bpe_pair_counts): corpus-wide
+    adjacent character-pair counts inside words, exact top-50 — the
+    distributed inner loop of tokenizer training. The k-boundary is
+    total-ordered on (count desc, a, b)."""
+    return corpus.bpe_pair_counts(_t(spark, sf_dir, "documents"), k=50)
+
+
+_BPE_SQL = (
+    "WITH w AS (SELECT CASE WHEN length(trim(text)) = 0 "
+    "THEN CAST([] AS VARCHAR[]) "
+    r"ELSE string_split_regex(trim(text), '\s+') END AS ws FROM documents), "
+    "wd AS (SELECT u.w FROM w, LATERAL unnest(ws) u(w) "
+    "WHERE length(u.w) >= 2), "
+    "p AS (SELECT substr(w, CAST(i AS INT), 1) AS a, "
+    "substr(w, CAST(i AS INT) + 1, 1) AS b "
+    "FROM wd, LATERAL unnest(range(1, length(w))) t(i)) "
+    "SELECT a, b, CAST(count(*) AS BIGINT) AS pair_count FROM p "
+    "GROUP BY a, b ORDER BY pair_count DESC, a ASC, b ASC LIMIT 50"
+)
+
+
+# dissolve synth: part-keyed boxes in 41 groups — same e0-forced DOUBLE
+# lattice as the areal/rasterize boxes so both engines run one IEEE tree.
+_DISSOLVE_EXPRS = [
+    "p_partkey % 41 AS g",
+    "(p_partkey % 171) - 85.5e0 AS lat0",
+    "(p_partkey % 171) - 85.5e0 + 0.7e0 + (p_partkey % 7) * 0.3e0 AS lat1",
+    "(p_partkey % 353) - 176.5e0 AS lon0",
+    "(p_partkey % 353) - 176.5e0 + 0.9e0 + (p_partkey % 5) * 0.4e0 AS lon1",
+]
+
+
+def _q_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group union area in res-6 grid cells (spatial.dissolve_area):
+    quantized ST_Union+ST_Area — distinct covered cells vs summed per-box
+    covers, overlap share in integer millionths."""
+    boxes = _t(spark, sf_dir, "part").selectExpr(*_DISSOLVE_EXPRS)
+    return spatial.dissolve_area(boxes, res=6, group_col="g")
+
+
+def _dissolve_sql() -> str:
+    n = 64  # res 6
+
+    def _x(c: str) -> str:
+        return (
+            f"CAST(least(greatest(floor(({c} + 180.0e0) / 360.0e0 * "
+            f"{n}.0e0), 0.0e0), {n - 1}.0e0) AS BIGINT)"
+        )
+
+    def _y(c: str) -> str:
+        return (
+            f"CAST(least(greatest(floor(({c} + 90.0e0) / 180.0e0 * "
+            f"{n}.0e0), 0.0e0), {n - 1}.0e0) AS BIGINT)"
+        )
+
+    src = "SELECT " + ", ".join(_DISSOLVE_EXPRS) + " FROM part"
+    return (
+        f"WITH b AS ({src}), "
+        f"gx AS (SELECT g, {_x('lon0')} AS x0, {_x('lon1')} AS x1, "
+        f"{_y('lat0')} AS y0, {_y('lat1')} AS y1 FROM b), "
+        "c AS (SELECT DISTINCT g, cx.x AS cx, cy.y AS cy FROM gx, "
+        "LATERAL unnest(range(x0, x1 + 1)) cx(x), "
+        "LATERAL unnest(range(y0, y1 + 1)) cy(y)), "
+        "u AS (SELECT g, CAST(count(*) AS BIGINT) AS union_cells "
+        "FROM c GROUP BY g), "
+        "p AS (SELECT g, CAST(count(*) AS BIGINT) AS n_boxes, "
+        "CAST(sum((x1 - x0 + 1) * (y1 - y0 + 1)) AS BIGINT) AS box_cells "
+        "FROM gx GROUP BY g) "
+        "SELECT p.g, p.n_boxes, p.box_cells, u.union_cells, "
+        "CAST(((p.box_cells - u.union_cells) * 1000000) // p.box_cells "
+        "AS BIGINT) AS overlap_e6 FROM p JOIN u ON p.g = u.g"
+    )
+
+
+_COLOC_RES, _COLOC_BUCKET_US, _COLOC_MAX_GROUP = 3, 86_400_000_000, 8
+
+
+def _q_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-location contact pairs (trajectory.co_location): users sharing a
+    res-3 grid cell in the same UTC-day bucket, meetings = distinct
+    (cell, day) both have a ping in; crowd groups (> 8 users) dropped by
+    the combinable-count semi-join before any pairing."""
+    t = _traj_events(spark, sf_dir).select(
+        "user_id", _ntz_epoch_us("ts").alias("ts_us"), "lat", "lon"
+    )
+    return trajectory.co_location(
+        t, res=_COLOC_RES, bucket_us=_COLOC_BUCKET_US,
+        max_group=_COLOC_MAX_GROUP,
+    )
+
+
+def _coloc_sql() -> str:
+    n = 1 << _COLOC_RES
+    x = (
+        f"CAST(least(greatest(floor((lon + 180.0e0) / 360.0e0 * {n}.0e0), "
+        f"0.0e0), {n - 1}.0e0) AS BIGINT)"
+    )
+    y = (
+        f"CAST(least(greatest(floor((lat + 90.0e0) / 180.0e0 * {n}.0e0), "
+        f"0.0e0), {n - 1}.0e0) AS BIGINT)"
+    )
+    return (
+        f"WITH t AS ({_TRAJ_SQL}), "
+        f"p AS (SELECT DISTINCT user_id AS u, {x} AS cx, {y} AS cy, "
+        "CAST(floor(CAST(epoch_us(ts) AS BIGINT) / "
+        f"CAST({_COLOC_BUCKET_US} AS DOUBLE)) AS BIGINT) AS bucket FROM t), "
+        "s AS (SELECT cx, cy, bucket FROM p GROUP BY cx, cy, bucket "
+        f"HAVING count(*) <= {_COLOC_MAX_GROUP}), "
+        "pf AS (SELECT p.* FROM p JOIN s USING (cx, cy, bucket)) "
+        "SELECT a.u AS user_a, b.u AS user_b, "
+        "CAST(count(*) AS BIGINT) AS n_meet "
+        "FROM pf a JOIN pf b ON a.cx = b.cx AND a.cy = b.cy "
+        "AND a.bucket = b.bucket AND a.u < b.u GROUP BY a.u, b.u"
+    )
+
+
+def _q_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel-page alignment by URL structure (weburl.align_translations):
+    same-host pages whose paths differ only in a leading language segment
+    pair up as bitext candidates; (host, rest, lang) collapses to min id
+    first so the pair set is a pure function of the input set."""
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "concat('https://site', CAST(doc_id % 13 AS STRING), '.example', "
+        "CASE WHEN doc_id % 5 = 0 THEN '/en' WHEN doc_id % 5 = 1 THEN '/fr' "
+        "WHEN doc_id % 5 = 2 THEN '/pt-br' WHEN doc_id % 5 = 3 THEN '/de' "
+        "ELSE '/nolang' END, "
+        "CASE WHEN doc_id % 3 = 0 THEN '' "
+        "ELSE concat('/page/', CAST(doc_id % 50 AS STRING)) END) AS url",
+    )
+    return weburl.align_translations(docs, url_col="url", id_col="doc_id")
+
+
+_ALIGN_SQL = (
+    "WITH d AS (SELECT doc_id, 'https://site' || CAST(doc_id % 13 AS VARCHAR) "
+    "|| '.example' || CASE WHEN doc_id % 5 = 0 THEN '/en' "
+    "WHEN doc_id % 5 = 1 THEN '/fr' WHEN doc_id % 5 = 2 THEN '/pt-br' "
+    "WHEN doc_id % 5 = 3 THEN '/de' ELSE '/nolang' END || "
+    "CASE WHEN doc_id % 3 = 0 THEN '' "
+    "ELSE '/page/' || CAST(doc_id % 50 AS VARCHAR) END AS url FROM documents), "
+    "e AS (SELECT doc_id, "
+    "regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host, "
+    "regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1) AS path "
+    "FROM d), "
+    "l AS (SELECT doc_id, host, path, "
+    "regexp_extract(path, '^/([a-z]{2}(-[a-z]{2})?)(/.*)?$', 1) AS lang "
+    "FROM e), "
+    "f AS (SELECT host, substring(path, length(lang) + 2) AS path_rest, "
+    "lang, min(doc_id) AS id FROM l WHERE lang <> '' "
+    "GROUP BY host, substring(path, length(lang) + 2), lang) "
+    "SELECT a.host, a.path_rest, a.lang AS lang_a, b.lang AS lang_b, "
+    "a.id AS id_a, b.id AS id_b "
+    "FROM f a JOIN f b ON a.host = b.host AND a.path_rest = b.path_rest "
+    "AND a.lang < b.lang"
+)
+
+
 # --------------------------------------------------------------------------
 # Suite queries — tagged-union fold of same-family operators into ONE
 # driver gate slot.
@@ -2639,6 +2800,19 @@ def _suite_specs():
              "doc_id", None,
              [("n_bigrams", "n_bigrams", "i"), ("n_oov", "n_oov", "i"),
               ("lm_score_e6", "lm_score_e6", "i")]),
+            # wave 7 folds into the same slot
+            ("bpe", "bpe_pairs", _q_bpe_pairs,
+             "a", "b", [("pair_count", "pair_count", "i")]),
+            ("dissolve", "dissolve_area", _q_dissolve,
+             "g", None,
+             [("n_boxes", "n_boxes", "i"), ("box_cells", "box_cells", "i"),
+              ("union_cells", "union_cells", "i"),
+              ("overlap_e6", "overlap_e6", "i")]),
+            ("coloc", "co_location", _q_colocate,
+             "user_a", "user_b", [("n_meet", "n_meet", "i")]),
+            ("align", "align_translations", _q_align,
+             "host", ["path_rest", "lang_a", "lang_b"],
+             [("id_a", "id_a", "i"), ("id_b", "id_b", "i")]),
         ],
         "curation_suite": [
             ("contam", "contamination", _q_contamination,
@@ -2869,6 +3043,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule": _q_crawl_schedule,
         "areal_interpolate": _q_areal,
         "lm_score": _q_lm_score,
+        # wave 7
+        "bpe_pairs": _q_bpe_pairs,
+        "dissolve_area": _q_dissolve,
+        "co_location": _q_colocate,
+        "align_translations": _q_align,
     }
 
 
@@ -3935,6 +4114,11 @@ def oracle_sql() -> dict[str, str]:
     sqls["crawl_schedule"] = _CRAWL_SCHED_SQL
     sqls["areal_interpolate"] = _areal_sql()
     sqls["lm_score"] = _LM_SCORE_SQL
+    # wave-7 oracles
+    sqls["bpe_pairs"] = _BPE_SQL
+    sqls["dissolve_area"] = _dissolve_sql()
+    sqls["co_location"] = _coloc_sql()
+    sqls["align_translations"] = _ALIGN_SQL
     # suite oracles composed verbatim from the per-operator strings above —
     # a green suite row certifies every folded operator's values.
     sqls.update(_suite_oracle_sql(sqls))

@@ -106,6 +106,11 @@ BENCH_QUERIES = [
     "crawl_schedule",
     "areal_interpolate",
     "lm_score",
+    # wave 7
+    "bpe_pairs",
+    "dissolve_area",
+    "co_location",
+    "align_translations",
 ]
 
 

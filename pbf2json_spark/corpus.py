@@ -453,3 +453,41 @@ def bigram_lm_score(
             F.coalesce(F.expr("_s div n_bigrams"), zero).alias("lm_score_e6"),
         )
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """First BPE merge iteration — corpus-wide counts of adjacent symbol
+    (character) pairs inside whitespace-delimited words, top-k by
+    frequency. This is the inner loop of tokenizer training (Sennrich
+    BPE / GPT-2 bytepair): run it, merge the winning pair, repeat; one
+    distributed pass per merge is exactly how tokenizers are trained on
+    web-scale corpora.
+
+    Determinism: ties break by the pair itself (a asc, b asc), so the
+    k-boundary is total-ordered on (count desc, a, b) in any engine.
+
+    Shape at 100 TB: the pair explode is pure Column (transform over a
+    sequence — stays in codegen), the count is ONE map-side-combinable
+    groupBy on a tiny key space (alphabet², thousands of distinct keys —
+    partials collapse almost everything before the exchange), and the
+    top-k is a TakeOrdered over those few rows, never a global sort of
+    the corpus.
+
+    Output: (a, b, pair_count), ≤ k rows.
+    """
+    w = F.explode(_words(text_col)).alias("w")
+    words = df.select(w).filter(F.length("w") >= 2)
+    pair = F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.struct(
+            F.col("w").substr(i, F.lit(1)).alias("a"),
+            F.col("w").substr(i + F.lit(1), F.lit(1)).alias("b"),
+        ),
+    )
+    pairs = words.select(F.explode(pair).alias("_p")).select("_p.a", "_p.b")
+    counts = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("pair_count"))
+    return counts.orderBy(
+        F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(k)

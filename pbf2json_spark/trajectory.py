@@ -197,3 +197,67 @@ def geofence_transitions(
             F.when(F.col("_in"), F.lit("enter")).otherwise(F.lit("exit")).alias("event"),
         )
     )
+
+
+def co_location(
+    df: DataFrame,
+    res: int,
+    bucket_us: int,
+    user_col: str = "user_id",
+    ts_us_col: str = "ts_us",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_group: int = 64,
+) -> DataFrame:
+    """Co-location (contact-graph) pairs: users observed in the SAME grid
+    cell at `res` during the SAME time bucket, and how often. The
+    primitive under proximity analytics — contact tracing, meeting
+    detection, companion mining, multi-account/sockpuppet linking in
+    anti-abuse.
+
+    Semantics: a "meeting" is a distinct (cell, bucket) both users have a
+    ping in; n_meet counts those, not raw ping pairs (burst pings inside
+    one bucket collapse first, so a chatty device doesn't inflate its
+    contacts). Buckets are floor(ts_us / bucket_us) on an integer
+    microsecond timestamp — tz-free and engine-portable by construction.
+
+    The quadratic truth and the crowd guard: any co-location operator is
+    inherently |group|² inside a (cell, bucket) group. Dense groups are
+    CROWDS (a stadium cell), not contacts — standard practice (and the
+    scale guard) is to drop groups over a size cap before pairing;
+    ``max_group`` does exactly that, making the worst-case fan-out
+    max_group × rows. The hot groups are found with a combinable count
+    and excluded with a semi-join — no sort, no window.
+
+    Shape at 10^12 pings: ONE distinct exchange on (cell, bucket, user)
+    [the dedupe], one combinable group-size count + left_semi crowd
+    filter, one self-equi-join on (cell, bucket) bounded by max_group,
+    one combinable pair count. Ids only in every shuffle.
+
+    Output: (user_a, user_b, n_meet) with user_a < user_b.
+    """
+    from pbf2json_spark import cells as _cells
+
+    x, y = _cells.xy_cols(F.col(lat_col), F.col(lon_col), res)
+    pts = df.select(
+        F.col(user_col).alias("u"),
+        x.alias("cx"),
+        y.alias("cy"),
+        F.floor(F.col(ts_us_col) / F.lit(bucket_us)).cast("long").alias("bucket"),
+    ).distinct()
+    key = ["cx", "cy", "bucket"]
+    small = (
+        pts.groupBy(*key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_group)
+        .select(*key)
+    )
+    pts = pts.join(small, key, "left_semi")
+    a = pts.select(F.col("u").alias("user_a"), *key)
+    b = pts.select(F.col("u").alias("user_b"), *key)
+    return (
+        a.join(b, key)
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("n_meet"))
+    )

@@ -366,3 +366,69 @@ def crawl_schedule(
             "fetch_offset_ms"
         ),
     )
+
+
+def align_translations(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Parallel-page alignment by URL structure — pair pages on the same
+    host whose paths are identical except for a leading language segment
+    (/en/pricing ↔ /fr/pricing). This is the standard first-pass miner
+    for parallel corpora from web crawls (bitext for translation
+    training): URL-structure alignment finds the overwhelming majority of
+    candidate pairs at ~zero cost before any content comparison runs.
+
+    A language segment is the FIRST path segment matching
+    ``[a-z]{2}`` or ``[a-z]{2}-[a-z]{2}`` (en, fr, pt-br …); pages
+    without one don't participate. The remainder path (which may be
+    empty) is the alignment key together with the host.
+
+    Determinism: several pages can share (host, rest, lang) — snapshots,
+    tracking params upstream of canonicalization — so the aligner first
+    collapses each (host, rest, lang) to its MIN id, making the pair set
+    a pure function of the input set.
+
+    Shape at 10^12 pages: lang/rest extraction is scan-stage regexp
+    (codegen); the collapse is ONE combinable groupBy; the pair generator
+    is a self-equi-join on (host, rest) with lang_a < lang_b — fan-out
+    bounded by languages-per-page-family (≤ tens), never quadratic in
+    pages; only (host, rest, lang, id) slim rows cross the shuffles.
+
+    Output: (host, path_rest, lang_a, lang_b, id_a, id_b), one row per
+    aligned language pair of a page family.
+    """
+    u = F.col(url_col)
+    host = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    path = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)", 1)
+    lang = F.regexp_extract(path, r"^/([a-z]{2}(-[a-z]{2})?)(/.*)?$", 1)
+    rest = F.expr(f"substring({'_path'}, length(_lang) + 2)")
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            host.alias("host"),
+            path.alias("_path"),
+            lang.alias("_lang"),
+        )
+        .filter(F.col("_lang") != "")
+        .select(
+            "host",
+            rest.alias("path_rest"),
+            F.col("_lang").alias("lang"),
+            "_id",
+        )
+        .groupBy("host", "path_rest", "lang")
+        .agg(F.min("_id").alias("id"))
+    )
+    a = base.select(
+        "host", "path_rest",
+        F.col("lang").alias("lang_a"), F.col("id").alias("id_a"),
+    )
+    b = base.select(
+        "host", "path_rest",
+        F.col("lang").alias("lang_b"), F.col("id").alias("id_b"),
+    )
+    return a.join(b, ["host", "path_rest"]).filter(
+        F.col("lang_a") < F.col("lang_b")
+    )

@@ -847,6 +847,152 @@ def main() -> int:
         ],
     ))
 
+    # 52. triangle stats: degree-ordered orientation — the wedge self-join
+    # and closing-edge semi-join are hash equi-joins (never cartesian);
+    # degree and per-node triangle counts are partial aggs
+    ts = allq["triangle_stats"](spark, sf_dir)
+    p = plan_text(ts)
+    sections.append((
+        "triangle count + clustering coeff (triangle_stats)", p,
+        [
+            ("wedge + closing-edge joins are hash equi-joins",
+             "HashJoin" in p and "CartesianProduct" not in p
+             and "NestedLoop" not in p, ""),
+            ("closing-edge check is a semi-join (ids only)",
+             "LeftSemi" in p, ""),
+            ("degree and triangle counts are partial aggs",
+             p.count("HashAggregate") >= 4, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
+    # 53. crawl schedule: per-host budget is a ranking window partitioned
+    # by host (never a global sort); slot math is pure integer Column
+    cs = allq["crawl_schedule"](spark, sf_dir)
+    p = plan_text(cs)
+    sections.append((
+        "politeness crawl schedule (crawl_schedule)", p,
+        [
+            ("per-host ranking window (no single partition)",
+             "Window" in p and "row_number" in p
+             and "SinglePartition" not in p, ""),
+            ("no join (pure per-host fold)", "Join" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
+    # 54. areal interpolation: grid-cover candidates meet in an equi-join
+    # on the cell key (never a bbox theta join); transfer is ONE
+    # combinable groupBy(d_id)
+    ai = allq["areal_interpolate"](spark, sf_dir)
+    p = plan_text(ai)
+    sections.append((
+        "areal interpolation (areal_interpolate)", p,
+        [
+            ("candidate join is a hash equi-join on the cell key",
+             "HashJoin" in p and "CartesianProduct" not in p
+             and "NestedLoop" not in p, ""),
+            ("value transfer is a partial-agg groupBy",
+             p.count("HashAggregate") >= 2, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
+    # 55. bigram-LM scoring: train counts are combinable aggs, the LM
+    # lookup is a (w1,w2) equi-join, per-doc fold is a partial agg —
+    # raw text never crosses a shuffle twice
+    lm = allq["lm_score"](spark, sf_dir)
+    p = plan_text(lm)
+    sections.append((
+        "bigram-LM fluency scoring (lm_score)", p,
+        [
+            ("LM lookup is a hash equi-join (no cartesian)",
+             "HashJoin" in p and "CartesianProduct" not in p
+             and "NestedLoop" not in p, ""),
+            ("train/score counts are partial aggs",
+             p.count("HashAggregate") >= 4, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
+    # 56. BPE pair counts: pair explode stays in codegen (transform over a
+    # sequence, no Python), the corpus-wide count is ONE combinable
+    # groupBy on a tiny (a,b) key space, top-k is TakeOrdered — never a
+    # global sort of the corpus
+    bp = allq["bpe_pairs"](spark, sf_dir)
+    p = plan_text(bp)
+    sections.append((
+        "BPE pair counts / tokenizer-training inner loop (bpe_pairs)", p,
+        [
+            ("pair count is a partial agg", "HashAggregate" in p, ""),
+            ("top-k is TakeOrdered (no global Sort exchange)",
+             "TakeOrderedAndProject" in p, ""),
+            ("no join", "Join" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
+    # 57. dissolve: the cover explode is codegen, union area = ONE
+    # distinct exchange + combinable counts, per-box summary is a second
+    # combinable agg — the group join is a hash equi-join
+    dv = allq["dissolve_area"](spark, sf_dir)
+    p = plan_text(dv)
+    sections.append((
+        "grid dissolve / per-group union area (dissolve_area)", p,
+        [
+            ("group join is a hash equi-join (no cartesian)",
+             "HashJoin" in p and "CartesianProduct" not in p
+             and "NestedLoop" not in p, ""),
+            ("distinct + counts are partial aggs",
+             p.count("HashAggregate") >= 4, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
+    # 58. co-location: burst dedupe is a distinct agg, the crowd guard is
+    # a combinable count + LeftSemi, pairing is a hash equi-join on
+    # (cell,bucket) — never cartesian — and n_meet is a partial agg
+    cl = allq["co_location"](spark, sf_dir)
+    p = plan_text(cl)
+    sections.append((
+        "co-location contact pairs (co_location)", p,
+        [
+            ("pair generator is a hash equi-join (no cartesian)",
+             "HashJoin" in p and "CartesianProduct" not in p
+             and "NestedLoop" not in p, ""),
+            ("crowd guard is a semi-join",
+             "LeftSemi" in p, ""),
+            ("dedupe + counts are partial aggs",
+             p.count("HashAggregate") >= 4, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
+    # 59. align_translations: lang/rest extraction is scan-stage regexp,
+    # the (host,rest,lang) collapse is a combinable min, pairing is a
+    # hash equi-join on (host,rest) — fan-out bounded by langs per family
+    at = allq["align_translations"](spark, sf_dir)
+    p = plan_text(at)
+    sections.append((
+        "parallel-page alignment by URL structure (align_translations)", p,
+        [
+            ("pair join is a hash equi-join (no cartesian)",
+             "HashJoin" in p and "CartesianProduct" not in p
+             and "NestedLoop" not in p, ""),
+            ("(host,rest,lang) collapse is a partial agg",
+             "HashAggregate" in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
     failed = 0
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     for title, plan, props in sections:
