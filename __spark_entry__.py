@@ -2532,6 +2532,193 @@ _ALIGN_SQL = (
 )
 
 
+# wave 8 — redirect-chain resolution, funnel analysis, interval-overlap
+# join, radius of gyration, local Moran's I.
+
+# redirect synth over documents: non-multiples of 8 redirect downward one
+# id, except every %80==1 node points UP one, forming a 2-cycle {i, i+1}
+# that the ids below each multiple of 8 drain into — mixed chain lengths
+# (1..7 hops), terminals (multiples of 8), cycles, AND cycle-enterers.
+_REDIR_EXPR = (
+    "CASE WHEN doc_id % 80 = 1 THEN doc_id + 1 ELSE doc_id - 1 END"
+)
+
+
+def _redirect_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter("doc_id % 8 != 0")
+        .selectExpr("doc_id AS src", f"{_REDIR_EXPR} AS dst")
+    )
+
+
+def _q_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (weburl.resolve_redirects): pointer
+    doubling to each chain's terminal + hop count in O(log L) id-only
+    self-joins; cycles and cycle-enterers flagged with NULL terminal."""
+    return weburl.resolve_redirects(
+        _redirect_edges(spark, sf_dir), max_rounds=8
+    )
+
+
+_REDIR_SQL = (
+    "WITH RECURSIVE e AS (SELECT doc_id AS src, "
+    f"{_REDIR_EXPR.replace('doc_id', 'doc_id')} AS dst "
+    "FROM documents WHERE doc_id % 8 <> 0), "
+    "r AS (SELECT src AS node, dst AS cur, CAST(1 AS BIGINT) AS hops FROM e "
+    "UNION ALL SELECT r.node, e.dst, r.hops + 1 FROM r "
+    "JOIN e ON r.cur = e.src WHERE r.hops < 40), "
+    "term AS (SELECT node, cur AS terminal, hops FROM r "
+    "WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = r.cur)) "
+    "SELECT node, terminal, hops, FALSE AS cyclic FROM term "
+    "UNION ALL SELECT src, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), TRUE "
+    "FROM e WHERE src NOT IN (SELECT node FROM term)"
+)
+
+
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase (temporal.funnel): per-user
+    earliest stage-k completion at-or-after stage k-1 — len(stages)
+    combinable min-aggs, no per-user window, no event-list collect."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", _ntz_epoch_us("ts").alias("ts_us"), "event_type"
+    )
+    return temporal.funnel(e, ["view", "click", "purchase"])
+
+
+_FUNNEL_SQL = (
+    "WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+    "event_type FROM events), "
+    "s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e "
+    "WHERE event_type = 'view' GROUP BY user_id), "
+    "s2 AS (SELECT e.user_id, min(e.ts_us) AS t2 FROM e JOIN s1 "
+    "ON e.user_id = s1.user_id AND e.ts_us >= s1.t1 "
+    "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+    "s3 AS (SELECT e.user_id, min(e.ts_us) AS t3 FROM e JOIN s2 "
+    "ON e.user_id = s2.user_id AND e.ts_us >= s2.t2 "
+    "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+    "SELECT s1.user_id, s1.t1, s2.t2, s3.t3, "
+    "CAST(1 + (CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END) + "
+    "(CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END) AS INT) AS stage_reached "
+    "FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id "
+    "LEFT JOIN s3 ON s1.user_id = s3.user_id"
+)
+
+
+# interval synth: view/click events become closed intervals of 1–7 / 1–5
+# minutes (integer µs endpoints); chunk = 5 min.
+_IV_CHUNK_US = 300_000_000
+
+
+def _iv_side(spark, sf_dir, etype: str, idc: str, mod: int) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == etype)
+        .select(
+            F.col("event_id").alias(idc),
+            _ntz_epoch_us("ts").alias("s"),
+            (
+                _ntz_epoch_us("ts")
+                + (F.col("event_id") % mod + 1) * 60_000_000
+            ).alias("e"),
+        )
+    )
+
+
+def _q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (temporal.interval_overlap_join): view
+    intervals × click intervals via chunked equi-join + reporting-chunk
+    dedup — never an s<=e theta join (a broadcast nested loop at scale)."""
+    return temporal.interval_overlap_join(
+        _iv_side(spark, sf_dir, "view", "a_id", 7),
+        _iv_side(spark, sf_dir, "click", "b_id", 5),
+        chunk=_IV_CHUNK_US,
+    )
+
+
+def _iv_side_sql(etype: str, idc: str, mod: int) -> str:
+    return (
+        f"SELECT event_id AS {idc}, CAST(epoch_us(ts) AS BIGINT) AS s, "
+        f"CAST(epoch_us(ts) AS BIGINT) + (event_id % {mod} + 1) * 60000000 "
+        f"AS e FROM events WHERE event_type = '{etype}'"
+    )
+
+
+_IV_SQL = (
+    f"WITH v AS ({_iv_side_sql('view', 'a_id', 7)}), "
+    f"c AS ({_iv_side_sql('click', 'b_id', 5)}) "
+    "SELECT a_id, b_id, greatest(v.s, c.s) AS ov_s, "
+    "least(v.e, c.e) AS ov_e, "
+    "least(v.e, c.e) - greatest(v.s, c.s) AS ov_len "
+    "FROM v JOIN c ON v.s <= c.e AND c.s <= v.e"
+)
+
+
+def _q_rog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius of gyration squared (trajectory.radius_of_gyration): per-user
+    mobility dispersion from the n·Σx²−(Σx)² identity in pure integer
+    arithmetic (DECIMAL sums) — one combinable groupBy, order-free."""
+    return trajectory.radius_of_gyration(_traj_events(spark, sf_dir))
+
+
+_ROG_SQL = (
+    f"WITH t AS ({_TRAJ_SQL}), "
+    "q AS (SELECT user_id, CAST(floor(lat * 1.0e6) AS BIGINT) AS x, "
+    "CAST(floor(lon * 1.0e6) AS BIGINT) AS y FROM t), "
+    "a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_points, "
+    "sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy "
+    "FROM q GROUP BY user_id) "
+    "SELECT user_id, n_points, "
+    "CAST(((n_points * sxx - sx * sx) + (n_points * syy - sy * sy)) "
+    "// (n_points * n_points) AS BIGINT) AS rog2_e12 FROM a"
+)
+
+
+_MORAN_RES = 4
+
+
+def _q_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Moran's I / LISA (spatial.local_moran): per-cell spatial
+    autocorrelation of ping density at res 4 — integer-exact
+    (N·x−S)(N·Σnbr−k·S) div N² with queen neighbors over occupied cells."""
+    pts = _traj_events(spark, sf_dir).select("lat", "lon")
+    return spatial.local_moran(pts, res=_MORAN_RES)
+
+
+def _moran_sql() -> str:
+    n = 1 << _MORAN_RES
+    x = (
+        f"CAST(least(greatest(floor((lon + 180.0e0) / 360.0e0 * {n}.0e0), "
+        f"0.0e0), {n - 1}.0e0) AS BIGINT)"
+    )
+    y = (
+        f"CAST(least(greatest(floor((lat + 90.0e0) / 180.0e0 * {n}.0e0), "
+        f"0.0e0), {n - 1}.0e0) AS BIGINT)"
+    )
+    return (
+        f"WITH t AS ({_TRAJ_SQL}), "
+        f"c AS (SELECT {x} AS cx, {y} AS cy, "
+        "CAST(count(*) AS BIGINT) AS x FROM t GROUP BY 1, 2), "
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(x) AS BIGINT) AS s FROM c), "
+        "o AS (SELECT dx.d AS ddx, dy.d AS ddy FROM "
+        "(VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d) "
+        "WHERE NOT (dx.d = 0 AND dy.d = 0)), "
+        "nb AS (SELECT c.cx + o.ddx AS cx, c.cy + o.ddy AS cy, "
+        "c.x AS nx FROM c, o), "
+        "na AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS k_nbrs, "
+        "CAST(sum(nx) AS BIGINT) AS nbr_sum FROM nb GROUP BY cx, cy) "
+        "SELECT c.cx, c.cy, c.x, "
+        "coalesce(na.k_nbrs, 0) AS k_nbrs, "
+        "coalesce(na.nbr_sum, 0) AS nbr_sum, "
+        "CAST((CAST(tot.n * c.x - tot.s AS HUGEINT) * "
+        "CAST(tot.n * coalesce(na.nbr_sum, 0) - "
+        "coalesce(na.k_nbrs, 0) * tot.s AS HUGEINT)) "
+        "// CAST(tot.n * tot.n AS HUGEINT) AS BIGINT) AS lisa_e0 "
+        "FROM c LEFT JOIN na ON c.cx = na.cx AND c.cy = na.cy, tot"
+    )
+
+
 # --------------------------------------------------------------------------
 # Suite queries — tagged-union fold of same-family operators into ONE
 # driver gate slot.
@@ -2813,6 +3000,26 @@ def _suite_specs():
             ("align", "align_translations", _q_align,
              "host", ["path_rest", "lang_a", "lang_b"],
              [("id_a", "id_a", "i"), ("id_b", "id_b", "i")]),
+            # wave 8 folds into the same slot
+            ("redirect", "redirect_resolve", _q_redirects,
+             "node", None,
+             [("terminal", "terminal", "i"), ("hops", "hops", "i"),
+              ("cyclic", "cyclic", "b")]),
+            ("funnel", "funnel_steps", _q_funnel,
+             "user_id", None,
+             [("t1", "t1", "i"), ("t2", "t2", "i"), ("t3", "t3", "i"),
+              ("stage_reached", "stage_reached", "i")]),
+            ("ivjoin", "interval_overlap", _q_interval_overlap,
+             "a_id", "b_id",
+             [("ov_s", "ov_s", "i"), ("ov_e", "ov_e", "i"),
+              ("ov_len", "ov_len", "i")]),
+            ("rog", "radius_gyration", _q_rog,
+             "user_id", None,
+             [("n_points", "n_points", "i"), ("rog2_e12", "rog2_e12", "i")]),
+            ("moran", "local_moran", _q_moran,
+             "cx", "cy",
+             [("x", "x", "i"), ("k_nbrs", "k_nbrs", "i"),
+              ("nbr_sum", "nbr_sum", "i"), ("lisa_e0", "lisa_e0", "i")]),
         ],
         "curation_suite": [
             ("contam", "contamination", _q_contamination,
@@ -3048,6 +3255,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_area": _q_dissolve,
         "co_location": _q_colocate,
         "align_translations": _q_align,
+        # wave 8
+        "redirect_resolve": _q_redirects,
+        "funnel_steps": _q_funnel,
+        "interval_overlap": _q_interval_overlap,
+        "radius_gyration": _q_rog,
+        "local_moran": _q_moran,
     }
 
 
@@ -4119,6 +4332,12 @@ def oracle_sql() -> dict[str, str]:
     sqls["dissolve_area"] = _dissolve_sql()
     sqls["co_location"] = _coloc_sql()
     sqls["align_translations"] = _ALIGN_SQL
+    # wave-8 oracles
+    sqls["redirect_resolve"] = _REDIR_SQL
+    sqls["funnel_steps"] = _FUNNEL_SQL
+    sqls["interval_overlap"] = _IV_SQL
+    sqls["radius_gyration"] = _ROG_SQL
+    sqls["local_moran"] = _moran_sql()
     # suite oracles composed verbatim from the per-operator strings above —
     # a green suite row certifies every folded operator's values.
     sqls.update(_suite_oracle_sql(sqls))

@@ -111,6 +111,12 @@ BENCH_QUERIES = [
     "dissolve_area",
     "co_location",
     "align_translations",
+    # wave 8
+    "redirect_resolve",
+    "funnel_steps",
+    "interval_overlap",
+    "radius_gyration",
+    "local_moran",
 ]
 
 

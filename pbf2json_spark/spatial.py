@@ -1309,3 +1309,79 @@ def dissolve_area(
         "overlap_e6",
         F.expr("((box_cells - union_cells) * 1000000) div box_cells"),
     )
+
+
+def local_moran(
+    points: DataFrame,
+    res: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Local Moran's I (LISA, Anselin 1995) over grid-cell point counts —
+    per-cell spatial autocorrelation: is this cell's density similar to
+    its neighbors' (hotspot/coldspot, lisa > 0) or a spatial outlier
+    (high-amid-low / low-amid-high, lisa < 0)? The per-cell statistic a
+    global Moran's I sums over; emitting the locals keeps every output in
+    BIGINT range AND is the more useful product (the global is one more
+    combinable agg away).
+
+    Integer-exact formulation: with N occupied cells, S total points,
+    x_i the cell count and k_i occupied queen-neighbors holding nbr_sum
+    points, the unstandardized LISA numerator
+
+        (N·x_i − S) · (N·nbr_sum_i − k_i·S)        [∝ (x_i−x̄)·Σ_j(x_j−x̄)]
+
+    is computed in DECIMAL(38,0) (the product can pass 2^63 at web scale)
+    and divided by N² back into BIGINT: lisa = that product div N² —
+    truncation toward zero, matching DuckDB's `//`. Neighborhood = the 8
+    queen-adjacent cells RESTRICTED to occupied ones (the standard
+    occupied-lattice convention; empty cells contribute no weight).
+
+    Shape at 10^12 points: the count is ONE combinable groupBy on the
+    cell key; the neighbor sum unions 8 shifted copies of the AGGREGATED
+    frame (8·N slim rows, not points) into one combinable groupBy and
+    equi-joins back; N and S broadcast as a 1-row cross join. No window,
+    no theta join, nothing touches raw points twice.
+
+    Output: (cx, cy, x, k_nbrs, nbr_sum, lisa_e0) one row per occupied
+    cell.
+    """
+    x, y = cells.xy_cols(F.col(lat_col), F.col(lon_col), res)
+    counts = (
+        points.select(x.alias("cx"), y.alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("x").alias("_s")
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if not (dx == 0 and dy == 0)]
+    probe = None
+    for dx, dy in offs:
+        o = counts.select(
+            (F.col("cx") + dx).alias("cx"),
+            (F.col("cy") + dy).alias("cy"),
+            F.col("x").alias("_nx"),
+        )
+        probe = o if probe is None else probe.unionByName(o)
+    nbr = probe.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).alias("k_nbrs"), F.sum("_nx").alias("nbr_sum")
+    )
+    j = (
+        counts.join(nbr, ["cx", "cy"], "left")
+        .select(
+            "cx", "cy", "x",
+            F.coalesce("k_nbrs", F.lit(0)).cast("long").alias("k_nbrs"),
+            F.coalesce("nbr_sum", F.lit(0)).cast("long").alias("nbr_sum"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    return j.select(
+        "cx", "cy", "x", "k_nbrs", "nbr_sum",
+        F.expr(
+            "CAST((CAST(_n * x - _s AS DECIMAL(38,0)) * "
+            "CAST(_n * nbr_sum - k_nbrs * _s AS DECIMAL(38,0))) "
+            "div (_n * _n) AS BIGINT)"
+        ).alias("lisa_e0"),
+    )

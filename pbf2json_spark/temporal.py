@@ -12,6 +12,8 @@ range theta join (Spark would plan BroadcastNestedLoopJoin, quadratic at
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -287,5 +289,112 @@ def resample_ffill(
             (F.col("bucket") * step).alias("bucket_start"),
             F.last("_v", ignorenulls=True).over(w).alias(value),
             F.col("_v").isNull().alias("filled"),
+        )
+    )
+
+
+def funnel(
+    df: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: for each user, the earliest time they
+    completed stage k AT OR AFTER their earliest completion of stage k-1
+    (the standard product-analytics funnel — view -> click -> purchase).
+    Simultaneous timestamps count (>=, not >): both engines see the same
+    rule, and min() makes each stage time a pure function of the event
+    set (no ordering sensitivity).
+
+    Shape at 10^12 events: NO per-user window and NO collect of event
+    lists — stage k is one combinable min-aggregation over the stage-k
+    events semi-joined to the stage-(k-1) frontier; the type filter pushes
+    to the scan, every shuffle carries (user, ts) only, and the number of
+    shuffles is len(stages), not events. Degenerate users (bots with 10^6
+    events) cost only their own partial aggs.
+
+    Output: (user_col, t1..tk BIGINT epoch-like stage times, NULL once
+    the funnel is abandoned, stage_reached) — one row per user who
+    completed stage 1.
+    """
+    u, t = F.col(user_col), F.col(ts_col)
+    out = (
+        df.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(t).alias("t1"))
+    )
+    for i, s in enumerate(stages[1:], start=2):
+        prev = f"t{i - 1}"
+        nxt = (
+            df.filter(F.col(type_col) == s)
+            .select(u.alias(user_col), t.alias("_ts"))
+            .join(out.select(user_col, prev), user_col)
+            .filter(F.col("_ts") >= F.col(prev))
+            .groupBy(user_col)
+            .agg(F.min("_ts").alias(f"t{i}"))
+        )
+        out = out.join(nxt, user_col, "left")
+    reached = functools.reduce(
+        lambda acc, i: acc + F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0),
+        range(2, len(stages) + 1),
+        F.lit(1),
+    )
+    return out.select(user_col, *[f"t{i}" for i in range(1, len(stages) + 1)],
+                      reached.cast("int").alias("stage_reached"))
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    chunk: int,
+    left_id: str = "a_id",
+    right_id: str = "b_id",
+) -> DataFrame:
+    """All (left, right) interval pairs that overlap (closed intervals,
+    integer endpoints: a.s <= b.e AND b.s <= a.e) with the overlap span —
+    the 1-D temporal analog of bbox_intersect_join (event-in-session
+    attribution, ad-impression x visit matching, downtime x deploy
+    correlation).
+
+    Shape: each interval explodes to its covering time chunks of width
+    `chunk` (sequence/explode, codegen), candidates meet in a hash
+    EQUI-join on the chunk id — never an s<=e theta join, which Spark can
+    only execute as a broadcast nested loop. A pair overlapping many
+    chunks is REPORTED exactly once, in the chunk containing
+    max(a.s, b.s) (the reporting-cell rule), so there is no dedup
+    exchange. Pick `chunk` near the typical interval length: fan-out per
+    row is ~len/chunk + 1, hot chunks are bounded by concurrency, not
+    corpus size.
+
+    Expects columns (left_id, s, e) / (right_id, s, e), s <= e, BIGINT.
+    Output: (left_id, right_id, ov_s, ov_e, ov_len = ov_e - ov_s).
+    """
+    def cover(df: DataFrame, idc: str, p: str) -> DataFrame:
+        g = df.select(
+            F.col(idc).alias(f"{p}id"),
+            F.col("s").alias(f"{p}s"),
+            F.col("e").alias(f"{p}e"),
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("s") / chunk), F.floor(F.col("e") / chunk)
+                )
+            ).alias("ck"),
+        )
+        return g
+
+    a, b = cover(left, left_id, "a_"), cover(right, right_id, "b_")
+    j = a.join(b, "ck")
+    start = F.greatest("a_s", "b_s")
+    end = F.least("a_e", "b_e")
+    report = F.floor(start / chunk) == F.col("ck")
+    return (
+        j.filter(report & (start <= end))
+        .select(
+            F.col("a_id").alias(left_id),
+            F.col("b_id").alias(right_id),
+            start.alias("ov_s"),
+            end.alias("ov_e"),
+            (end - start).alias("ov_len"),
         )
     )

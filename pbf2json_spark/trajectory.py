@@ -261,3 +261,62 @@ def co_location(
         .groupBy("user_a", "user_b")
         .agg(F.count(F.lit(1)).alias("n_meet"))
     )
+
+
+def radius_of_gyration(
+    df: DataFrame,
+    user_col: str = "user_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Radius of gyration (squared) per user — the classic mobility
+    dispersion metric (Gonzalez et al., "Understanding individual human
+    mobility patterns"): mean squared distance of a user's pings from
+    their centroid, in planar degree space.
+
+    Exactness discipline: coordinates quantize to integer micro-degrees
+    (floor(x * 1e6) — the identical IEEE expression both engines run),
+    then rog² comes from the ALGEBRAIC identity
+
+        n·Σx² − (Σx)²  =  n² · Σ(x − mean)² / 1   (per axis, summed)
+
+    evaluated entirely in integer arithmetic: Spark sums in DECIMAL(38,0)
+    (a BIGINT sum of e6² terms overflows at ~300 pings), DuckDB sums
+    BIGINT into HUGEINT natively, and the final `div n²` brings the value
+    back into BIGINT range (bounded by the coordinate span, not the ping
+    count). No float accumulation anywhere — the sum order cannot matter.
+
+    Shape at 10^12 pings: ONE map-side-combinable groupBy carrying five
+    integer partials per user. No window, no self-join.
+
+    Output: (user_col, n_points, rog2_e12) — squared dispersion in
+    squared micro-degrees (1e-12 deg²).
+    """
+    xi = F.floor(F.col(lat_col) * F.lit(1.0e6)).cast("long")
+    yi = F.floor(F.col(lon_col) * F.lit(1.0e6)).cast("long")
+    agg = (
+        df.select(
+            F.col(user_col),
+            xi.alias("_x"),
+            yi.alias("_y"),
+            (xi * xi).cast("decimal(38,0)").alias("_xx"),
+            (yi * yi).cast("decimal(38,0)").alias("_yy"),
+        )
+        .groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("_x").alias("_sx"),
+            F.sum("_y").alias("_sy"),
+            F.sum("_xx").alias("_sxx"),
+            F.sum("_yy").alias("_syy"),
+        )
+    )
+    return agg.select(
+        user_col,
+        "n_points",
+        F.expr(
+            "CAST(((n_points * _sxx - CAST(_sx AS DECIMAL(38,0)) * _sx) + "
+            "(n_points * _syy - CAST(_sy AS DECIMAL(38,0)) * _sy)) "
+            "div (n_points * n_points) AS BIGINT)"
+        ).alias("rog2_e12"),
+    )

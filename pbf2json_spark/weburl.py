@@ -432,3 +432,77 @@ def align_translations(
     return a.join(b, ["host", "path_rest"]).filter(
         F.col("lang_a") < F.col("lang_b")
     )
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Redirect-chain resolution: follow a FUNCTIONAL edge set (at most
+    one outgoing redirect per source — HTTP 301/canonical-link maps are
+    exactly this shape) to each chain's terminal target with hop counts,
+    cycle-safe. The crawl-graph primitive behind canonical-URL
+    consolidation: dedup/ranking should credit the terminal, not the
+    hop-through URLs.
+
+    POINTER DOUBLING (same discipline as graph.connected_components):
+    every round each unresolved pointer jumps to its pointer's pointer,
+    so a length-L chain resolves in ceil(log2 L) rounds, not L. A node is
+    resolved when its current target has no outgoing edge (the left join
+    misses). Nodes still unresolved after `max_rounds` rounds are ON or
+    INTO a cycle (a functional graph has no other way to run 2^20 hops):
+    emitted with terminal/hops NULL and cyclic=true — deterministic
+    regardless of where around the cycle the pointer stopped.
+
+    Shape at 10^12 edges: O(log L) self-equi-joins on ids, each shuffle
+    carrying (node, nxt, hops) only; localCheckpoint per round bounds
+    lineage; early-exit when a round leaves nothing unresolved.
+
+    Output: (node, terminal, hops, cyclic) — one row per redirecting
+    source; terminal is the first id reached that has no outgoing edge.
+    """
+    p = redirects.select(
+        F.col(src).alias("node"),
+        F.col(dst).alias("nxt"),
+        F.lit(1).cast("long").alias("hops"),
+        F.lit(False).alias("done"),
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        if p.filter(~F.col("done")).isEmpty():
+            break
+        q = p.select(
+            F.col("node").alias("nxt"),
+            F.col("nxt").alias("_n2"),
+            F.col("hops").alias("_h2"),
+            F.col("done").alias("_d2"),
+        )
+        p = (
+            p.join(q, "nxt", "left")
+            .select(
+                "node",
+                F.when(F.col("done"), F.col("nxt"))
+                .otherwise(F.coalesce("_n2", "nxt"))
+                .alias("nxt"),
+                F.when(F.col("done") | F.col("_h2").isNull(), F.col("hops"))
+                .otherwise(F.col("hops") + F.col("_h2"))
+                .alias("hops"),
+                # done when the current target is terminal (join miss) OR
+                # the jump landed on an already-resolved pointer (its nxt
+                # IS its terminal) — without the inheritance a node that
+                # jumps onto the terminal is flagged one round late.
+                (
+                    F.col("done")
+                    | F.col("_n2").isNull()
+                    | F.coalesce("_d2", F.lit(False))
+                ).alias("done"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return p.select(
+        "node",
+        F.when(F.col("done"), F.col("nxt")).alias("terminal"),
+        F.when(F.col("done"), F.col("hops")).alias("hops"),
+        (~F.col("done")).alias("cyclic"),
+    )

@@ -993,6 +993,99 @@ def main() -> int:
         ],
     ))
 
+    # 60. redirect resolution: every doubling round is a hash equi-join on
+    # ids (never cartesian); the returned frame is checkpointed so the
+    # audited plan is the final-round shape
+    rr = allq["redirect_resolve"](spark, sf_dir)
+    p = plan_text(rr)
+    sections.append((
+        "redirect-chain resolution (redirect_resolve)", p,
+        [
+            ("no cartesian / nested-loop anywhere",
+             "CartesianProduct" not in p and "NestedLoop" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
+    # 61. funnel: each stage is a combinable min-agg semi-joined to the
+    # previous frontier — hash equi-joins, no per-user window, no sort
+    fn = allq["funnel_steps"](spark, sf_dir)
+    p = plan_text(fn)
+    sections.append((
+        "ordered funnel analysis (funnel_steps)", p,
+        [
+            ("stage joins are hash equi-joins (no cartesian)",
+             "HashJoin" in p and "CartesianProduct" not in p
+             and "NestedLoop" not in p, ""),
+            ("stage times are partial min-aggs",
+             p.count("HashAggregate") >= 4, ""),
+            ("no per-user window", "Window" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
+    # 62. interval overlap: chunk cover is codegen explode, candidates
+    # meet in a hash equi-join on the chunk id — never an s<=e theta join
+    # (which Spark executes as a broadcast nested loop)
+    iv = allq["interval_overlap"](spark, sf_dir)
+    p = plan_text(iv)
+    sections.append((
+        "interval-overlap join (interval_overlap)", p,
+        [
+            ("candidates meet in a hash equi-join on the chunk",
+             "HashJoin" in p and "CartesianProduct" not in p
+             and "NestedLoop" not in p, ""),
+            ("chunk cover is a codegen explode", "Generate" in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
+    # 63. radius of gyration: ONE map-side-combinable groupBy carrying
+    # five integer partials — no window, no join, no second pass
+    rg = allq["radius_gyration"](spark, sf_dir)
+    p = plan_text(rg)
+    sections.append((
+        "radius of gyration (radius_gyration)", p,
+        [
+            ("single combinable aggregation",
+             p.count("HashAggregate") >= 2, ""),
+            ("no join", "Join" not in p, ""),
+            ("no window", "Window" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
+    # 64. local Moran's I: cell counts are a partial agg over points; the
+    # neighbor sum works on the AGGREGATED frame (8 shifted copies →
+    # one combinable groupBy), totals broadcast as a 1-row join
+    lm2 = allq["local_moran"](spark, sf_dir)
+    p = plan_text(lm2)
+    sections.append((
+        "local Moran's I / LISA (local_moran)", p,
+        [
+            # the one logical BroadcastNestedLoopJoin is the 1-row totals
+            # frame (a Cross with a broadcast build — the right plan for a
+            # scalar broadcast, not a data-data loop); formatted AQE plans
+            # mention it up to 4x (initial+final x tree+detail), so assert
+            # the SHAPE: every NLJ line in the plan TREE is that cross
+            ("neighbor join is a hash equi-join (no cartesian)",
+             "HashJoin" in p and "CartesianProduct" not in p
+             and all(
+                 "Cross BuildRight" in ln
+                 for ln in p.splitlines()
+                 if "BroadcastNestedLoopJoin" in ln and "+-" in ln
+             ), ""),
+            ("counts + neighbor sums are partial aggs",
+             p.count("HashAggregate") >= 4, ""),
+            ("totals broadcast (1-row)", "Broadcast" in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
     failed = 0
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     for title, plan, props in sections:
