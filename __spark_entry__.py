@@ -31,6 +31,18 @@ Operator → query map:
   wave 4                         → span_dedup / rasterize / shortest_paths
                                    / kmeans_clusters / tfidf_keywords
                                    / resample_mixture / kmv_distinct
+  wave 5/6 (wave5_suite folds)   → weighted_sample / resample_ffill
+                                   / geofence_transitions / anchor_stats
+                                   / token_lift / triangle_stats
+                                   / crawl_schedule / areal_interpolate
+                                   / lm_score
+  wave 7 (same suite)            → bpe_pairs / dissolve_area / co_location
+                                   / align_translations
+  wave 8 (same suite)            → redirect_resolve / funnel_steps
+                                   / interval_overlap / radius_gyration
+                                   / local_moran
+  wave 9 (same suite)            → hits_scores / decayed_counts
+                                   / cell_dwell / align_segments
 """
 
 from __future__ import annotations
@@ -2719,6 +2731,158 @@ def _moran_sql() -> str:
     )
 
 
+# wave 9 — HITS hubs/authorities, decayed trending counts, per-cell
+# dwell time, positional bitext segment alignment.
+
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-scaled HITS, 2 rounds (graph.hits_int): hub/authority
+    mutual recursion over the synthetic link graph, normalized by the
+    integer mean-fixing rule — all sums exact, engine-portable."""
+    return graph.hits_int(_link_edges(spark, sf_dir), n_iter=2)
+
+
+def _hits_sql(n_iter: int) -> str:
+    """DuckDB mirror of graph.hits_int: one auth + one hub CTE pair per
+    round, the identical integer recurrence (HUGEINT where the
+    raw·n·SCALE product passes 2^63)."""
+    scale = graph.SCALE
+    parts = [
+        f"e AS ({_EDGES_SQL})",
+        "nodes AS (SELECT DISTINCT src AS node FROM e "
+        "UNION SELECT DISTINCT dst FROM e)",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)",
+        f"h0 AS (SELECT node, CAST({scale} AS BIGINT) AS h FROM nodes)",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"ra{i + 1} AS (SELECT n.node, CAST(coalesce(s.m, 0) AS BIGINT) "
+            "AS r FROM nodes n LEFT JOIN (SELECT e.dst AS node, "
+            f"sum(h.h) AS m FROM e JOIN h{i} h ON e.src = h.node "
+            "GROUP BY e.dst) s ON n.node = s.node)"
+        )
+        parts.append(
+            f"a{i + 1} AS (SELECT r.node, CAST(CAST(r.r AS HUGEINT) * nn.n "
+            f"* {scale} // greatest((SELECT sum(r2.r) FROM ra{i + 1} r2), 1) "
+            f"AS BIGINT) AS a FROM ra{i + 1} r, nn)"
+        )
+        parts.append(
+            f"rh{i + 1} AS (SELECT n.node, CAST(coalesce(s.m, 0) AS BIGINT) "
+            "AS r FROM nodes n LEFT JOIN (SELECT e.src AS node, "
+            f"sum(a.a) AS m FROM e JOIN a{i + 1} a ON e.dst = a.node "
+            "GROUP BY e.src) s ON n.node = s.node)"
+        )
+        parts.append(
+            f"h{i + 1} AS (SELECT r.node, CAST(CAST(r.r AS HUGEINT) * nn.n "
+            f"* {scale} // greatest((SELECT sum(r2.r) FROM rh{i + 1} r2), 1) "
+            f"AS BIGINT) AS h FROM rh{i + 1} r, nn)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT n.node, a.a AS auth_e9, h.h AS hub_e9 FROM nodes n "
+        f"JOIN a{n_iter} a ON n.node = a.node "
+        f"JOIN h{n_iter} h ON n.node = h.node"
+    )
+
+
+_DECAY_BUCKET_US, _DECAY_H = 21_600_000_000, 8  # 6-hour buckets, 8-deep
+
+
+def _q_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending scores (temporal.decayed_counts): per-user activity with
+    2^-h halving per 6-hour bucket — scatter-to-window integer shifts,
+    no per-key sort, no float EWMA."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"), _ntz_epoch_us("ts").alias("ts_us")
+    )
+    return temporal.decayed_counts(
+        e, bucket_us=_DECAY_BUCKET_US, half_life_buckets=_DECAY_H
+    )
+
+
+_DECAY_SQL = (
+    "WITH e AS (SELECT user_id AS key, CAST(epoch_us(ts) AS BIGINT) AS ts_us "
+    "FROM events), "
+    "p AS (SELECT key, CAST(floor(ts_us / "
+    f"{float(_DECAY_BUCKET_US)!r}) AS BIGINT) AS b, "
+    "CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2), "
+    f"s AS (SELECT key, n, b AS src, b + o.off AS bucket FROM p, "
+    f"LATERAL unnest(range(0, {_DECAY_H})) o(off)) "
+    "SELECT key, bucket, CAST(sum(n * (CAST(1 AS BIGINT) << "
+    f"CAST({_DECAY_H - 1} - (bucket - src) AS INT))) AS BIGINT) AS dec "
+    "FROM s GROUP BY key, bucket"
+)
+
+
+_DWELL_RES = 4
+
+
+def _q_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell dwell time (trajectory.cell_dwell): inter-ping durations
+    attributed to the earlier ping's res-4 cell — where users SPEND time,
+    free of ping-rate bias. One user-keyed window + one combinable sum."""
+    t = _traj_events(spark, sf_dir).select(
+        "user_id", _ntz_epoch_us("ts").alias("ts_us"), "lat", "lon"
+    )
+    return trajectory.cell_dwell(t, res=_DWELL_RES)
+
+
+def _dwell_sql() -> str:
+    n = 1 << _DWELL_RES
+    x = (
+        f"CAST(least(greatest(floor((lon + 180.0e0) / 360.0e0 * {n}.0e0), "
+        f"0.0e0), {n - 1}.0e0) AS BIGINT)"
+    )
+    y = (
+        f"CAST(least(greatest(floor((lat + 90.0e0) / 180.0e0 * {n}.0e0), "
+        f"0.0e0), {n - 1}.0e0) AS BIGINT)"
+    )
+    return (
+        f"WITH t AS ({_TRAJ_SQL}), "
+        "q AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+        f"{x} AS cx, {y} AS cy FROM t), "
+        "l AS (SELECT user_id, cx, cy, "
+        "lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, cx, cy) "
+        "- ts_us AS d FROM q) "
+        "SELECT cx, cy, CAST(sum(d) AS BIGINT) AS dwell_us, "
+        "CAST(count(*) AS BIGINT) AS n_segments, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+        "FROM l WHERE d IS NOT NULL GROUP BY cx, cy"
+    )
+
+
+_SEG_W = 12
+
+
+def _q_align_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext stage 2 (corpus.align_segments): the translation pairs from
+    align_translations chunk into 12-word segments and pair positionally
+    with a distinct-shared-token lexical-anchor score."""
+    pairs = _q_align(spark, sf_dir).select("id_a", "id_b")
+    return corpus.align_segments(
+        pairs, _t(spark, sf_dir, "documents"), words_per_seg=_SEG_W
+    )
+
+
+_ALIGN_SEG_SQL = (
+    f"WITH pr AS (SELECT id_a, id_b FROM ({_ALIGN_SQL})), "
+    "w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 "
+    "THEN CAST([] AS VARCHAR[]) "
+    r"ELSE string_split_regex(trim(text), '\s+') END AS ws FROM documents), "
+    "wn AS (SELECT doc_id, ws FROM w WHERE len(ws) > 0), "
+    "s AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_idx, "
+    f"ws[(CAST(i AS INT) * {_SEG_W} + 1):"
+    f"(CAST(i AS INT) * {_SEG_W} + {_SEG_W})] AS toks "
+    f"FROM wn, LATERAL unnest(range(0, (len(ws) + {_SEG_W - 1}) "
+    f"// {_SEG_W})) t(i)) "
+    "SELECT pr.id_a, pr.id_b, a.seg_idx, "
+    "CAST(len(a.toks) AS BIGINT) AS n_tok_a, "
+    "CAST(len(b.toks) AS BIGINT) AS n_tok_b, "
+    "CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_shared "
+    "FROM pr JOIN s a ON pr.id_a = a.doc_id "
+    "JOIN s b ON pr.id_b = b.doc_id AND a.seg_idx = b.seg_idx"
+)
+
+
 # --------------------------------------------------------------------------
 # Suite queries — tagged-union fold of same-family operators into ONE
 # driver gate slot.
@@ -3020,6 +3184,21 @@ def _suite_specs():
              "cx", "cy",
              [("x", "x", "i"), ("k_nbrs", "k_nbrs", "i"),
               ("nbr_sum", "nbr_sum", "i"), ("lisa_e0", "lisa_e0", "i")]),
+            # wave 9 folds into the same slot
+            ("hits", "hits_scores", _q_hits,
+             "node", None,
+             [("auth_e9", "auth_e9", "i"), ("hub_e9", "hub_e9", "i")]),
+            ("decay", "decayed_counts", _q_decay,
+             "key", "bucket", [("dec", "dec", "i")]),
+            ("dwell", "cell_dwell", _q_dwell,
+             "cx", "cy",
+             [("dwell_us", "dwell_us", "i"),
+              ("n_segments", "n_segments", "i"),
+              ("n_users", "n_users", "i")]),
+            ("alignseg", "align_segments", _q_align_segments,
+             ["id_a", "id_b"], "seg_idx",
+             [("n_tok_a", "n_tok_a", "i"), ("n_tok_b", "n_tok_b", "i"),
+              ("n_shared", "n_shared", "i")]),
         ],
         "curation_suite": [
             ("contam", "contamination", _q_contamination,
@@ -3261,6 +3440,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": _q_interval_overlap,
         "radius_gyration": _q_rog,
         "local_moran": _q_moran,
+        # wave 9
+        "hits_scores": _q_hits,
+        "decayed_counts": _q_decay,
+        "cell_dwell": _q_dwell,
+        "align_segments": _q_align_segments,
     }
 
 
@@ -4338,6 +4522,11 @@ def oracle_sql() -> dict[str, str]:
     sqls["interval_overlap"] = _IV_SQL
     sqls["radius_gyration"] = _ROG_SQL
     sqls["local_moran"] = _moran_sql()
+    # wave-9 oracles
+    sqls["hits_scores"] = _hits_sql(2)
+    sqls["decayed_counts"] = _DECAY_SQL
+    sqls["cell_dwell"] = _dwell_sql()
+    sqls["align_segments"] = _ALIGN_SEG_SQL
     # suite oracles composed verbatim from the per-operator strings above —
     # a green suite row certifies every folded operator's values.
     sqls.update(_suite_oracle_sql(sqls))

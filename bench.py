@@ -117,6 +117,11 @@ BENCH_QUERIES = [
     "interval_overlap",
     "radius_gyration",
     "local_moran",
+    # wave 9
+    "hits_scores",
+    "decayed_counts",
+    "cell_dwell",
+    "align_segments",
 ]
 
 

@@ -491,3 +491,66 @@ def bpe_pair_counts(
     return counts.orderBy(
         F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc()
     ).limit(k)
+
+
+def align_segments(
+    pairs: DataFrame,
+    docs: DataFrame,
+    words_per_seg: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Positional segment alignment for document pairs — stage 2 of the
+    bitext-mining pipeline after weburl.align_translations: chunk both
+    sides of each aligned pair into fixed-width word segments and pair
+    segment i with segment i (the positional baseline used to seed
+    sentence aligners), scoring each aligned position with its size and
+    DISTINCT shared-token count (the cheap lexical-anchor signal —
+    numbers, names, and cognates survive translation).
+
+    Shape at 10^12 docs: chunking is pure Column (sequence/slice/
+    posexplode — codegen, no Python); each side joins to the pair list by
+    doc id and the two sides meet in ONE hash equi-join on
+    (pair, seg_idx). Shuffle rows are (pair_id, seg_idx, token array of
+    `words_per_seg`) — bounded width, never whole documents; fan-out per
+    doc is its segment count, linear not quadratic.
+
+    Output: (id_a, id_b, seg_idx, n_tok_a, n_tok_b, n_shared) for segment
+    indices present on BOTH sides (the min of the two chunk counts —
+    trailing unmatched segments don't pair).
+    """
+    w = words_per_seg
+    words = _words(text_col)
+    d = docs.select(F.col(id_col).alias("_id"), words.alias("_w")).filter(
+        F.size("_w") > 0
+    )
+    n_chunks = F.floor((F.size("_w") + (w - 1)) / F.lit(w)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice("_w", i * w + 1, w),
+    )
+    seg = d.select(
+        "_id", F.posexplode(chunks).alias("seg_idx", "_toks")
+    )
+    a = seg.select(
+        F.col("_id").alias(id_a), F.col("seg_idx"),
+        F.col("_toks").alias("_ta"),
+    )
+    b = seg.select(
+        F.col("_id").alias(id_b), F.col("seg_idx"),
+        F.col("_toks").alias("_tb"),
+    )
+    return (
+        pairs.select(id_a, id_b)
+        .join(a, id_a)
+        .join(b, [id_b, "seg_idx"])
+        .select(
+            id_a, id_b,
+            F.col("seg_idx").cast("long").alias("seg_idx"),
+            F.size("_ta").cast("long").alias("n_tok_a"),
+            F.size("_tb").cast("long").alias("n_tok_b"),
+            F.size(F.array_intersect("_ta", "_tb")).cast("long").alias("n_shared"),
+        )
+    )

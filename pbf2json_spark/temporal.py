@@ -398,3 +398,62 @@ def interval_overlap_join(
             (end - start).alias("ov_len"),
         )
     )
+
+
+def decayed_counts(
+    df: DataFrame,
+    bucket_us: int,
+    half_life_buckets: int = 20,
+    key_col: str = "key",
+    ts_us_col: str = "ts_us",
+) -> DataFrame:
+    """Exponentially-decayed activity counts per (key, time bucket) — the
+    trending-detection primitive: score(key, b) weights the key's events
+    in bucket b−h by 2^−h (halving per bucket), over the last
+    `half_life_buckets` buckets. A burst just now outranks steady old
+    traffic; the classic float EWMA is order-sensitive, this integer
+    formulation is exact:
+
+        dec(key, b) = Σ_{h=0..H-1} count(key, b−h) · 2^(H−1−h)
+
+    so the newest bucket carries 2^(H−1), the oldest carries 1 — all
+    int64 shifts/sums (count ≤ 2^(63−H) before overflow; H=20 leaves
+    2^43 ≈ 8·10^12 events per key-bucket of headroom).
+
+    Shape at 10^12 events: ONE combinable count to (key, bucket) — the
+    only pass over raw events — then each aggregated row explodes to the
+    ≤ H future buckets it contributes to (sequence/explode, codegen) and
+    ONE more combinable sum collapses them. The same scatter-to-window
+    trick as focal smoothing, in time instead of space; no window
+    function, no per-key sort.
+
+    Output: (key_col, bucket, dec) for every bucket some contributing
+    event exists in the key's trailing window (score-0 buckets with no
+    history are not materialized).
+    """
+    h = half_life_buckets
+    per = (
+        df.select(
+            F.col(key_col),
+            F.floor(F.col(ts_us_col) / F.lit(bucket_us)).cast("long").alias("_b"),
+        )
+        .groupBy(key_col, "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    scatter = per.select(
+        key_col,
+        F.col("_n"),
+        F.col("_b").alias("_src"),
+        F.explode(F.sequence(F.col("_b"), F.col("_b") + (h - 1))).alias("bucket"),
+    )
+    return (
+        scatter.select(
+            key_col,
+            "bucket",
+            F.expr(
+                f"shiftleft(_n, {h - 1} - CAST(bucket - _src AS INT))"
+            ).alias("_w"),
+        )
+        .groupBy(key_col, "bucket")
+        .agg(F.sum("_w").alias("dec"))
+    )

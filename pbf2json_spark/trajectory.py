@@ -320,3 +320,49 @@ def radius_of_gyration(
             "div (n_points * n_points) AS BIGINT)"
         ).alias("rog2_e12"),
     )
+
+
+def cell_dwell(
+    df: DataFrame,
+    res: int,
+    user_col: str = "user_id",
+    ts_us_col: str = "ts_us",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Per-cell dwell time: the time between consecutive pings of a user
+    is attributed to the grid cell of the EARLIER ping (the standard
+    last-known-position convention), then aggregated per cell — where do
+    people actually SPEND time, as opposed to where pings are dense
+    (ping-rate bias cancels because duration, not count, is summed).
+    A user's final ping has no successor and contributes no dwell.
+
+    Shape at 10^12 pings: ONE shuffle for the per-user lead() ordered by
+    (ts, then cell for total order on burst duplicates), then one
+    combinable integer-sum groupBy on the cell key. Integer µs
+    throughout — exact in any engine.
+
+    Output: (cx, cy, dwell_us, n_segments, n_users) per occupied cell.
+    """
+    from pbf2json_spark import cells as _cells
+
+    x, y = _cells.xy_cols(F.col(lat_col), F.col(lon_col), res)
+    pts = df.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_us_col).alias("_ts"),
+        x.alias("cx"),
+        y.alias("cy"),
+    )
+    w = Window.partitionBy("_u").orderBy("_ts", "cx", "cy")
+    seg = pts.select(
+        "_u", "cx", "cy",
+        (F.lead("_ts").over(w) - F.col("_ts")).alias("_d"),
+    ).filter(F.col("_d").isNotNull())
+    return (
+        seg.groupBy("cx", "cy")
+        .agg(
+            F.sum("_d").alias("dwell_us"),
+            F.count(F.lit(1)).alias("n_segments"),
+            F.countDistinct("_u").alias("n_users"),
+        )
+    )

@@ -1086,6 +1086,73 @@ def main() -> int:
         ],
     ))
 
+    # 65. HITS: every round is edge-score hash equi-joins + combinable
+    # sums; normalizers are 1-row broadcasts (Cross with broadcast build)
+    ht = allq["hits_scores"](spark, sf_dir)
+    p = plan_text(ht)
+    sections.append((
+        "HITS hubs & authorities (hits_scores)", p,
+        [
+            ("edge-score joins are hash joins (no cartesian)",
+             "HashJoin" in p and "CartesianProduct" not in p, ""),
+            ("only NLJs are 1-row normalizer broadcasts",
+             all("Cross BuildRight" in ln for ln in p.splitlines()
+                 if "BroadcastNestedLoopJoin" in ln and "+-" in ln), ""),
+            ("score sums are partial aggs", p.count("HashAggregate") >= 2, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
+    # 66. decayed counts: ONE pass over raw events (combinable count),
+    # then scatter-explode over the aggregated frame + one more
+    # combinable sum — no window, no per-key sort
+    dc = allq["decayed_counts"](spark, sf_dir)
+    p = plan_text(dc)
+    sections.append((
+        "decayed trending counts (decayed_counts)", p,
+        [
+            ("two combinable aggs (count + decayed sum)",
+             p.count("HashAggregate") >= 4, ""),
+            ("scatter is a codegen explode", "Generate" in p, ""),
+            ("no window / per-key sort", "Window" not in p, ""),
+            ("no join", "Join" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
+    # 67. cell dwell: one user-keyed lead window + one combinable
+    # cell-keyed agg; integer µs only
+    dw = allq["cell_dwell"](spark, sf_dir)
+    p = plan_text(dw)
+    sections.append((
+        "per-cell dwell time (cell_dwell)", p,
+        [
+            ("one per-user window (no single partition)",
+             "Window" in p and "SinglePartition" not in p, ""),
+            ("dwell rollup is a partial agg", "HashAggregate" in p, ""),
+            ("no join", "Join" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
+    # 68. segment alignment: chunking is codegen sequence/slice/explode;
+    # sides meet in hash equi-joins on (pair, seg_idx)
+    sg = allq["align_segments"](spark, sf_dir)
+    p = plan_text(sg)
+    sections.append((
+        "bitext segment alignment (align_segments)", p,
+        [
+            ("pair/segment joins are hash equi-joins (no cartesian)",
+             "HashJoin" in p and "CartesianProduct" not in p
+             and "NestedLoop" not in p, ""),
+            ("chunking is a codegen explode", "Generate" in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
     failed = 0
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     for title, plan, props in sections:
