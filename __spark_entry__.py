@@ -2883,6 +2883,166 @@ _ALIGN_SEG_SQL = (
 )
 
 
+# wave 10 — global Moran's I, robots-style URL filtering, link
+# prediction (resource allocation), Markov transition matrix.
+
+def _q_gmoran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I (spatial.global_moran): the one-row clustering
+    statistic over the same res-4 density surface local_moran scores —
+    integer-exact DECIMAL numerator/denominator, truncating div on both
+    engines."""
+    pts = _traj_events(spark, sf_dir).select("lat", "lon")
+    return spatial.global_moran(pts, res=_MORAN_RES)
+
+
+def _gmoran_sql() -> str:
+    n = 1 << _MORAN_RES
+    x = (
+        f"CAST(least(greatest(floor((lon + 180.0e0) / 360.0e0 * {n}.0e0), "
+        f"0.0e0), {n - 1}.0e0) AS BIGINT)"
+    )
+    y = (
+        f"CAST(least(greatest(floor((lat + 90.0e0) / 180.0e0 * {n}.0e0), "
+        f"0.0e0), {n - 1}.0e0) AS BIGINT)"
+    )
+    return (
+        f"WITH t AS ({_TRAJ_SQL}), "
+        f"c AS (SELECT {x} AS cx, {y} AS cy, "
+        "CAST(count(*) AS BIGINT) AS x FROM t GROUP BY 1, 2), "
+        "o AS (SELECT dx.d AS ddx, dy.d AS ddy FROM "
+        "(VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d) "
+        "WHERE NOT (dx.d = 0 AND dy.d = 0)), "
+        "nb AS (SELECT c.cx + o.ddx AS cx, c.cy + o.ddy AS cy, "
+        "c.x AS nx FROM c, o), "
+        "na AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS k, "
+        "CAST(sum(nx) AS BIGINT) AS nb FROM nb GROUP BY cx, cy), "
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(x) AS BIGINT) AS s FROM c), "
+        "j AS (SELECT c.x, coalesce(na.k, 0) AS k, "
+        "coalesce(na.nb, 0) AS nb, tot.n, tot.s FROM c "
+        "LEFT JOIN na ON c.cx = na.cx AND c.cy = na.cy, tot), "
+        "a AS (SELECT max(n) AS n_cells, max(s) AS s_total, "
+        "CAST(sum(k) AS BIGINT) AS w_pairs, "
+        "sum(CAST(n * x - s AS HUGEINT) * CAST(n * nb - k * s AS HUGEINT)) "
+        "AS num, "
+        "sum(CAST(n * x - s AS HUGEINT) * CAST(n * x - s AS HUGEINT)) "
+        "AS den FROM j) "
+        "SELECT n_cells, s_total, w_pairs, "
+        "CAST(den // (n_cells * n_cells) AS BIGINT) AS var_e0, "
+        "CAST((n_cells * num * 1000000) // greatest(w_pairs * den, 1) "
+        "AS BIGINT) AS moran_e6 FROM a"
+    )
+
+
+# robots synth: pages reuse the align-style URLs; rules cover 30
+# (host, prefix) combinations (unique by CRT for doc_id < 65), mixed
+# allow/disallow.
+_ROBOTS_PAGE_URL = (
+    "concat('https://site', CAST(doc_id % 13 AS STRING), '.example', "
+    "CASE WHEN doc_id % 5 = 0 THEN '/en' WHEN doc_id % 5 = 1 THEN '/fr' "
+    "WHEN doc_id % 5 = 2 THEN '/pt-br' WHEN doc_id % 5 = 3 THEN '/de' "
+    "ELSE '/nolang' END, "
+    "CASE WHEN doc_id % 3 = 0 THEN '' "
+    "ELSE concat('/page/', CAST(doc_id % 50 AS STRING)) END)"
+)
+_ROBOTS_RULE_PREFIX = (
+    "CASE doc_id % 5 WHEN 0 THEN '/' WHEN 1 THEN '/en' "
+    "WHEN 2 THEN '/fr/page' WHEN 3 THEN '/pt-br' ELSE '/nolang' END"
+)
+
+
+def _q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-style URL filtering (weburl.robots_filter): longest-prefix
+    rule per host decides allow/disallow, allow wins length ties, no
+    match ⇒ allowed; rules broadcast, winner = one max-struct agg."""
+    d = _t(spark, sf_dir, "documents")
+    pages = d.selectExpr("doc_id", f"{_ROBOTS_PAGE_URL} AS url")
+    rules = d.filter("doc_id < 30").selectExpr(
+        "concat('site', CAST(doc_id % 13 AS STRING), '.example') AS host",
+        f"{_ROBOTS_RULE_PREFIX} AS prefix",
+        "doc_id % 3 = 0 AS allow",
+    )
+    return weburl.robots_filter(pages, rules)
+
+
+_ROBOTS_SQL = (
+    "WITH p AS (SELECT doc_id, "
+    + _ROBOTS_PAGE_URL.replace(" AS STRING", " AS VARCHAR")
+    .replace("concat(", "concat(")
+    + " AS url FROM documents), "
+    "r AS (SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example' "
+    f"AS host, {_ROBOTS_RULE_PREFIX} AS prefix, doc_id % 3 = 0 AS allow "
+    "FROM documents WHERE doc_id < 30), "
+    "b AS (SELECT doc_id, url, "
+    "regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host, "
+    "regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1) "
+    "AS path FROM p), "
+    "m AS (SELECT b.doc_id, "
+    "max({'l': length(r.prefix), 'a': CAST(r.allow AS INT), "
+    "'p': r.prefix}) AS w "
+    "FROM b JOIN r ON b.host = r.host AND starts_with(b.path, r.prefix) "
+    "GROUP BY b.doc_id) "
+    "SELECT b.doc_id, b.url, m.w['p'] AS matched_prefix, "
+    "coalesce(m.w['a'] = 1, TRUE) AS allowed "
+    "FROM b LEFT JOIN m ON b.doc_id = m.doc_id"
+)
+
+
+_RA_MAX_DEG = 16
+
+
+def _q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction (graph.resource_allocation): common-neighbor +
+    RA-index over the undirected link graph; hub centers (deg > 16 —
+    including the synthetic every-5th-page hub) excluded by the
+    combinable-count guard before pairing."""
+    return graph.resource_allocation(
+        _link_edges(spark, sf_dir), max_deg=_RA_MAX_DEG
+    )
+
+
+_RA_SQL = (
+    f"WITH e AS (SELECT DISTINCT least(src, dst) AS a, "
+    f"greatest(src, dst) AS b FROM ({_EDGES_SQL}) WHERE src <> dst), "
+    "sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e), "
+    "deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY a), "
+    "sp AS (SELECT sym.b AS ctr, sym.a AS leaf, deg.deg FROM sym "
+    f"JOIN deg ON sym.b = deg.a WHERE deg.deg <= {_RA_MAX_DEG}), "
+    "w AS (SELECT l.leaf AS node_a, r.leaf AS node_b, l.deg FROM sp l "
+    "JOIN sp r ON l.ctr = r.ctr AND l.leaf < r.leaf), "
+    "p AS (SELECT node_a, node_b, CAST(count(*) AS BIGINT) AS n_common, "
+    "CAST(sum(1000000 // deg) AS BIGINT) AS ra_e6 FROM w GROUP BY 1, 2) "
+    "SELECT p.node_a, p.node_b, p.n_common, p.ra_e6 FROM p "
+    "WHERE NOT EXISTS (SELECT 1 FROM e "
+    "WHERE e.a = p.node_a AND e.b = p.node_b)"
+)
+
+
+def _q_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix (temporal.markov_transitions): per-user
+    consecutive event-type pairs (event_id tiebreak makes the order
+    total), row-normalized to integer millionths."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", _ntz_epoch_us("ts").alias("ts_us"),
+        "event_id", "event_type",
+    )
+    return temporal.markov_transitions(e, tiebreak_col="event_id")
+
+
+_MARKOV_SQL = (
+    "WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+    "event_id, event_type FROM events), "
+    "l AS (SELECT lag(event_type) OVER (PARTITION BY user_id "
+    "ORDER BY ts_us, event_id) AS from_type, event_type AS to_type FROM e), "
+    "c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n "
+    "FROM l WHERE from_type IS NOT NULL GROUP BY 1, 2), "
+    "t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1) "
+    "SELECT c.from_type, c.to_type, c.n, "
+    "CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_e6 "
+    "FROM c JOIN t USING (from_type)"
+)
+
+
 # --------------------------------------------------------------------------
 # Suite queries — tagged-union fold of same-family operators into ONE
 # driver gate slot.
@@ -3199,6 +3359,22 @@ def _suite_specs():
              ["id_a", "id_b"], "seg_idx",
              [("n_tok_a", "n_tok_a", "i"), ("n_tok_b", "n_tok_b", "i"),
               ("n_shared", "n_shared", "i")]),
+            # wave 10 folds into the same slot
+            ("gmoran", "global_moran", _q_gmoran,
+             "n_cells", None,
+             [("s_total", "s_total", "i"), ("w_pairs", "w_pairs", "i"),
+              ("var_e0", "var_e0", "i"), ("moran_e6", "moran_e6", "i")]),
+            ("robots", "robots_filter", _q_robots,
+             "doc_id", None,
+             [("url", "url", "s"),
+              ("matched_prefix", "matched_prefix", "s"),
+              ("allowed", "allowed", "b")]),
+            ("ra", "link_predict", _q_link_predict,
+             "node_a", "node_b",
+             [("n_common", "n_common", "i"), ("ra_e6", "ra_e6", "i")]),
+            ("markov", "markov_transitions", _q_markov,
+             "from_type", "to_type",
+             [("n", "n", "i"), ("p_e6", "p_e6", "i")]),
         ],
         "curation_suite": [
             ("contam", "contamination", _q_contamination,
@@ -3445,6 +3621,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_counts": _q_decay,
         "cell_dwell": _q_dwell,
         "align_segments": _q_align_segments,
+        # wave 10
+        "global_moran": _q_gmoran,
+        "robots_filter": _q_robots,
+        "link_predict": _q_link_predict,
+        "markov_transitions": _q_markov,
     }
 
 
@@ -4527,6 +4708,11 @@ def oracle_sql() -> dict[str, str]:
     sqls["decayed_counts"] = _DECAY_SQL
     sqls["cell_dwell"] = _dwell_sql()
     sqls["align_segments"] = _ALIGN_SEG_SQL
+    # wave-10 oracles
+    sqls["global_moran"] = _gmoran_sql()
+    sqls["robots_filter"] = _ROBOTS_SQL
+    sqls["link_predict"] = _RA_SQL
+    sqls["markov_transitions"] = _MARKOV_SQL
     # suite oracles composed verbatim from the per-operator strings above —
     # a green suite row certifies every folded operator's values.
     sqls.update(_suite_oracle_sql(sqls))

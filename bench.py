@@ -122,6 +122,11 @@ BENCH_QUERIES = [
     "decayed_counts",
     "cell_dwell",
     "align_segments",
+    # wave 10
+    "global_moran",
+    "robots_filter",
+    "link_predict",
+    "markov_transitions",
 ]
 
 

@@ -367,3 +367,70 @@ def hits_int(
         F.coalesce("auth_e9", F.lit(0)).cast("long").alias("auth_e9"),
         F.coalesce("hub_e9", F.lit(0)).cast("long").alias("hub_e9"),
     )
+
+
+def resource_allocation(
+    edges: DataFrame,
+    max_deg: int = 64,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Link prediction by common neighbors + the Resource-Allocation
+    index (Zhou, Lü & Zhang 2009) over the UNDIRECTED simple graph under
+    `edges`: for every non-adjacent pair (a, c) with at least one common
+    neighbor, count the common neighbors and sum each bridge node's
+    1/degree — RA down-weights promiscuous bridges (a directory page
+    linking everything predicts nothing). Integer-exact:
+    ra_e6 = Σ_b (1_000_000 div deg(b)).
+
+    The quadratic truth and the hub guard (same discipline as
+    trajectory.co_location): wedge fan-out is deg(b)² at the bridge.
+    Bridges with deg > `max_deg` are dropped from the CENTER role by a
+    combinable-count semi-join before pairing — standard for RA, whose
+    per-bridge contribution 1/deg is already negligible there.
+
+    Shape at 10^12 edges: dedup to simple undirected edges (ONE
+    distinct), degree = one combinable count, wedges = one self-equi-join
+    on the center bounded by max_deg, prediction = one combinable
+    groupBy, minus known edges via left_anti. Ids only everywhere.
+
+    Output: (node_a, node_b, n_common, ra_e6) with node_a < node_b,
+    (node_a, node_b) not an edge.
+    """
+    und = (
+        edges.select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    centers = deg.filter(F.col("deg") <= max_deg)
+    spokes = (
+        sym.join(
+            centers.select(F.col("a").alias("b"), "deg"), "b"
+        )  # b = wedge center, bounded
+        .select(F.col("b").alias("ctr"), F.col("a").alias("leaf"), "deg")
+    )
+    wedges = (
+        spokes.alias("l")
+        .join(spokes.alias("r"), "ctr")
+        .filter(F.col("l.leaf") < F.col("r.leaf"))
+        .select(
+            F.col("l.leaf").alias("node_a"),
+            F.col("r.leaf").alias("node_b"),
+            F.expr("1000000 div l.deg").alias("_ra"),
+        )
+    )
+    pred = wedges.groupBy("node_a", "node_b").agg(
+        F.count(F.lit(1)).alias("n_common"), F.sum("_ra").alias("ra_e6")
+    )
+    return pred.join(
+        und.select(F.col("a").alias("node_a"), F.col("b").alias("node_b")),
+        ["node_a", "node_b"],
+        "left_anti",
+    )

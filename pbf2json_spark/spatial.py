@@ -1385,3 +1385,93 @@ def local_moran(
             "div (_n * _n) AS BIGINT)"
         ).alias("lisa_e0"),
     )
+
+
+def global_moran(
+    points: DataFrame,
+    res: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Global Moran's I over grid-cell point counts — the one-number
+    spatial-autocorrelation statistic local_moran's per-cell rows sum
+    into: is the density surface clustered (I→+1), random (I≈0 — more
+    precisely E[I] = −1/(N−1)), or dispersed (I→−1)?
+
+    Same integer-exact formulation as local_moran (dev_i = N·x_i − S,
+    queen weights over occupied cells):
+
+        I = (N / W) · Σ_i dev_i·(N·nbr_i − k_i·S)  /  Σ_i dev_i²
+
+    emitted as moran_e6 = (N · num · 1e6) div (W · den), every
+    accumulation in DECIMAL(38,0) (budget: |num| ≤ N·|dev|·8|dev| —
+    passes 2^63 at city-scale counts, stays far under 10^38 for any N
+    that fits a grid res ≤ 12), the final ratio back in BIGINT.
+    Truncation toward zero matches DuckDB's `//` exactly (verified —
+    both truncate, neither floors).
+
+    Shape: identical to local_moran (one combinable count over points,
+    one 8-shift neighbor agg over the AGGREGATED frame) plus one global
+    agg — the output is ONE row; nothing here scales with the point
+    count except the first groupBy.
+
+    Output 1 row: (n_cells, s_total, w_pairs, var_e0, moran_e6) where
+    var_e0 = den div N² (the count variance, for context).
+    """
+    x, y = cells.xy_cols(F.col(lat_col), F.col(lon_col), res)
+    counts = (
+        points.select(x.alias("cx"), y.alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if not (dx == 0 and dy == 0)]
+    probe = None
+    for dx, dy in offs:
+        o = counts.select(
+            (F.col("cx") + dx).alias("cx"),
+            (F.col("cy") + dy).alias("cy"),
+            F.col("x").alias("_nx"),
+        )
+        probe = o if probe is None else probe.unionByName(o)
+    nbr = probe.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).alias("k_nbrs"), F.sum("_nx").alias("nbr_sum")
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("x").alias("_s")
+    )
+    j = (
+        counts.join(nbr, ["cx", "cy"], "left")
+        .select(
+            "x",
+            F.coalesce("k_nbrs", F.lit(0)).cast("long").alias("k"),
+            F.coalesce("nbr_sum", F.lit(0)).cast("long").alias("nb"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    agg = j.agg(
+        F.max("_n").alias("n_cells"),
+        F.max("_s").alias("s_total"),
+        F.sum("k").alias("w_pairs"),
+        F.sum(
+            F.expr(
+                "CAST(_n * x - _s AS DECIMAL(38,0)) * "
+                "CAST(_n * nb - k * _s AS DECIMAL(38,0))"
+            )
+        ).alias("_num"),
+        F.sum(
+            F.expr(
+                "CAST(_n * x - _s AS DECIMAL(38,0)) * CAST(_n * x - _s AS DECIMAL(38,0))"
+            )
+        ).alias("_den"),
+    )
+    return agg.select(
+        "n_cells",
+        "s_total",
+        "w_pairs",
+        F.expr("CAST(_den div (n_cells * n_cells) AS BIGINT)").alias("var_e0"),
+        F.expr(
+            "CAST((n_cells * _num * 1000000) div "
+            "greatest(w_pairs * _den, 1) AS BIGINT)"
+        ).alias("moran_e6"),
+    )

@@ -457,3 +457,48 @@ def decayed_counts(
         .groupBy(key_col, "bucket")
         .agg(F.sum("_w").alias("dec"))
     )
+
+
+def markov_transitions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    type_col: str = "event_type",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event sequences
+    — the behavioral model behind next-action prediction, bot detection
+    (impossible transition mass), and session simulation: count every
+    consecutive (from → to) event-type pair across all keys, then
+    row-normalize to integer-millionth probabilities
+    (p_e6 = n · 1e6 div row_total — exact, engine-portable).
+
+    `tiebreak_col` completes the total order when (key, ts) can repeat
+    (pass the unique event id); without it, equal-timestamp neighbors
+    have engine-dependent order.
+
+    Shape at 10^12 events: ONE key-partitioned lag window (the only
+    shuffle of event-grain data, carrying (key, ts, type) only), a
+    combinable (from, to) count — the matrix is |types|², tiny — and a
+    broadcast-sized row-total join. No collect, no pivot.
+
+    Output: (from_type, to_type, n, p_e6).
+    """
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col is not None else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = (
+        df.select(
+            F.lag(type_col).over(w).alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row = pairs.groupBy("from_type").agg(F.sum("n").alias("_tot"))
+    return pairs.join(F.broadcast(row), "from_type").select(
+        "from_type", "to_type", "n",
+        F.expr("n * 1000000 div _tot").alias("p_e6"),
+    )

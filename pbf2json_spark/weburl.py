@@ -506,3 +506,54 @@ def resolve_redirects(
         F.when(F.col("done"), F.col("hops")).alias("hops"),
         (~F.col("done")).alias("cyclic"),
     )
+
+
+def robots_filter(
+    pages: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Robots-style URL filtering — the crawl-compliance gate every web
+    corpus pipeline runs before ingestion: per page, the longest
+    matching path-prefix rule for its host decides allow/disallow
+    (Google's robots.txt precedence: longest match wins; an allow beats
+    a disallow of equal length); a page with no matching rule is
+    allowed.
+
+    `rules` columns: (host, prefix, allow:boolean). Matching =
+    exact-host AND path startswith prefix.
+
+    Shape at 10^12 pages: rule sets are configuration-scale → BROADCAST
+    hash join on host (never a shuffle of pages); the winner per page is
+    ONE combinable max-struct aggregation (length, allow, prefix) —
+    lexicographic max implements the precedence rule with a string
+    tiebreak for full determinism; no window, no sort.
+
+    Output: (id_col, url, matched_prefix (NULL if no rule matched),
+    allowed:boolean).
+    """
+    u = F.col(url_col)
+    host = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    path = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)", 1)
+    base = pages.select(
+        F.col(id_col), u.alias("url"), host.alias("host"), path.alias("_path")
+    )
+    j = base.join(F.broadcast(rules), "host").filter(
+        F.col("_path").startswith(F.col("prefix"))
+    )
+    best = j.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.length("prefix").alias("_l"),
+                F.col("allow").cast("int").alias("_a"),
+                F.col("prefix").alias("_p"),
+            )
+        ).alias("_w")
+    )
+    return base.join(best, id_col, "left").select(
+        id_col,
+        "url",
+        F.col("_w._p").alias("matched_prefix"),
+        F.coalesce(F.col("_w._a") == 1, F.lit(True)).alias("allowed"),
+    )

@@ -1153,6 +1153,80 @@ def main() -> int:
         ],
     ))
 
+    # 69. global Moran's I: same partial-agg + shifted-copies shape as
+    # local_moran plus one global agg; 1-row totals broadcast only
+    gm = allq["global_moran"](spark, sf_dir)
+    p = plan_text(gm)
+    sections.append((
+        "global Moran's I (global_moran)", p,
+        [
+            ("cell/neighbor joins are hash joins (no cartesian)",
+             "HashJoin" in p and "CartesianProduct" not in p, ""),
+            ("only NLJ is the 1-row totals broadcast",
+             all("Cross BuildRight" in ln for ln in p.splitlines()
+                 if "BroadcastNestedLoopJoin" in ln and "+-" in ln), ""),
+            ("counts + moments are partial aggs",
+             p.count("HashAggregate") >= 4, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
+    # 70. robots filter: rules broadcast (config-scale), winner is one
+    # combinable max-struct agg — no window, no page shuffle by rule
+    rb = allq["robots_filter"](spark, sf_dir)
+    p = plan_text(rb)
+    sections.append((
+        "robots-style URL filtering (robots_filter)", p,
+        [
+            ("rule join is a broadcast hash join",
+             "BroadcastHashJoin" in p, ""),
+            ("winner is an aggregation (no window)",
+             ("HashAggregate" in p or "SortAggregate" in p)
+             and "Window" not in p, ""),
+            ("no cartesian", "CartesianProduct" not in p
+             and "NestedLoop" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
+    # 71. link prediction: wedges meet in a hash equi-join on the bounded
+    # center; hub guard and known-edge removal are joins on ids; counts
+    # are partial aggs
+    lp = allq["link_predict"](spark, sf_dir)
+    p = plan_text(lp)
+    sections.append((
+        "resource-allocation link prediction (link_predict)", p,
+        [
+            ("wedge + guard joins are hash equi-joins (no cartesian)",
+             "HashJoin" in p and "CartesianProduct" not in p
+             and "NestedLoop" not in p, ""),
+            ("known-edge removal is an anti join", "LeftAnti" in p, ""),
+            ("degree + prediction counts are partial aggs",
+             p.count("HashAggregate") >= 4, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
+    # 72. Markov transitions: one key-partitioned lag window, a
+    # combinable (from,to) count, and a broadcast row-total join
+    mk = allq["markov_transitions"](spark, sf_dir)
+    p = plan_text(mk)
+    sections.append((
+        "Markov transition matrix (markov_transitions)", p,
+        [
+            ("one per-key window (no single partition)",
+             "Window" in p and "SinglePartition" not in p, ""),
+            ("transition counts are partial aggs",
+             p.count("HashAggregate") >= 2, ""),
+            ("row-total join is broadcast", "BroadcastHashJoin" in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
     failed = 0
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     for title, plan, props in sections:
