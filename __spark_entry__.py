@@ -3043,6 +3043,205 @@ _MARKOV_SQL = (
 )
 
 
+# wave 11 — k-core decomposition, cohort retention, type diversity
+# (Gini), burst detection, regional term lift.
+
+_KCORE_K = 5
+
+
+def _kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link graph densified with a 3-chord circulant over the multiples
+    of 7 (each gets 6 distinct in-clique neighbors — enough to survive
+    k=5 while the base graph peels away; the base graph alone is either
+    trivially all-core at k=3 or peels to empty at k=4, measured)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    m = (n + 6) // 7  # multiples of 7 in 0..n-1
+    k = F.col("doc_id")
+    dense = [
+        d.filter(k % 7 == 0).select(
+            k.alias("src"),
+            F.expr(f"((doc_id div 7 + {s}) % {m}) * 7").cast("long")
+            .alias("dst"),
+        )
+        for s in (1, 2, 3)
+    ]
+    out = _link_edges(spark, sf_dir)
+    for e in dense:
+        out = out.unionByName(e)
+    return out
+
+
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core membership (graph.kcore, k=5): simultaneous-peel fixpoint
+    over the densified link graph; survivors are the circulant clique
+    (deg 6) plus whatever base-graph nodes they sustain. The oracle is
+    the same peel UNROLLED a fixed number of rounds — idempotent past
+    convergence, so fixpoint == unroll exactly."""
+    return graph.kcore(_kcore_edges(spark, sf_dir), k=_KCORE_K)
+
+
+def _kcore_sql(rounds: int = 8) -> str:
+    m = "(SELECT (count(*) + 6) // 7 FROM documents)"
+    dense = " UNION ALL ".join(
+        f"SELECT doc_id AS src, ((doc_id // 7 + {s}) % {m}) * 7 AS dst "
+        "FROM documents WHERE doc_id % 7 = 0"
+        for s in (1, 2, 3)
+    )
+    # every CTE is MATERIALIZED: round r references round r-1 twice, so
+    # DuckDB's default inlining would expand s{rounds} to 2^rounds copies
+    # of the base scan (observed as an fd-exhaustion error at 8 rounds)
+    parts = [
+        f"ke AS MATERIALIZED ({_EDGES_SQL} UNION ALL {dense})",
+        "e AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM ke WHERE src <> dst)",
+        "s0 AS MATERIALIZED (SELECT a, b FROM e UNION ALL "
+        "SELECT b, a FROM e)",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"s{r - 1}"
+        parts.append(
+            f"k{r} AS MATERIALIZED (SELECT a FROM {p} GROUP BY a "
+            f"HAVING count(*) >= {_KCORE_K})"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT s.a, s.b FROM {p} s "
+            f"JOIN k{r} ka ON s.a = ka.a JOIN k{r} kb ON s.b = kb.a)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT a AS node, CAST(count(*) AS BIGINT) AS core_deg "
+        f"FROM s{rounds} GROUP BY a HAVING count(*) >= {_KCORE_K}"
+    )
+
+
+_COHORT_BUCKET_US = 86_400_000_000  # daily
+
+
+def _q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (temporal.cohort_retention): users cohorted by
+    first-active day, per-(cohort, day-offset) active counts + e6
+    retention share."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", _ntz_epoch_us("ts").alias("ts_us")
+    )
+    return temporal.cohort_retention(e, _COHORT_BUCKET_US)
+
+
+_COHORT_SQL = (
+    "WITH a AS (SELECT DISTINCT user_id AS u, "
+    "CAST(floor(CAST(epoch_us(ts) AS BIGINT) / "
+    f"{float(_COHORT_BUCKET_US)!r}) AS BIGINT) AS b FROM events), "
+    "c AS (SELECT u, min(b) AS cohort FROM a GROUP BY u), "
+    "cel AS (SELECT c.cohort, a.b - c.cohort AS bucket_offset, "
+    "CAST(count(*) AS BIGINT) AS n_active FROM a JOIN c ON a.u = c.u "
+    "GROUP BY 1, 2), "
+    "s AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size "
+    "FROM c GROUP BY 1) "
+    "SELECT cel.cohort, cel.bucket_offset, cel.n_active, s.cohort_size, "
+    "CAST(cel.n_active * 1000000 // s.cohort_size AS BIGINT) AS retention_e6 "
+    "FROM cel JOIN s USING (cohort)"
+)
+
+
+def _q_type_div(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity (temporal.type_diversity): Gini
+    impurity of the user's event-type mix, integer e6 (entropy needs a
+    transcendental log — Gini is the polynomial index, engine-exact)."""
+    return temporal.type_diversity(_t(spark, sf_dir, "events"))
+
+
+_TYPE_DIV_SQL = (
+    "WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n "
+    "FROM events GROUP BY 1, 2), "
+    "m AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events, "
+    "CAST(count(*) AS BIGINT) AS n_types, CAST(sum(n * n) AS BIGINT) AS ss "
+    "FROM c GROUP BY 1) "
+    "SELECT user_id, n_events, n_types, "
+    "CAST((n_events * n_events - ss) * 1000000 // (n_events * n_events) "
+    "AS BIGINT) AS gini_e6 FROM m"
+)
+
+
+_BURST_BUCKET_US = 3_600_000_000  # hourly
+_BURST_W = 6
+_BURST_MIN = 2
+
+
+def _q_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection (temporal.burst_detect): hourly per-type counts
+    scored against the trailing 6 buckets (RANGE window over the
+    aggregated frame — gaps implicitly zero); burst_e6 = n·W·1e6 div
+    max(trail, 1)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", _ntz_epoch_us("ts").alias("ts_us")
+    )
+    return temporal.burst_detect(
+        e, _BURST_BUCKET_US, window_buckets=_BURST_W, min_count=_BURST_MIN
+    )
+
+
+_BURST_SQL = (
+    "WITH e AS (SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us "
+    "FROM events), "
+    "p AS (SELECT event_type, CAST(floor(ts_us / "
+    f"{float(_BURST_BUCKET_US)!r}) AS BIGINT) AS bucket, "
+    "CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2), "
+    "t AS (SELECT event_type, bucket, n, "
+    "coalesce(CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bucket "
+    f"RANGE BETWEEN {_BURST_W} PRECEDING AND 1 PRECEDING) AS BIGINT), 0) "
+    "AS trail_sum FROM p) "
+    f"SELECT event_type, bucket, n, trail_sum, "
+    f"CAST(n * {_BURST_W} * 1000000 // greatest(trail_sum, 1) AS BIGINT) "
+    f"AS burst_e6 FROM t WHERE n >= {_BURST_MIN}"
+)
+
+
+_GEOLIFT_RES = 3
+_GEOLIFT_MIN = 3
+
+
+def _q_term_geo_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regional term affinity (corpus.term_geo_lift): per (res-3 cell,
+    term) observed/expected lift over documents placed at the shared
+    formula coordinates; DECIMAL(38,0) products, truncating div."""
+    d = _t(spark, sf_dir, "documents").select(
+        "text",
+        _lat_col(F.col("doc_id")).alias("lat"),
+        _lon_col(F.col("doc_id")).alias("lon"),
+    )
+    return corpus.term_geo_lift(
+        d, res=_GEOLIFT_RES, min_cell_count=_GEOLIFT_MIN
+    )
+
+
+def _geolift_sql() -> str:
+    x, y = _sql_cell_xy("lat", "lon", _GEOLIFT_RES)
+    n = 1 << _GEOLIFT_RES
+    return (
+        "WITH d AS (SELECT text, " + _lat_sql("doc_id") + " AS lat, "
+        + _lon_sql("doc_id") + " AS lon FROM documents), "
+        "w AS (SELECT lat, lon, "
+        "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+        r"ELSE string_split_regex(trim(text), '\s+') END AS words FROM d), "
+        f"t AS (SELECT ({x}) * {n} + ({y}) AS cell, u.term "
+        "FROM w, LATERAL unnest(words) u(term)), "
+        "ct AS (SELECT cell, term, CAST(count(*) AS BIGINT) AS n "
+        "FROM t GROUP BY 1, 2), "
+        "tt AS (SELECT term, CAST(sum(n) AS BIGINT) AS term_total "
+        "FROM ct GROUP BY 1), "
+        "cl AS (SELECT cell, CAST(sum(n) AS BIGINT) AS cell_total "
+        "FROM ct GROUP BY 1), "
+        "g AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM ct) "
+        "SELECT ct.cell, ct.term, ct.n, tt.term_total, cl.cell_total, "
+        "CAST((CAST(ct.n AS HUGEINT) * g.tot * 1000000) // "
+        "(CAST(tt.term_total AS HUGEINT) * cl.cell_total) AS BIGINT) "
+        "AS lift_e6 "
+        "FROM ct JOIN tt USING (term) JOIN cl USING (cell), g "
+        f"WHERE ct.n >= {_GEOLIFT_MIN}"
+    )
+
+
 # --------------------------------------------------------------------------
 # Suite queries — tagged-union fold of same-family operators into ONE
 # driver gate slot.
@@ -3375,6 +3574,26 @@ def _suite_specs():
             ("markov", "markov_transitions", _q_markov,
              "from_type", "to_type",
              [("n", "n", "i"), ("p_e6", "p_e6", "i")]),
+            # wave 11 folds into the same slot
+            ("kcore", "kcore_members", _q_kcore,
+             "node", None, [("core_deg", "core_deg", "i")]),
+            ("cohort", "cohort_retention", _q_cohort,
+             "cohort", "bucket_offset",
+             [("n_active", "n_active", "i"),
+              ("cohort_size", "cohort_size", "i"),
+              ("retention_e6", "retention_e6", "i")]),
+            ("tdiv", "type_diversity", _q_type_div,
+             "user_id", None,
+             [("n_events", "n_events", "i"), ("n_types", "n_types", "i"),
+              ("gini_e6", "gini_e6", "i")]),
+            ("burst", "burst_detect", _q_burst,
+             "event_type", "bucket",
+             [("n", "n", "i"), ("trail_sum", "trail_sum", "i"),
+              ("burst_e6", "burst_e6", "i")]),
+            ("geolift", "term_geo_lift", _q_term_geo_lift,
+             "cell", "term",
+             [("n", "n", "i"), ("term_total", "term_total", "i"),
+              ("cell_total", "cell_total", "i"), ("lift_e6", "lift_e6", "i")]),
         ],
         "curation_suite": [
             ("contam", "contamination", _q_contamination,
@@ -3626,6 +3845,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": _q_robots,
         "link_predict": _q_link_predict,
         "markov_transitions": _q_markov,
+        # wave 11
+        "kcore_members": _q_kcore,
+        "cohort_retention": _q_cohort,
+        "type_diversity": _q_type_div,
+        "burst_detect": _q_burst,
+        "term_geo_lift": _q_term_geo_lift,
     }
 
 
@@ -4713,6 +4938,12 @@ def oracle_sql() -> dict[str, str]:
     sqls["robots_filter"] = _ROBOTS_SQL
     sqls["link_predict"] = _RA_SQL
     sqls["markov_transitions"] = _MARKOV_SQL
+    # wave-11 oracles
+    sqls["kcore_members"] = _kcore_sql()
+    sqls["cohort_retention"] = _COHORT_SQL
+    sqls["type_diversity"] = _TYPE_DIV_SQL
+    sqls["burst_detect"] = _BURST_SQL
+    sqls["term_geo_lift"] = _geolift_sql()
     # suite oracles composed verbatim from the per-operator strings above —
     # a green suite row certifies every folded operator's values.
     sqls.update(_suite_oracle_sql(sqls))

@@ -127,6 +127,12 @@ BENCH_QUERIES = [
     "robots_filter",
     "link_predict",
     "markov_transitions",
+    # wave 11
+    "kcore_members",
+    "cohort_retention",
+    "type_diversity",
+    "burst_detect",
+    "term_geo_lift",
 ]
 
 

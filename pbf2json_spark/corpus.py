@@ -554,3 +554,63 @@ def align_segments(
             F.size(F.array_intersect("_ta", "_tb")).cast("long").alias("n_shared"),
         )
     )
+
+
+def term_geo_lift(
+    df: DataFrame,
+    res: int,
+    min_cell_count: int = 2,
+    text_col: str = "text",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Regional term affinity — which words are LOCAL to a grid cell
+    (place names, regional dialect, local events) vs uniformly global?
+    The geo×text statistic behind toponym mining and regional corpus
+    balancing: per (cell, term),
+
+        lift_e6 = n_ct · T_total · 1e6  div  (n_term · n_cell)
+
+    (observed over expected-under-independence, integer-exact; 1e6 =
+    exactly proportional, ≫1e6 = locally concentrated). The products run
+    in DECIMAL(38,0) — n·T·1e6 passes 2^63 at ~10^13 corpus tokens — and
+    the truncating div drops the result back to BIGINT, matching DuckDB's
+    HUGEINT `//` bit-for-bit. `min_cell_count`
+    bounds the output to terms with real in-cell support — the same
+    degenerate-head guard as inverted_index's min_df.
+
+    Shape at 10^12 documents: explode tokens ONCE → one combinable
+    (cell, term) count — the only token-grain exchange; term totals by a
+    second combinable roll-up of the AGGREGATED frame, joined back by
+    term equi-join (term totals can be vocabulary-sized — never
+    broadcast); cell totals are grid-bounded → broadcast; the corpus
+    total is one row → broadcast. No window, no cartesian.
+
+    Output: (cell, term, n, term_total, cell_total, lift_e6), cell =
+    x * 2^res + y of the res-grid (same xy convention as spatial ops).
+    """
+    from . import cells as _cells
+
+    xg, yg = _cells.xy_cols(F.col(lat_col), F.col(lon_col), res)
+    cell = (xg * (1 << res) + yg).cast("long")
+    ct = (
+        df.select(cell.alias("cell"), F.explode(_words(text_col)).alias("term"))
+        .groupBy("cell", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    term_tot = ct.groupBy("term").agg(F.sum("n").alias("term_total"))
+    cell_tot = ct.groupBy("cell").agg(F.sum("n").alias("cell_total"))
+    grand = ct.agg(F.sum("n").alias("_t"))
+    return (
+        ct.filter(F.col("n") >= min_cell_count)
+        .join(term_tot, "term")
+        .join(F.broadcast(cell_tot), "cell")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "cell", "term", "n", "term_total", "cell_total",
+            F.expr(
+                "CAST(CAST(n AS DECIMAL(38,0)) * _t * 1000000 div "
+                "(CAST(term_total AS DECIMAL(38,0)) * cell_total) AS BIGINT)"
+            ).alias("lift_e6"),
+        )
+    )

@@ -434,3 +434,65 @@ def resource_allocation(
         ["node_a", "node_b"],
         "left_anti",
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 60,
+) -> DataFrame:
+    """k-core decomposition membership: iteratively peel every node whose
+    degree in the REMAINING undirected simple graph is < k until a
+    fixpoint — the surviving subgraph is the k-core (Seidman 1983), the
+    standard web-graph filter for "densely embedded" pages (link farms
+    and isolated leaves peel away; genuinely cross-linked cores stay).
+
+    Deterministic by construction: each round removes ALL sub-k nodes
+    simultaneously, so the result is the unique maximal subgraph with
+    min-degree >= k — no ordering sensitivity, which is what makes the
+    unrolled-CTE DuckDB oracle exact.
+
+    Shape at 10^12 edges: dedup to simple undirected edges once (ONE
+    distinct), then each round is one combinable degree count + two
+    left_semi joins on the node id (ids only cross the shuffle — the
+    edge payload is 16 bytes). localCheckpoint per round bounds lineage;
+    the loop exits as soon as a round deletes nothing. Rounds are
+    O(peel depth); real web graphs peel in a few dozen rounds, but a
+    path graph peels end-inward in O(n/2) — `max_iters` is the guard,
+    and the fixpoint test (count unchanged) makes early exit exact.
+
+    Output: (node, core_deg) for k-core members, core_deg = degree
+    counted within the k-core subgraph (>= k by definition).
+    """
+    und = (
+        edges.select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    n_prev = sym.count()
+    for _ in range(max_iters):
+        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("a")
+        nxt = (
+            sym.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_cur = nxt.count()
+        sym = nxt
+        if n_cur == n_prev:
+            break
+        n_prev = n_cur
+    return (
+        sym.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+        .filter(F.col("core_deg") >= k)
+        .select(F.col("a").alias("node"), "core_deg")
+    )

@@ -502,3 +502,147 @@ def markov_transitions(
         "from_type", "to_type", "n",
         F.expr("n * 1000000 div _tot").alias("p_e6"),
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    bucket_us: int,
+    key_col: str = "user_id",
+    ts_us_col: str = "ts_us",
+) -> DataFrame:
+    """Cohort retention matrix — the canonical product-analytics rollup:
+    users are grouped by the time bucket of their FIRST activity (the
+    cohort), and for each (cohort, offset) cell we count how many of
+    that cohort were active `offset` buckets after joining.
+    retention_e6 = n_active · 1e6 div cohort_size (integer-exact; the
+    offset-0 cell is the cohort itself, retention_e6 = 1e6).
+
+    Shape at 10^12 events: ONE distinct to (user, bucket) — the only
+    event-grain exchange, carrying two int64s — a combinable min for the
+    cohort, one id-keyed equi-join of the two (both already hashed by
+    user), and a combinable (cohort, offset) count. Cohort sizes are
+    bucket-cardinality-scale → broadcast back. No window, no collect.
+
+    Output: (cohort, bucket_offset, n_active, cohort_size,
+    retention_e6), cohort in bucket units (floor(ts/bucket_us)),
+    bucket_offset in buckets ("offset" itself is an ANSI reserved word —
+    an unquoted column of that name breaks portable SQL mirrors).
+    """
+    active = (
+        df.select(
+            F.col(key_col).alias("_u"),
+            F.floor(F.col(ts_us_col) / F.lit(bucket_us)).cast("long").alias("_b"),
+        )
+        .distinct()
+    )
+    cohort = active.groupBy("_u").agg(F.min("_b").alias("cohort"))
+    cells = (
+        active.join(cohort, "_u")
+        .groupBy("cohort", (F.col("_b") - F.col("cohort")).alias("bucket_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sizes = cohort.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return cells.join(F.broadcast(sizes), "cohort").select(
+        "cohort", "bucket_offset", "n_active", "cohort_size",
+        F.expr("n_active * 1000000 div cohort_size").alias("retention_e6"),
+    )
+
+
+def type_diversity(
+    df: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-key behavioral diversity via Gini impurity over the key's
+    event-type distribution — the bot/spam signal next to Markov
+    transition mass: a key doing one thing scores 0, a key spread evenly
+    over t types scores (1 − 1/t). Integer-exact:
+
+        gini_e6 = (N² − Σ_i n_i²) · 1e6 div N²
+
+    (entropy needs log → engine-dependent libm floats; Gini is the
+    polynomial diversity index, exact in int64 — n_i ≤ 3·10^9 before
+    n_i² overflows, far above any real per-key count; keys hotter than
+    that are bots you've already found).
+
+    Shape at 10^12 events: two map-side-combinable groupBys — (key,
+    type) counts, then per-key moments. No window, no distinct, no join.
+
+    Output: (key_col, n_events, n_types, gini_e6).
+    """
+    c = df.groupBy(key_col, type_col).agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        c.groupBy(key_col)
+        .agg(
+            F.sum("_n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.expr("_n * _n")).alias("_ss"),
+        )
+        .select(
+            key_col,
+            "n_events",
+            "n_types",
+            F.expr(
+                "(n_events * n_events - _ss) * 1000000 "
+                "div (n_events * n_events)"
+            ).alias("gini_e6"),
+        )
+    )
+
+
+def burst_detect(
+    df: DataFrame,
+    bucket_us: int,
+    window_buckets: int = 8,
+    min_count: int = 2,
+    type_col: str = "event_type",
+    ts_us_col: str = "ts_us",
+) -> DataFrame:
+    """Burst detection per event type: score each (type, bucket) count
+    against the type's trailing `window_buckets` buckets —
+    burst_e6 = n · W · 1e6 div max(trail_sum, 1), so 1e6 ≈ steady state
+    and a cold-start spike (empty trail) scores n · W · 1e6 — monotone
+    in the spike size. The integer-lift
+    formulation of the z-score burst detector (σ needs sqrt → floats);
+    trending detection for crawl scheduling and query-log monitoring.
+
+    Buckets with no events contribute 0 to the trail implicitly: the
+    trailing frame is a RANGE window over the integer bucket index of
+    the AGGREGATED (type, bucket) frame, so gaps cost nothing and
+    nothing is densified.
+
+    Shape at 10^12 events: ONE combinable count to (type, bucket) — the
+    only event-grain pass — then a per-type range window over the tiny
+    aggregated frame. Types are cardinality-bounded; a degenerate
+    single-type stream still windows over buckets-not-events.
+
+    Output: (type_col, bucket, n, trail_sum, burst_e6) for buckets with
+    n >= min_count; trail_sum = events in [bucket−W, bucket−1].
+    """
+    w = window_buckets
+    per = (
+        df.select(
+            F.col(type_col),
+            F.floor(F.col(ts_us_col) / F.lit(bucket_us)).cast("long").alias("bucket"),
+        )
+        .groupBy(type_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    trail = (
+        Window.partitionBy(type_col)
+        .orderBy("bucket")
+        .rangeBetween(-w, -1)
+    )
+    return (
+        per.select(
+            type_col, "bucket", "n",
+            F.coalesce(F.sum("n").over(trail), F.lit(0).cast("long")).alias("trail_sum"),
+        )
+        .filter(F.col("n") >= min_count)
+        .select(
+            type_col, "bucket", "n", "trail_sum",
+            F.expr(
+                f"n * {w} * 1000000 div greatest(trail_sum, 1)"
+            ).cast("long").alias("burst_e6"),
+        )
+    )

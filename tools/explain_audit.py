@@ -1227,6 +1227,92 @@ def main() -> int:
         ],
     ))
 
+    # 73. k-core: the RESULT plan (post-fixpoint) — survivors come from a
+    # localCheckpointed frame, so the final plan is degree-count over a
+    # scan of the checkpointed RDD; peeling rounds are semi-joins by
+    # construction (graph.kcore)
+    kc = allq["kcore_members"](spark, sf_dir)
+    p = plan_text(kc)
+    sections.append((
+        "k-core decomposition (kcore_members)", p,
+        [
+            ("final degree count is a partial agg", "HashAggregate" in p, ""),
+            ("reads the checkpointed fixpoint (no re-peel lineage)",
+             "Scan ExistingRDD" in p, ""),
+            ("no cartesian", "CartesianProduct" not in p
+             and "NestedLoop" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
+    # 74. cohort retention: one distinct (the only event-grain exchange),
+    # combinable min/counts, broadcast size join
+    ch = allq["cohort_retention"](spark, sf_dir)
+    p = plan_text(ch)
+    sections.append((
+        "cohort retention (cohort_retention)", p,
+        [
+            ("user-bucket distinct + counts are partial aggs",
+             p.count("HashAggregate") >= 4, ""),
+            ("cohort-size join is broadcast", "BroadcastHashJoin" in p, ""),
+            ("no window", "Window" not in p, ""),
+            ("no cartesian", "CartesianProduct" not in p
+             and "NestedLoop" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
+    # 75. type diversity: two chained combinable groupBys, nothing else
+    tdv = allq["type_diversity"](spark, sf_dir)
+    p = plan_text(tdv)
+    sections.append((
+        "type diversity / Gini (type_diversity)", p,
+        [
+            ("two chained partial aggs", p.count("HashAggregate") >= 2, ""),
+            ("no join at all", "Join" not in p, ""),
+            ("no window", "Window" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
+    # 76. burst detection: ONE event-grain partial agg, then a per-type
+    # RANGE window over the aggregated buckets only
+    bu = allq["burst_detect"](spark, sf_dir)
+    p = plan_text(bu)
+    sections.append((
+        "burst detection (burst_detect)", p,
+        [
+            ("bucket counts are partial aggs", "HashAggregate" in p, ""),
+            ("trailing frame is a per-type window (no single partition)",
+             "Window" in p and "SinglePartition" not in p, ""),
+            ("no join", "Join" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
+    # 77. regional term lift: one token-grain partial agg; term totals by
+    # shuffle equi-join (vocabulary-sized — NOT broadcast); cell totals +
+    # grand total broadcast
+    gl = allq["term_geo_lift"](spark, sf_dir)
+    p = plan_text(gl)
+    sections.append((
+        "regional term lift (term_geo_lift)", p,
+        [
+            ("token/total counts are partial aggs",
+             p.count("HashAggregate") >= 6, ""),
+            ("cell totals join is broadcast", "BroadcastHashJoin" in p, ""),
+            ("grand total is the only NLJ (1-row broadcast)",
+             all("Cross BuildRight" in ln for ln in p.splitlines()
+                 if "BroadcastNestedLoopJoin" in ln and "+-" in ln), ""),
+            ("no cartesian", "CartesianProduct" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
     failed = 0
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     for title, plan, props in sections:
