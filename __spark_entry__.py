@@ -3242,6 +3242,191 @@ def _geolift_sql() -> str:
     )
 
 
+# wave 12 — shingle containment pairs, inter-arrival periodicity,
+# co-citation similarity, URL template mining, cell-transition graph.
+# (streaming_sessions is streaming-only: pytest batch-equivalence in
+# tests/test_wave12.py, no SQL oracle by design.)
+
+_CONTAIN_N = 3
+_CONTAIN_THR = 700_000
+_CONTAIN_BASE = 150  # docs 0.._CONTAIN_BASE-1 + their 70% prefixes
+
+
+def _contain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus with PLANTED containment: the first _CONTAIN_BASE docs plus
+    a +100000-id twin holding the first ⌈70%⌉ of each doc's words — the
+    quote-expansion shape (twin ⊂ doc) the operator exists to catch."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _CONTAIN_BASE)
+        .select("doc_id", "text")
+    )
+    pref = d.select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                F.split(F.trim("text"), r"\s+"),
+                1,
+                F.expr(
+                    r"CAST((7 * size(split(trim(text), '\\s+')) + 9) "
+                    "div 10 AS INT)"
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return d.unionByName(pref)
+
+
+def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-containment pairs (dedup.containment_pairs,
+    rarest-first prefix index): planted 70%-prefix twins must surface as
+    (twin → original) with containment ≥ 0.7; oracle = brute-force
+    all-pairs over the same 300-doc corpus (bounded, test-scale only —
+    the Spark side stays the prefix-filtered scale plan)."""
+    return dedup.containment_pairs(
+        _contain_docs(spark, sf_dir), "doc_id",
+        n=_CONTAIN_N, threshold_e6=_CONTAIN_THR,
+    )
+
+
+_CONTAIN_DOCS_SQL = (
+    f"SELECT doc_id, text FROM documents WHERE doc_id < {_CONTAIN_BASE} "
+    "UNION ALL SELECT doc_id + 100000 AS doc_id, "
+    r"array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1, "
+    r"CAST((7 * len(string_split_regex(trim(text), '\s+')) + 9) // 10 "
+    "AS INT)), ' ') AS text "
+    f"FROM documents WHERE doc_id < {_CONTAIN_BASE}"
+)
+
+_CONTAIN_SQL = (
+    f"WITH d AS MATERIALIZED ({_CONTAIN_DOCS_SQL}), "
+    "w AS (SELECT doc_id, "
+    "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+    r"ELSE string_split_regex(lower(trim(text)), '\s+') END AS ws FROM d), "
+    "sh AS MATERIALIZED (SELECT doc_id, list_distinct(x) AS s FROM ("
+    "SELECT doc_id, [array_to_string(ws[i:i+2], ' ') "
+    f"FOR i IN range(1, len(ws) - {_CONTAIN_N - 2})] AS x FROM w) "
+    "WHERE len(x) > 0) "
+    "SELECT a.doc_id AS a, b.doc_id AS b, "
+    "CAST(len(a.s) AS BIGINT) AS size_a, CAST(len(b.s) AS BIGINT) AS size_b, "
+    "CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS common, "
+    "CAST(len(list_intersect(a.s, b.s)) * 1000000 // len(a.s) AS BIGINT) "
+    "AS containment_e6 "
+    "FROM sh a, sh b WHERE a.doc_id <> b.doc_id "
+    f"AND len(list_intersect(a.s, b.s)) * 1000000 // len(a.s) "
+    f">= {_CONTAIN_THR}"
+)
+
+
+def _q_periodicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival periodicity (temporal.periodicity): per-user
+    dominant gap + its e6 share (event_id tiebreak totalizes the
+    order); count ties prefer the smallest gap via max-struct."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", _ntz_epoch_us("ts").alias("ts_us"), "event_id"
+    )
+    return temporal.periodicity(e, tiebreak_col="event_id")
+
+
+_PERIOD_SQL = (
+    "WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+    "event_id FROM events), "
+    "l AS (SELECT user_id, ts_us - lag(ts_us) OVER "
+    "(PARTITION BY user_id ORDER BY ts_us, event_id) AS gap FROM e), "
+    "c AS (SELECT user_id, gap, CAST(count(*) AS BIGINT) AS n FROM l "
+    "WHERE gap IS NOT NULL GROUP BY 1, 2), "
+    "m AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS n_gaps, "
+    "max({'n': n, 'ng': -gap}) AS w FROM c GROUP BY 1) "
+    "SELECT user_id, n_gaps, -w['ng'] AS top_gap, w['n'] AS top_n, "
+    "CAST(w['n'] * 1000000 // n_gaps AS BIGINT) AS share_e6 FROM m"
+)
+
+
+_COCITE_MAX_OUT = 16
+
+
+def _q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation similarity (graph.cocitation): pairs of pages cited
+    by the same (out-degree ≤ 16) sources, with citer-set Jaccard e6;
+    the every-5th-page hub edge keeps node 0's in-degree realistic."""
+    return graph.cocitation(
+        _link_edges(spark, sf_dir), max_out_deg=_COCITE_MAX_OUT
+    )
+
+
+_COCITE_SQL = (
+    f"WITH e AS (SELECT DISTINCT src AS s, dst AS d FROM ({_EDGES_SQL}) "
+    "WHERE src <> dst), "
+    "od AS (SELECT s, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY 1), "
+    "g AS MATERIALIZED (SELECT e.s, e.d FROM e JOIN od ON e.s = od.s "
+    f"WHERE od.od <= {_COCITE_MAX_OUT}), "
+    "p AS (SELECT l.d AS node_a, r.d AS node_b, "
+    "CAST(count(*) AS BIGINT) AS common FROM g l JOIN g r ON l.s = r.s "
+    "AND l.d < r.d GROUP BY 1, 2), "
+    "ind AS (SELECT d, CAST(count(*) AS BIGINT) AS ind FROM g GROUP BY 1) "
+    "SELECT p.node_a, p.node_b, p.common, ia.ind AS in_a, ib.ind AS in_b, "
+    "CAST(p.common * 1000000 // (ia.ind + ib.ind - p.common) AS BIGINT) "
+    "AS cocite_e6 "
+    "FROM p JOIN ind ia ON p.node_a = ia.d JOIN ind ib ON p.node_b = ib.d"
+)
+
+
+def _q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL template mining (weburl.url_templates): digit runs in the
+    path collapse to {N}; the robots-query synthetic URLs share
+    /page/<n> suffixes, so templates aggregate across pages."""
+    d = _t(spark, sf_dir, "documents")
+    pages = d.selectExpr(f"{_ROBOTS_PAGE_URL} AS url")
+    return weburl.url_templates(pages, min_pages=2)
+
+
+_URL_TMPL_SQL = (
+    "WITH p AS (SELECT "
+    + _ROBOTS_PAGE_URL.replace(" AS STRING", " AS VARCHAR")
+    + " AS url FROM documents), "
+    "b AS (SELECT url, "
+    "regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS h, "
+    "regexp_replace(regexp_extract(url, "
+    "'^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '[0-9]+', '{N}', 'g') "
+    "AS pt FROM p) "
+    "SELECT h || pt AS template, CAST(count(*) AS BIGINT) AS n_pages, "
+    "CAST(count(DISTINCT h) AS BIGINT) AS n_hosts, "
+    "min(url) AS sample_min_url FROM b GROUP BY 1 HAVING count(*) >= 2"
+)
+
+
+_CTRANS_RES = 4
+
+
+def _q_cell_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-transition movement graph (trajectory.cell_transitions):
+    consecutive different-cell moves per user over the shared trajectory
+    frame, origin-normalized e6."""
+    return trajectory.cell_transitions(
+        _traj_events(spark, sf_dir), res=_CTRANS_RES
+    )
+
+
+def _ctrans_sql() -> str:
+    x, y = _sql_cell_xy("lat", "lon", _CTRANS_RES)
+    return (
+        f"WITH t AS ({_TRAJ_SQL}), "
+        f"c AS (SELECT user_id, ts, {x} AS cx, {y} AS cy FROM t), "
+        "l AS (SELECT lag(cx) OVER w AS from_cx, lag(cy) OVER w AS from_cy, "
+        "cx AS to_cx, cy AS to_cy FROM c "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "n AS (SELECT from_cx, from_cy, to_cx, to_cy, "
+        "CAST(count(*) AS BIGINT) AS n FROM l WHERE from_cx IS NOT NULL "
+        "AND (from_cx <> to_cx OR from_cy <> to_cy) GROUP BY 1, 2, 3, 4), "
+        "tt AS (SELECT from_cx, from_cy, CAST(sum(n) AS BIGINT) AS tot "
+        "FROM n GROUP BY 1, 2) "
+        "SELECT n.from_cx, n.from_cy, n.to_cx, n.to_cy, n.n, "
+        "CAST(n.n * 1000000 // tt.tot AS BIGINT) AS p_e6 "
+        "FROM n JOIN tt USING (from_cx, from_cy)"
+    )
+
+
 # --------------------------------------------------------------------------
 # Suite queries — tagged-union fold of same-family operators into ONE
 # driver gate slot.
@@ -3594,6 +3779,27 @@ def _suite_specs():
              "cell", "term",
              [("n", "n", "i"), ("term_total", "term_total", "i"),
               ("cell_total", "cell_total", "i"), ("lift_e6", "lift_e6", "i")]),
+            # wave 12 folds into the same slot
+            ("contain", "containment_pairs", _q_containment,
+             "a", "b",
+             [("size_a", "size_a", "i"), ("size_b", "size_b", "i"),
+              ("common", "common", "i"),
+              ("containment_e6", "containment_e6", "i")]),
+            ("period", "periodicity", _q_periodicity,
+             "user_id", None,
+             [("n_gaps", "n_gaps", "i"), ("top_gap", "top_gap", "i"),
+              ("top_n", "top_n", "i"), ("share_e6", "share_e6", "i")]),
+            ("cocite", "cocitation", _q_cocitation,
+             "node_a", "node_b",
+             [("common", "common", "i"), ("in_a", "in_a", "i"),
+              ("in_b", "in_b", "i"), ("cocite_e6", "cocite_e6", "i")]),
+            ("urltmpl", "url_templates", _q_url_templates,
+             "template", None,
+             [("n_pages", "n_pages", "i"), ("n_hosts", "n_hosts", "i"),
+              ("sample_min_url", "sample_min_url", "s")]),
+            ("ctrans", "cell_transitions", _q_cell_transitions,
+             ["from_cx", "from_cy"], ["to_cx", "to_cy"],
+             [("n", "n", "i"), ("p_e6", "p_e6", "i")]),
         ],
         "curation_suite": [
             ("contam", "contamination", _q_contamination,
@@ -3851,6 +4057,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_diversity": _q_type_div,
         "burst_detect": _q_burst,
         "term_geo_lift": _q_term_geo_lift,
+        # wave 12
+        "containment_pairs": _q_containment,
+        "periodicity": _q_periodicity,
+        "cocitation": _q_cocitation,
+        "url_templates": _q_url_templates,
+        "cell_transitions": _q_cell_transitions,
     }
 
 
@@ -4944,6 +5156,12 @@ def oracle_sql() -> dict[str, str]:
     sqls["type_diversity"] = _TYPE_DIV_SQL
     sqls["burst_detect"] = _BURST_SQL
     sqls["term_geo_lift"] = _geolift_sql()
+    # wave-12 oracles
+    sqls["containment_pairs"] = _CONTAIN_SQL
+    sqls["periodicity"] = _PERIOD_SQL
+    sqls["cocitation"] = _COCITE_SQL
+    sqls["url_templates"] = _URL_TMPL_SQL
+    sqls["cell_transitions"] = _ctrans_sql()
     # suite oracles composed verbatim from the per-operator strings above —
     # a green suite row certifies every folded operator's values.
     sqls.update(_suite_oracle_sql(sqls))

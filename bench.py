@@ -133,6 +133,12 @@ BENCH_QUERIES = [
     "type_diversity",
     "burst_detect",
     "term_geo_lift",
+    # wave 12
+    "containment_pairs",
+    "periodicity",
+    "cocitation",
+    "url_templates",
+    "cell_transitions",
 ]
 
 

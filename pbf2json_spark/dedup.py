@@ -409,3 +409,92 @@ def incremental_new_docs(
     return new_docs.join(
         corpus_fps.select(*cols).distinct(), cols, "left_anti"
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold_e6: int = 800_000,
+    prefix_filter: bool = True,
+) -> DataFrame:
+    """Directed near-CONTAINMENT pairs: (a, b) with
+    |shingles_a ∩ shingles_b| / |shingles_a| ≥ threshold — the asymmetric
+    cousin of Jaccard that catches quote-expansions and page-plus-chrome
+    supersets (B contains nearly all of A, but B is much bigger so
+    Jaccard stays low and ngram_jaccard_pairs never fires). EXACT.
+
+    prefix_filter=True (the scale path): order A's shingles rarest-first
+    (same global-frequency order as ngram_jaccard_pairs); if
+    containment(A→B) ≥ c then the first |A| − ⌈c·|A|⌉ + 1 shingles of A
+    must intersect B — so only A-PREFIX tokens enter the index, joined
+    against B's full shingle list. The prefix length uses the integer
+    ceiling (threshold_e6·|A| + 999999) div 1e6 — never under-length, so
+    candidate generation is complete and the exact verify restores
+    precision. Hot shingles drop out of A-prefixes; B-side postings are
+    full-length but every candidate still needs a rare A-prefix hit.
+
+    containment_e6 = common · 1e6 div |A| (integer-exact, portable).
+
+    Output: (a, b, size_a, size_b, common, containment_e6), a ≠ b,
+    directed (containment is not symmetric).
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), n).alias("_sh"),
+    ).withColumn("_size", F.size("_sh")).filter(F.col("_size") > 0)
+
+    if prefix_filter:
+        tok = sh.select("_id", F.explode("_sh").alias("_g"))
+        freq = tok.groupBy("_g").agg(F.count(F.lit(1)).alias("_f"))
+        ordered = (
+            tok.join(freq, "_g")
+            .groupBy("_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_f", "_g"))),
+                    lambda s: s["_g"],
+                ).alias("_ord")
+            )
+        )
+        pre_len = F.expr(
+            f"size(_ord) - (({threshold_e6} * size(_ord) + 999999) "
+            "div 1000000) + 1"
+        ).cast("int")
+        a_idx = ordered.select(
+            F.col("_id").alias("a"),
+            F.explode(F.slice("_ord", 1, pre_len)).alias("_g"),
+        )
+        b_idx = sh.select(
+            F.col("_id").alias("b"), F.explode("_sh").alias("_g")
+        )
+        cand = (
+            a_idx.join(b_idx, "_g")
+            .filter(F.col("a") != F.col("b"))
+            .select("a", "b")
+            .dropDuplicates(["a", "b"])
+        )
+    else:
+        inv = sh.select("_id", F.explode("_sh").alias("_g"))
+        cand = (
+            inv.select(F.col("_id").alias("a"), "_g")
+            .join(inv.select(F.col("_id").alias("b"), "_g"), "_g")
+            .filter(F.col("a") != F.col("b"))
+            .select("a", "b")
+            .dropDuplicates(["a", "b"])
+        )
+    sha = sh.select(F.col("_id").alias("a"), F.col("_sh").alias("_sha"),
+                    F.col("_size").alias("size_a"))
+    shb = sh.select(F.col("_id").alias("b"), F.col("_sh").alias("_shb"),
+                    F.col("_size").alias("size_b"))
+    return (
+        cand.join(sha, "a")
+        .join(shb, "b")
+        .withColumn("common", F.size(F.array_intersect("_sha", "_shb")))
+        .withColumn(
+            "containment_e6", F.expr("common * 1000000 div size_a")
+        )
+        .filter(F.col("containment_e6") >= threshold_e6)
+        .select("a", "b", "size_a", "size_b", "common", "containment_e6")
+    )

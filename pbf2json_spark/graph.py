@@ -496,3 +496,61 @@ def kcore(
         .filter(F.col("core_deg") >= k)
         .select(F.col("a").alias("node"), "core_deg")
     )
+
+
+def cocitation(
+    edges: DataFrame,
+    max_out_deg: int = 64,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Co-citation similarity (Small 1973): two pages are similar when
+    the same sources link to both. For every pair (a, b) cited by ≥1
+    common source, the common-citer count and the Jaccard of their
+    citer sets:
+
+        cocite_e6 = common · 1e6 div (in_a + in_b − common)
+
+    The hub guard mirrors resource_allocation: a directory page citing
+    everything generates deg² pairs and asserts nothing — sources with
+    out-degree > `max_out_deg` are excluded from BOTH the pairing and
+    the in-degree denominators, keeping the index self-consistent
+    (documented approximation; exact on the guarded citation graph,
+    which is the graph you want).
+
+    Shape at 10^12 edges: ONE distinct on directed edges, a combinable
+    out-degree count, the pair fan-out bounded by max_out_deg at the
+    citing side (hash equi-join on the source), combinable pair counts,
+    and an in-degree equi-join — ids only everywhere.
+
+    Output: (node_a, node_b, common, in_a, in_b, cocite_e6) with
+    node_a < node_b.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).filter(
+        F.col("s") != F.col("d")
+    ).distinct()
+    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
+    guarded = e.join(
+        outdeg.filter(F.col("od") <= max_out_deg).select("s"), "s", "left_semi"
+    ).persist()
+    pairs = (
+        guarded.alias("l")
+        .join(guarded.alias("r"), "s")
+        .filter(F.col("l.d") < F.col("r.d"))
+        .groupBy(
+            F.col("l.d").alias("node_a"), F.col("r.d").alias("node_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    indeg = guarded.groupBy("d").agg(F.count(F.lit(1)).alias("ind"))
+    return (
+        pairs.join(indeg.select(F.col("d").alias("node_a"),
+                                F.col("ind").alias("in_a")), "node_a")
+        .join(indeg.select(F.col("d").alias("node_b"),
+                           F.col("ind").alias("in_b")), "node_b")
+        .select(
+            "node_a", "node_b", "common", "in_a", "in_b",
+            F.expr("common * 1000000 div (in_a + in_b - common)")
+            .alias("cocite_e6"),
+        )
+    )

@@ -194,3 +194,42 @@ def streaming_cms(
     from pbf2json_spark import sketch
 
     return sketch.cms_build(docs_stream, key_col, depth, width)
+
+
+def streaming_sessions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap-based sessionization — the incremental twin of
+    temporal.sessionize, on the NATIVE session_window operator: events
+    within `gap` of each other merge into one growing session per key;
+    the watermark closes sessions once event time moves `watermark`
+    past their end, and append mode emits each exactly once.
+
+    State per open session is one (key, window, count, min/max ts) row
+    — Spark's session-window state store merges adjacent windows
+    in-place, the same mechanism the batch operator compiles to, so
+    batch and stream agree wherever the watermark has finalized.
+
+    Shape on an unbounded stream: ONE shuffle on the key into the
+    stateful session operator; aggregates are combinable longs. Skewed
+    keys shard exactly like batch sessionize (a key's sessions close
+    over time, so state is bounded by open sessions, not history).
+
+    Output (append, finalized sessions only): (key_col, session_start,
+    session_end, n_events).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            F.col("n_events"),
+        )
+    )

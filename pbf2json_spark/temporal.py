@@ -646,3 +646,59 @@ def burst_detect(
             ).cast("long").alias("burst_e6"),
         )
     )
+
+
+def periodicity(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key inter-arrival periodicity — the classic bot signal next to
+    type_diversity and Markov transition mass: humans arrive with messy
+    gaps, schedulers arrive on a clock. For each key, the dominant
+    inter-arrival gap and its share of all gaps:
+
+        share_e6 = count(top gap) · 1e6 div n_gaps
+
+    (≈1e6 = metronome, small = organic). Tie on count → the SMALLEST gap
+    wins (via max over struct(n, −gap) — deterministic, engine-portable).
+    `tiebreak_col` (the unique event id) completes the order when
+    (key, ts) can repeat.
+
+    Shape at 10^12 events: ONE key-partitioned lag window (the only
+    event-grain shuffle, carrying (key, ts) only), then two combinable
+    groupBys over (key, gap) — gap cardinality per key is bounded by the
+    key's event count, and the second agg is key-grain. No collect.
+
+    Output: (key_col, n_gaps, top_gap, top_n, share_e6); keys with a
+    single event (no gaps) are absent.
+    """
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col is not None else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    gaps = (
+        df.select(
+            F.col(key_col),
+            (F.col(ts_col) - F.lag(ts_col).over(w)).alias("_gap"),
+        )
+        .filter(F.col("_gap").isNotNull())
+        .groupBy(key_col, "_gap")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        gaps.groupBy(key_col)
+        .agg(
+            F.sum("_n").alias("n_gaps"),
+            F.max(F.struct(F.col("_n").alias("n"),
+                           (-F.col("_gap")).alias("ng"))).alias("_w"),
+        )
+        .select(
+            key_col,
+            "n_gaps",
+            (-F.col("_w.ng")).alias("top_gap"),
+            F.col("_w.n").alias("top_n"),
+            F.expr("_w.n * 1000000 div n_gaps").alias("share_e6"),
+        )
+    )

@@ -366,3 +366,57 @@ def cell_dwell(
             F.countDistinct("_u").alias("n_users"),
         )
     )
+
+
+def cell_transitions(
+    traj: DataFrame,
+    res: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Cell-transition graph — the spatial twin of
+    temporal.markov_transitions: count every consecutive movement
+    between DIFFERENT grid cells across all users, row-normalized per
+    origin to integer millionths (p_e6 = n · 1e6 div from_total). The
+    aggregate movement graph behind flow maps, reachability priors, and
+    anomalous-route detection; same-cell dwell steps are excluded (they
+    are cell_dwell's subject, and they swamp the diagonal).
+
+    Shape at 10^12 pings: ONE key-partitioned lag window over (cx, cy)
+    pairs (the only event-grain shuffle), a combinable 4-key count —
+    the matrix is occupied-cell-pairs-sized — and an origin-total
+    roll-up of the AGGREGATED frame joined back by origin. No collect,
+    no pivot.
+
+    Output: (from_cx, from_cy, to_cx, to_cy, n, p_e6).
+    """
+    from . import cells as _cells
+
+    x, y = _cells.xy_cols(F.col(lat_col), F.col(lon_col), res)
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    steps = (
+        traj.select(
+            F.col(key_col), F.col(ts_col), x.alias("cx"), y.alias("cy")
+        )
+        .select(
+            F.lag("cx").over(w).alias("from_cx"),
+            F.lag("cy").over(w).alias("from_cy"),
+            F.col("cx").alias("to_cx"),
+            F.col("cy").alias("to_cy"),
+        )
+        .filter(
+            F.col("from_cx").isNotNull()
+            & ((F.col("from_cx") != F.col("to_cx"))
+               | (F.col("from_cy") != F.col("to_cy")))
+        )
+    )
+    n = steps.groupBy("from_cx", "from_cy", "to_cx", "to_cy").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = n.groupBy("from_cx", "from_cy").agg(F.sum("n").alias("_tot"))
+    return n.join(tot, ["from_cx", "from_cy"]).select(
+        "from_cx", "from_cy", "to_cx", "to_cy", "n",
+        F.expr("n * 1000000 div _tot").alias("p_e6"),
+    )

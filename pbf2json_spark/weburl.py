@@ -557,3 +557,44 @@ def robots_filter(
         F.col("_w._p").alias("matched_prefix"),
         F.coalesce(F.col("_w._a") == 1, F.lit(True)).alias("allowed"),
     )
+
+
+def url_templates(
+    pages: DataFrame,
+    url_col: str = "url",
+    min_pages: int = 2,
+) -> DataFrame:
+    """URL template mining — collapse numeric path segments to a `{N}`
+    placeholder and aggregate: the crawl-ops view that turns a million
+    `/product/12345` URLs into one `/product/{N}` row, exposing infinite
+    calendar/pagination traps and template-generated spam before they
+    eat the crawl budget.
+
+    Template = scheme-stripped host + path with every MAXIMAL digit run
+    replaced by `{N}`, query string dropped. Pure Column regexps —
+    scan-stage, zero Python.
+
+    Shape at 10^12 pages: one combinable groupBy on the template (the
+    only exchange, carrying (template, partials)); `min_pages` drops the
+    long tail of singleton templates at the aggregated frame.
+
+    Output: (template, n_pages, n_hosts, sample_min_url) — sample = the
+    lexicographic min URL (a deterministic exemplar, combinable via
+    F.min, never a window).
+    """
+    u = F.col(url_col)
+    host = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    path = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    tmpl = F.concat(host, F.regexp_replace(path, r"[0-9]+", "{N}"))
+    return (
+        pages.select(
+            tmpl.alias("template"), host.alias("_h"), u.alias("_u")
+        )
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("_h").alias("n_hosts"),
+            F.min("_u").alias("sample_min_url"),
+        )
+        .filter(F.col("n_pages") >= F.lit(min_pages))
+    )

@@ -1313,6 +1313,89 @@ def main() -> int:
         ],
     ))
 
+    # 78. containment pairs: prefix-index candidates meet in hash
+    # equi-joins on the shingle; verify joins on ids; no cartesian
+    cn = allq["containment_pairs"](spark, sf_dir)
+    p = plan_text(cn)
+    sections.append((
+        "shingle containment pairs (containment_pairs)", p,
+        [
+            ("candidate + verify joins are hash joins",
+             "HashJoin" in p and "CartesianProduct" not in p
+             and "NestedLoop" not in p, ""),
+            ("frequency/dedup counts are partial aggs",
+             "HashAggregate" in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
+    # 79. periodicity: one per-key lag window, two combinable groupBys
+    pe = allq["periodicity"](spark, sf_dir)
+    p = plan_text(pe)
+    sections.append((
+        "inter-arrival periodicity (periodicity)", p,
+        [
+            ("one per-key window (no single partition)",
+             "Window" in p and "SinglePartition" not in p, ""),
+            ("gap counts + key moments are partial aggs",
+             p.count("HashAggregate") >= 2, ""),
+            ("no join", "Join" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
+    # 80. co-citation: pair fan-out meets in a hash equi-join on the
+    # bounded citing source; in-degree joins on ids
+    cc = allq["cocitation"](spark, sf_dir)
+    p = plan_text(cc)
+    sections.append((
+        "co-citation similarity (cocitation)", p,
+        [
+            ("pair + in-degree joins are hash equi-joins",
+             "HashJoin" in p and "CartesianProduct" not in p
+             and "NestedLoop" not in p, ""),
+            ("degree/pair counts are partial aggs",
+             p.count("HashAggregate") >= 4, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
+    # 81. URL templates: pure-Column regexps into ONE combinable groupBy
+    ut = allq["url_templates"](spark, sf_dir)
+    p = plan_text(ut)
+    sections.append((
+        "URL template mining (url_templates)", p,
+        [
+            ("one aggregation, partial",
+             "HashAggregate" in p or "SortAggregate" in p, ""),
+            ("no join", "Join" not in p, ""),
+            ("no window", "Window" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
+    # 82. cell transitions: one per-user lag window, combinable 4-key
+    # count, origin-total join over the AGGREGATED frame
+    ct2 = allq["cell_transitions"](spark, sf_dir)
+    p = plan_text(ct2)
+    sections.append((
+        "cell-transition graph (cell_transitions)", p,
+        [
+            ("one per-key window (no single partition)",
+             "Window" in p and "SinglePartition" not in p, ""),
+            ("transition counts are partial aggs",
+             p.count("HashAggregate") >= 2, ""),
+            ("origin-total join is a hash join (aggregated frame)",
+             "HashJoin" in p and "CartesianProduct" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
     failed = 0
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     for title, plan, props in sections:
