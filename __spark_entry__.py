@@ -3247,8 +3247,8 @@ def _geolift_sql() -> str:
 # (streaming_sessions is streaming-only: pytest batch-equivalence in
 # tests/test_wave12.py, no SQL oracle by design.)
 
-_CONTAIN_N = 3
-_CONTAIN_THR = 700_000
+_CONTAIN_N = 5
+_CONTAIN_THR = 600_000
 _CONTAIN_BASE = 150  # docs 0.._CONTAIN_BASE-1 + their 70% prefixes
 
 
@@ -3281,7 +3281,7 @@ def _contain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed near-containment pairs (dedup.containment_pairs,
     rarest-first prefix index): planted 70%-prefix twins must surface as
-    (twin → original) with containment ≥ 0.7; oracle = brute-force
+    (twin → original) with containment ≥ 0.6 (5-gram shingles); oracle = brute-force
     all-pairs over the same 300-doc corpus (bounded, test-scale only —
     the Spark side stays the prefix-filtered scale plan)."""
     return dedup.containment_pairs(
@@ -3305,7 +3305,7 @@ _CONTAIN_SQL = (
     "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
     r"ELSE string_split_regex(lower(trim(text)), '\s+') END AS ws FROM d), "
     "sh AS MATERIALIZED (SELECT doc_id, list_distinct(x) AS s FROM ("
-    "SELECT doc_id, [array_to_string(ws[i:i+2], ' ') "
+    f"SELECT doc_id, [array_to_string(ws[i:i+{_CONTAIN_N - 1}], ' ') "
     f"FOR i IN range(1, len(ws) - {_CONTAIN_N - 2})] AS x FROM w) "
     "WHERE len(x) > 0) "
     "SELECT a.doc_id AS a, b.doc_id AS b, "

@@ -440,10 +440,13 @@ def containment_pairs(
     Output: (a, b, size_a, size_b, common, containment_e6), a ≠ b,
     directed (containment is not symmetric).
     """
+    # sh feeds 4+ plan branches (freq, prefix index, both verify sides);
+    # persist so the shingle build and the upstream scan run ONCE, not
+    # once per branch (measured 6x on the bench corpus)
     sh = df.select(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), n).alias("_sh"),
-    ).withColumn("_size", F.size("_sh")).filter(F.col("_size") > 0)
+    ).withColumn("_size", F.size("_sh")).filter(F.col("_size") > 0).persist()
 
     if prefix_filter:
         tok = sh.select("_id", F.explode("_sh").alias("_g"))
