@@ -3427,6 +3427,162 @@ def _ctrans_sql() -> str:
     )
 
 
+# wave 13 — TrustRank, host-graph coarsening, CUSUM change points,
+# spatial thinning.
+
+_TRUST_ITER = 3
+
+
+def _q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer TrustRank (graph.trustrank_int, 3 iterations): teleport
+    mass restricted to the doc_id%10==0 seed set; link-farm islands
+    unreachable from seeds score exactly 0."""
+    seeds = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("node"))
+    )
+    return graph.trustrank_int(
+        _link_edges(spark, sf_dir), seeds, n_iter=_TRUST_ITER
+    )
+
+
+def _trustrank_sql(n_iter: int = _TRUST_ITER, damping_pct: int = 85) -> str:
+    scale = graph.SCALE
+    base = (100 - damping_pct) * scale // 100
+    parts = [
+        f"e AS MATERIALIZED ({_EDGES_SQL})",
+        "nodes AS (SELECT DISTINCT src AS node FROM e "
+        "UNION SELECT DISTINCT dst FROM e)",
+        "sd AS (SELECT DISTINCT doc_id AS node FROM documents "
+        "WHERE doc_id % 10 = 0)",
+        "fl AS MATERIALIZED (SELECT n.node, "
+        "CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS isd "
+        "FROM nodes n LEFT JOIN sd ON n.node = sd.node)",
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src)",
+        f"r0 AS (SELECT node, CAST(isd * {scale} AS BIGINT) AS r FROM fl)",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"r{i + 1} AS MATERIALIZED (SELECT f.node, "
+            f"CAST(f.isd * {base} + {damping_pct} * coalesce(s.m, 0) // 100 "
+            "AS BIGINT) AS r "
+            f"FROM fl f LEFT JOIN (SELECT e.dst AS node, sum(r.r // deg.d) AS m "
+            f"FROM e JOIN r{i} r ON e.src = r.node "
+            "JOIN deg ON e.src = deg.src GROUP BY e.dst) s ON f.node = s.node)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node, r AS trust_e9 FROM r{n_iter}"
+    )
+
+
+def _q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph coarsening (graph.host_graph): page link graph rolled
+    to doc_id%13 'hosts' (the robots-query host convention); intra-host
+    edges drop, parallel links count, linking pages dedup."""
+    m = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id AS node",
+        "concat('site', CAST(doc_id % 13 AS STRING), '.example') AS host",
+    )
+    return graph.host_graph(_link_edges(spark, sf_dir), m)
+
+
+_HOST_GRAPH_SQL = (
+    f"WITH e AS ({_EDGES_SQL}), "
+    "m AS (SELECT doc_id AS node, "
+    "'site' || CAST(doc_id % 13 AS VARCHAR) || '.example' AS host "
+    "FROM documents), "
+    "j AS MATERIALIZED (SELECT ms.host AS from_host, md.host AS to_host, "
+    "e.src FROM e JOIN m ms ON e.src = ms.node "
+    "JOIN m md ON e.dst = md.node WHERE ms.host <> md.host), "
+    "l AS (SELECT from_host, to_host, CAST(count(*) AS BIGINT) AS n_links "
+    "FROM j GROUP BY 1, 2), "
+    "s AS (SELECT from_host, to_host, "
+    "CAST(count(DISTINCT src) AS BIGINT) AS n_src_pages FROM j GROUP BY 1, 2) "
+    "SELECT l.from_host, l.to_host, l.n_links, s.n_src_pages "
+    "FROM l JOIN s USING (from_host, to_host)"
+)
+
+
+_CUSUM_BUCKET_US = 3_600_000_000  # hourly, like burst_detect
+_CUSUM_MIN_B = 4
+
+
+def _q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point per event type (temporal.cusum_changepoint):
+    hourly counts with in-range gaps zero-filled; split = argmax
+    |n·S_k − k·S_n| with the earliest-bucket tiebreak."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", _ntz_epoch_us("ts").alias("ts_us")
+    )
+    return temporal.cusum_changepoint(
+        e, _CUSUM_BUCKET_US, min_buckets=_CUSUM_MIN_B
+    )
+
+
+_CUSUM_SQL = (
+    "WITH e AS (SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us "
+    "FROM events), "
+    "p AS (SELECT event_type, CAST(floor(ts_us / "
+    f"{float(_CUSUM_BUCKET_US)!r}) AS BIGINT) AS b, "
+    "CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2), "
+    "r AS (SELECT event_type, min(b) AS b0, max(b) AS b1 FROM p GROUP BY 1), "
+    "g AS (SELECT r.event_type, r.b0, u.b "
+    "FROM r, LATERAL unnest(range(r.b0, r.b1 + 1)) u(b)), "
+    "d AS (SELECT g.event_type, g.b0, g.b, coalesce(p.c, 0) AS c "
+    "FROM g LEFT JOIN p ON p.event_type = g.event_type AND p.b = g.b), "
+    "st AS (SELECT event_type, b - b0 + 1 AS k, b, "
+    "sum(c) OVER (PARTITION BY event_type ORDER BY b "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sk, "
+    "sum(c) OVER (PARTITION BY event_type) AS sn, "
+    "count(*) OVER (PARTITION BY event_type) AS n FROM d), "
+    "cd AS (SELECT event_type, n, sn, "
+    "abs(n * sk - k * sn) AS dd, b FROM st "
+    f"WHERE k < n AND n >= {_CUSUM_MIN_B}), "
+    "m AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_buckets, "
+    "CAST(max(sn) AS BIGINT) AS total, "
+    "max({'d': dd, 'nb': -b}) AS w FROM cd GROUP BY 1) "
+    "SELECT event_type, n_buckets, total, "
+    "CAST(-w['nb'] AS BIGINT) AS split_bucket, CAST(w['d'] AS BIGINT) AS d_max, "
+    "CAST(CAST(w['d'] AS HUGEINT) * 1000000 // "
+    "greatest(n_buckets * total, 1) AS BIGINT) AS cusum_e6 FROM m"
+)
+
+
+_THIN_RES = 4
+_THIN_K = 3
+
+
+def _q_spatial_thin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial thinning (sampling.spatial_thin): ≤3 documents per res-4
+    cell by the portable md5-u32 rank (id tiebreak) over the shared
+    formula coordinates."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        _lat_col(F.col("doc_id")).alias("lat"),
+        _lon_col(F.col("doc_id")).alias("lon"),
+    )
+    return sampling.spatial_thin(d, res=_THIN_RES, k=_THIN_K)
+
+
+def _thin_sql() -> str:
+    x, y = _sql_cell_xy("lat", "lon", _THIN_RES)
+    n = 1 << _THIN_RES
+    return (
+        "WITH d AS (SELECT doc_id, " + _lat_sql("doc_id") + " AS lat, "
+        + _lon_sql("doc_id") + " AS lon FROM documents), "
+        f"c AS (SELECT doc_id, lat, lon, ({x}) * {n} + ({y}) AS cell, "
+        "('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 8))::BIGINT "
+        "AS u FROM d), "
+        "r AS (SELECT doc_id, lat, lon, cell, "
+        "CAST(row_number() OVER (PARTITION BY cell ORDER BY u, doc_id) "
+        "AS INT) AS thin_rank FROM c) "
+        "SELECT doc_id, lat, lon, cell, thin_rank FROM r "
+        f"WHERE thin_rank <= {_THIN_K}"
+    )
+
+
 # --------------------------------------------------------------------------
 # Suite queries — tagged-union fold of same-family operators into ONE
 # driver gate slot.
@@ -3800,6 +3956,22 @@ def _suite_specs():
             ("ctrans", "cell_transitions", _q_cell_transitions,
              ["from_cx", "from_cy"], ["to_cx", "to_cy"],
              [("n", "n", "i"), ("p_e6", "p_e6", "i")]),
+            # wave 13 folds into the same slot
+            ("trust", "trustrank", _q_trustrank,
+             "node", None, [("trust_e9", "trust_e9", "i")]),
+            ("hostg", "host_graph", _q_host_graph,
+             "from_host", "to_host",
+             [("n_links", "n_links", "i"),
+              ("n_src_pages", "n_src_pages", "i")]),
+            ("cusum", "cusum_changepoint", _q_cusum,
+             "event_type", None,
+             [("n_buckets", "n_buckets", "i"), ("total", "total", "i"),
+              ("split_bucket", "split_bucket", "i"),
+              ("d_max", "d_max", "i"), ("cusum_e6", "cusum_e6", "i")]),
+            ("thin", "spatial_thin", _q_spatial_thin,
+             "doc_id", None,
+             [("lat", "lat", "d"), ("lon", "lon", "d"),
+              ("cell", "cell", "i"), ("thin_rank", "thin_rank", "i")]),
         ],
         "curation_suite": [
             ("contam", "contamination", _q_contamination,
@@ -4063,6 +4235,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation": _q_cocitation,
         "url_templates": _q_url_templates,
         "cell_transitions": _q_cell_transitions,
+        # wave 13
+        "trustrank": _q_trustrank,
+        "host_graph": _q_host_graph,
+        "cusum_changepoint": _q_cusum,
+        "spatial_thin": _q_spatial_thin,
     }
 
 
@@ -5162,6 +5339,11 @@ def oracle_sql() -> dict[str, str]:
     sqls["cocitation"] = _COCITE_SQL
     sqls["url_templates"] = _URL_TMPL_SQL
     sqls["cell_transitions"] = _ctrans_sql()
+    # wave-13 oracles
+    sqls["trustrank"] = _trustrank_sql()
+    sqls["host_graph"] = _HOST_GRAPH_SQL
+    sqls["cusum_changepoint"] = _CUSUM_SQL
+    sqls["spatial_thin"] = _thin_sql()
     # suite oracles composed verbatim from the per-operator strings above —
     # a green suite row certifies every folded operator's values.
     sqls.update(_suite_oracle_sql(sqls))

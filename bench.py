@@ -139,6 +139,11 @@ BENCH_QUERIES = [
     "cocitation",
     "url_templates",
     "cell_transitions",
+    # wave 13
+    "trustrank",
+    "host_graph",
+    "cusum_changepoint",
+    "spatial_thin",
 ]
 
 

@@ -554,3 +554,117 @@ def cocitation(
             .alias("cocite_e6"),
         )
     )
+
+
+def trustrank_int(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Integer-scaled TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004):
+    PageRank with the teleport mass restricted to a curated SEED set —
+    trust flows out from known-good pages, so link-farm islands that
+    self-inflate under uniform teleport score ~0 here. The standard
+    web-spam demotion signal next to k-core and co-citation.
+
+    Same integer discipline as pagerank_int (every step int64
+    div/mul/sum, order-independent, engine-portable):
+
+        trust⁰(v)   = SCALE · [v ∈ seeds]
+        trustᵏ⁺¹(v) = [v ∈ seeds]·(100−d)·SCALE div 100
+                      + d · Σ_{u→v} (trustᵏ(u) div out(u)) div 100
+
+    Shape: identical to pagerank_int — the edge table is degree-joined,
+    repartitioned by src ONCE and persisted; each iteration is one hash
+    join + one combinable sum + one left join; seeds are a broadcast-
+    sized left_semi-derived flag. localCheckpoint bounds lineage.
+
+    Output: (node, trust_e9:long) — 0 for pages unreachable from seeds.
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct in (0, 100)")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct()
+    flagged = nodes.join(
+        F.broadcast(sd.withColumn("_is_seed", F.lit(1))), "node", "left"
+    ).select("node", F.coalesce("_is_seed", F.lit(0)).alias("_is_seed"))
+    flagged = flagged.persist()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    ed = e.join(deg, "src").repartition("src").persist()
+    base = (100 - damping_pct) * SCALE // 100
+    ranks = flagged.select(
+        "node", (F.col("_is_seed") * SCALE).cast("long").alias("trust_e9")
+    )
+    for i in range(n_iter):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("trust_e9 div _deg").alias("_c"))
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            flagged.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.col("_is_seed") * base
+                    + F.expr(f"{damping_pct} * coalesce(_in, 0L) div 100")
+                ).cast("long").alias("trust_e9"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def host_graph(
+    edges: DataFrame,
+    node_host: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    host_col: str = "host",
+) -> DataFrame:
+    """Host-graph coarsening: collapse the page-level link graph to the
+    host level — every web-graph pipeline's first aggregation (host
+    PageRank, spam neighborhoods, crawl politeness all run on it).
+    Self-host edges (intra-site navigation, the vast majority) drop.
+
+    Shape at 10^12 edges: two equi-joins mapping the endpoints to hosts
+    (the mapping table is host-keyed data-scale — joined, not broadcast,
+    and both joins hash on the node id), then ONE combinable groupBy on
+    (from_host, to_host) — the host matrix is quadratically smaller than
+    the edge list. n_src_pages counts distinct linking pages per host
+    pair (template-link inflation guard), combinable via a pre-distinct.
+
+    Output: (from_host, to_host, n_links, n_src_pages), from ≠ to.
+    """
+    m = node_host.select(F.col(node_col).alias("_n"), F.col(host_col))
+    j = (
+        edges.select(src, dst)
+        .join(m.select(F.col("_n").alias(src),
+                       F.col(host_col).alias("from_host")), src)
+        .join(m.select(F.col("_n").alias(dst),
+                       F.col(host_col).alias("to_host")), dst)
+        .filter(F.col("from_host") != F.col("to_host"))
+    )
+    links = j.groupBy("from_host", "to_host").agg(
+        F.count(F.lit(1)).alias("n_links")
+    )
+    srcs = (
+        j.select("from_host", "to_host", F.col(src).alias("_s"))
+        .distinct()
+        .groupBy("from_host", "to_host")
+        .agg(F.count(F.lit(1)).alias("n_src_pages"))
+    )
+    return links.join(srcs, ["from_host", "to_host"])

@@ -19,7 +19,7 @@ compile to a CASE over the stratum column.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _U32_SPAN = 1 << 32
@@ -169,4 +169,45 @@ def weighted_sample(
         .filter(_u32(F.col(id_col), seed) < thr)
         .withColumn("w_used", w)
         .drop("_sum_w")
+    )
+
+
+def spatial_thin(
+    df: DataFrame,
+    res: int,
+    k: int,
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    seed: int = 0,
+) -> DataFrame:
+    """Spatial thinning: keep at most `k` rows per grid cell, chosen by
+    the deterministic md5-u32 rank (ties broken by id) — the density
+    equalizer for map rendering and geo-balanced training sets: a city
+    with 10^6 POIs and a desert with 3 both contribute ≤ k, and the
+    survivors are a uniform random-looking but reproducible subsample.
+
+    Mechanism: rank rows within each cell by (u32(id:seed), id) and keep
+    rank ≤ k. Unlike the threshold samplers above this IS a per-cell
+    window — an exact quota cannot be a pure filter — but the window
+    partitions on the cell key: ONE shuffle of (id, cell, u32) slim
+    rows, dense-cell tasks bounded by the cell's row count (salt-free;
+    a 10^8-row megacity cell is the worst single task and still
+    sort-bounded; pre-filter with sample_exact when cells exceed task
+    memory).
+
+    Output: input columns + (cell, thin_rank), thin_rank in 1..k.
+    """
+    from . import cells as _cells
+
+    x, y = _cells.xy_cols(F.col(lat_col), F.col(lon_col), res)
+    cell = (x * (1 << res) + y).cast("long")
+    withc = df.withColumn("cell", cell).withColumn(
+        "_u", _u32(F.col(id_col), seed)
+    )
+    w = Window.partitionBy("cell").orderBy(F.col("_u"), F.col(id_col))
+    return (
+        withc.withColumn("thin_rank", F.row_number().over(w))
+        .filter(F.col("thin_rank") <= k)
+        .drop("_u")
     )

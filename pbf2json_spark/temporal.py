@@ -702,3 +702,107 @@ def periodicity(
             F.expr("_w.n * 1000000 div n_gaps").alias("share_e6"),
         )
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    bucket_us: int,
+    key_col: str = "event_type",
+    ts_us_col: str = "ts_us",
+    min_buckets: int = 4,
+) -> DataFrame:
+    """Single change-point detection per key via the integer CUSUM
+    statistic over bucketed counts — "did this type's rate shift, and
+    when?": for the key's ordered buckets b_1..b_n with counts c_i and
+    prefix sums S_k, the change point maximizes the scaled deviation
+
+        D_k = | n·S_k − k·S_n |        (k = 1..n−1)
+
+    — the classic CUSUM split statistic with the mean factored out,
+    kept in int64 (n·S_k ≤ n·total, overflow at ~3·10^9·total — far
+    beyond any per-key bucket count; the final ·1e6 product runs in
+    DECIMAL(38,0) before the truncating div). Ties on D_k → earliest k
+    (via max-struct on (D, −k)). cusum_e6 = D* · 1e6 div (n · S_n)
+    normalizes to a 0..~1e6 shift-intensity score (0 = perfectly
+    steady), comparable across keys.
+
+    Empty buckets inside the key's [first, last] range count as ZERO —
+    they are materialized by a per-key sequence/explode of the bucket
+    range (a rate drop to silence IS a change), never by densifying the
+    raw event stream.
+
+    Shape at 10^12 events: ONE combinable (key, bucket) count — the only
+    event-grain exchange — then per-key windows over the AGGREGATED
+    bucket frame (bounded by buckets, not events) and one combinable
+    max-struct per key. Keys with fewer than `min_buckets` range buckets
+    are dropped (no meaningful split).
+
+    Output: (key_col, n_buckets, total, split_bucket, d_max, cusum_e6)
+    where split_bucket = the absolute bucket index of the LAST bucket of
+    the left segment at the maximizing split.
+    """
+    per = (
+        df.select(
+            F.col(key_col),
+            F.floor(F.col(ts_us_col) / F.lit(bucket_us)).cast("long").alias("_b"),
+        )
+        .groupBy(key_col, "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    rng = per.groupBy(key_col).agg(
+        F.min("_b").alias("_b0"), F.max("_b").alias("_b1")
+    )
+    dense = (
+        rng.select(
+            key_col,
+            "_b0",
+            F.explode(F.sequence(F.col("_b0"), F.col("_b1"))).alias("_b"),
+        )
+        .join(per, [key_col, "_b"], "left")
+        .select(
+            key_col, "_b0", "_b",
+            F.coalesce("_c", F.lit(0).cast("long")).alias("_c"),
+        )
+    )
+    w = Window.partitionBy(key_col).orderBy("_b")
+    stats = dense.select(
+        key_col,
+        (F.col("_b") - F.col("_b0") + 1).alias("_k"),
+        F.col("_b"),
+        F.sum("_c").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_sk"),
+        F.sum("_c").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("_sn"),
+        F.count(F.lit(1)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("_n"),
+    )
+    cand = stats.filter(
+        (F.col("_k") < F.col("_n")) & (F.col("_n") >= min_buckets)
+    ).select(
+        key_col, "_n", "_sn", "_b",
+        F.expr("abs(_n * _sk - _k * _sn)").alias("_d"),
+        F.col("_k"),
+    )
+    return (
+        cand.groupBy(key_col)
+        .agg(
+            F.max("_n").alias("n_buckets"),
+            F.max("_sn").alias("total"),
+            F.max(F.struct(F.col("_d").alias("d"),
+                           (-F.col("_b")).alias("nb"))).alias("_w"),
+        )
+        .select(
+            key_col,
+            "n_buckets",
+            "total",
+            (-F.col("_w.nb")).alias("split_bucket"),
+            F.col("_w.d").alias("d_max"),
+            F.expr(
+                "CAST(CAST(_w.d AS DECIMAL(38,0)) * 1000000 div "
+                "greatest(n_buckets * total, 1) AS BIGINT)"
+            ).alias("cusum_e6"),
+        )
+    )

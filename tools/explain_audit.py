@@ -1396,6 +1396,78 @@ def main() -> int:
         ],
     ))
 
+    # 83. TrustRank: same shape as pagerank — per iteration one hash
+    # join on the persisted degree-joined edges + combinable sum; seed
+    # flags broadcast
+    tr = allq["trustrank"](spark, sf_dir)
+    p = plan_text(tr)
+    sections.append((
+        "TrustRank (trustrank)", p,
+        [
+            ("iteration joins are hash joins (no cartesian)",
+             "HashJoin" in p and "CartesianProduct" not in p
+             and "NestedLoop" not in p, ""),
+            ("contribution sums are partial aggs", "HashAggregate" in p, ""),
+            ("seed flag join is broadcast", "BroadcastHashJoin" in p, ""),
+            ("edges reused from persisted layout (InMemory scan)",
+             "InMemoryTableScan" in p or "Scan ExistingRDD" in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
+    # 84. host graph: two node-id hash joins + combinable counts; the
+    # distinct-src pass runs on the coarsened (host-pair, src) frame
+    hg = allq["host_graph"](spark, sf_dir)
+    p = plan_text(hg)
+    sections.append((
+        "host-graph coarsening (host_graph)", p,
+        [
+            ("endpoint mapping joins are hash joins",
+             "HashJoin" in p and "CartesianProduct" not in p
+             and "NestedLoop" not in p, ""),
+            ("link/src counts are partial aggs",
+             p.count("HashAggregate") >= 2, ""),
+            ("no window", "Window" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
+    # 85. CUSUM: one event-grain partial agg; range densify + windows
+    # run per-key over the AGGREGATED bucket frame only
+    cu = allq["cusum_changepoint"](spark, sf_dir)
+    p = plan_text(cu)
+    sections.append((
+        "CUSUM change-point (cusum_changepoint)", p,
+        [
+            ("bucket counts + max-struct are partial aggs",
+             p.count("HashAggregate") >= 4, ""),
+            ("per-key windows (no single partition)",
+             "Window" in p and "SinglePartition" not in p, ""),
+            ("densify join is a hash join", "HashJoin" in p, ""),
+            ("no cartesian", "CartesianProduct" not in p
+             and "NestedLoop" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
+    # 86. spatial thinning: one cell-partitioned rank window, the quota
+    # filter sits on the window output; no join
+    th = allq["spatial_thin"](spark, sf_dir)
+    p = plan_text(th)
+    sections.append((
+        "spatial thinning (spatial_thin)", p,
+        [
+            ("one per-cell window (no single partition)",
+             "Window" in p and "SinglePartition" not in p, ""),
+            ("no join", "Join" not in p, ""),
+            ("no aggregation needed", True, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
     failed = 0
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     for title, plan, props in sections:
