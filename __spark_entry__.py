@@ -3583,6 +3583,84 @@ def _thin_sql() -> str:
     )
 
 
+# wave 14 — largest-remainder crawl-budget apportionment, grid-cover
+# dilation. (streaming_attribution is streaming-only: stream-stream
+# interval join, pytest batch-equivalence in tests/test_wave14.py.)
+
+_BUDGET_TOTAL = 997  # prime: remainders nonzero at every sf, bonus path always live
+
+
+def _q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder budget apportionment (weburl.apportion_budget):
+    997 fetch slots (prime, so the largest-remainder bonus path is
+    live at every sf) split across the 13 synthetic hosts proportionally
+    to page counts — Σ quota == 997 exactly; remainder ties break on
+    the host name."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.selectExpr(
+            "concat('site', CAST(doc_id % 13 AS STRING), '.example') AS host"
+        )
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+    return weburl.apportion_budget(counts, _BUDGET_TOTAL)
+
+
+_BUDGET_SQL = (
+    "WITH c AS (SELECT 'site' || CAST(doc_id % 13 AS VARCHAR) || "
+    "'.example' AS host, CAST(count(*) AS BIGINT) AS n_pages "
+    "FROM documents GROUP BY 1), "
+    "t AS (SELECT CAST(sum(n_pages) AS HUGEINT) AS w FROM c), "
+    f"s AS (SELECT c.host, c.n_pages, "
+    f"CAST(CAST({_BUDGET_TOTAL} AS HUGEINT) * c.n_pages // t.w AS BIGINT) "
+    "AS base_quota, "
+    f"CAST(CAST({_BUDGET_TOTAL} AS HUGEINT) * c.n_pages % t.w AS BIGINT) "
+    "AS rem FROM c, t), "
+    f"x AS (SELECT CAST({_BUDGET_TOTAL} - sum(base_quota) AS BIGINT) "
+    "AS n_bonus FROM s), "
+    "r AS (SELECT s.*, row_number() OVER (ORDER BY rem DESC, host ASC) "
+    "AS rk FROM s) "
+    "SELECT r.host, r.n_pages, r.base_quota, "
+    "CASE WHEN r.rk <= x.n_bonus THEN 1 ELSE 0 END AS bonus, "
+    "r.base_quota + CASE WHEN r.rk <= x.n_bonus THEN 1 ELSE 0 END AS quota "
+    "FROM r, x"
+)
+
+
+_DILATE_RES = 7
+_DILATE_R = 2
+
+
+def _q_dilate_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-cover dilation (spatial.dilate_cover): the occupied res-7
+    cells of the orders-keyed points buffered by 2 rings (lon pmod wrap,
+    lat clamp); one codegen explode + one distinct."""
+    o = _t(spark, sf_dir, "orders")
+    x, y = cells.xy_cols(
+        _lat_col(F.col("o_orderkey")), _lon_col(F.col("o_orderkey")),
+        _DILATE_RES,
+    )
+    cover = o.select(x.alias("cx"), y.alias("cy")).distinct()
+    return spatial.dilate_cover(cover, res=_DILATE_RES, radius=_DILATE_R)
+
+
+def _dilate_sql() -> str:
+    x, y = _sql_cell_xy(
+        _lat_sql("o_orderkey"), _lon_sql("o_orderkey"), _DILATE_RES
+    )
+    n = 1 << _DILATE_RES
+    r = _DILATE_R
+    offs = ", ".join(f"({v})" for v in range(-r, r + 1))
+    return (
+        f"WITH cov AS (SELECT DISTINCT {x} AS cx, {y} AS cy FROM orders), "
+        f"o AS (SELECT d FROM (VALUES {offs}) v(d)) "
+        f"SELECT DISTINCT (((cov.cx + ox.d) % {n}) + {n}) % {n} AS cx, "
+        f"least(greatest(cov.cy + oy.d, 0), {n - 1}) AS cy "
+        "FROM cov, o ox, o oy"
+    )
+
+
 # --------------------------------------------------------------------------
 # Suite queries — tagged-union fold of same-family operators into ONE
 # driver gate slot.
@@ -3972,6 +4050,13 @@ def _suite_specs():
              "doc_id", None,
              [("lat", "lat", "d"), ("lon", "lon", "d"),
               ("cell", "cell", "i"), ("thin_rank", "thin_rank", "i")]),
+            # wave 14 folds into the same slot
+            ("budget", "crawl_budget", _q_crawl_budget,
+             "host", None,
+             [("n_pages", "n_pages", "i"), ("base_quota", "base_quota", "i"),
+              ("bonus", "bonus", "i"), ("quota", "quota", "i")]),
+            ("dilate", "dilate_cover", _q_dilate_cover,
+             "cx", "cy", [("covered", None, "one")]),
         ],
         "curation_suite": [
             ("contam", "contamination", _q_contamination,
@@ -4240,6 +4325,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": _q_host_graph,
         "cusum_changepoint": _q_cusum,
         "spatial_thin": _q_spatial_thin,
+        # wave 14
+        "crawl_budget": _q_crawl_budget,
+        "dilate_cover": _q_dilate_cover,
     }
 
 
@@ -5344,6 +5432,9 @@ def oracle_sql() -> dict[str, str]:
     sqls["host_graph"] = _HOST_GRAPH_SQL
     sqls["cusum_changepoint"] = _CUSUM_SQL
     sqls["spatial_thin"] = _thin_sql()
+    # wave-14 oracles
+    sqls["crawl_budget"] = _BUDGET_SQL
+    sqls["dilate_cover"] = _dilate_sql()
     # suite oracles composed verbatim from the per-operator strings above —
     # a green suite row certifies every folded operator's values.
     sqls.update(_suite_oracle_sql(sqls))

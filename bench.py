@@ -144,6 +144,9 @@ BENCH_QUERIES = [
     "host_graph",
     "cusum_changepoint",
     "spatial_thin",
+    # wave 14
+    "crawl_budget",
+    "dilate_cover",
 ]
 
 

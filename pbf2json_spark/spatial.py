@@ -1475,3 +1475,43 @@ def global_moran(
             "greatest(w_pairs * _den, 1) AS BIGINT)"
         ).alias("moran_e6"),
     )
+
+
+def dilate_cover(
+    cover: DataFrame,
+    res: int,
+    radius: int = 1,
+    cx_col: str = "cx",
+    cy_col: str = "cy",
+) -> DataFrame:
+    """Grid-cover dilation — the raster buffer: expand a cell cover by
+    `radius` rings of the res-grid (Chebyshev disk, longitude wraps via
+    pmod, latitude clamps at the poles — the disk_col conventions).
+    Composed with pip/cover ops this is "within ~r cells of the zone":
+    buffer zones, geofence margins, coastal strips.
+
+    Shape at 10^9 cover cells: explode each cell to its (2r+1)² disk
+    (pure codegen sequence/transform) and ONE distinct — the only
+    exchange, carrying two int64s. Nothing touches point-grain data.
+
+    Output: distinct (cx, cy) of the dilated cover.
+    """
+    n = 1 << res
+    offs = F.sequence(F.lit(-radius), F.lit(radius))
+    return (
+        cover.select(
+            F.explode(offs).alias("_dx"), F.col(cx_col), F.col(cy_col)
+        )
+        .select(
+            F.pmod(F.col(cx_col) + F.col("_dx"), F.lit(n)).alias("cx"),
+            F.explode(offs).alias("_dy"),
+            F.col(cy_col),
+        )
+        .select(
+            "cx",
+            F.greatest(
+                F.lit(0), F.least(F.lit(n - 1), F.col(cy_col) + F.col("_dy"))
+            ).alias("cy"),
+        )
+        .distinct()
+    )

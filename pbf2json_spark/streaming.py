@@ -233,3 +233,50 @@ def streaming_sessions(
             F.col("n_events"),
         )
     )
+
+
+def streaming_attribution(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    key_col: str = "ad_id",
+    ts_col: str = "ts",
+    within: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join — last-mile click attribution: match
+    each click to the SAME-key impressions it followed within `within`.
+    This is the canonical Structured Streaming two-sided stateful join:
+    both sides are watermarked, and the time-range predicate bounds how
+    long either side's rows stay in the join state store (impressions
+    age out `within`+watermark after their event time; clicks drop as
+    soon as the left watermark passes them).
+
+    Shape on unbounded streams: ONE shuffle of each side on the key into
+    the symmetric stateful join; state is watermark-bounded, not
+    history-bounded — the property that makes the operator viable at
+    10^12 events/day.
+
+    Output (append, finalized matches): (key_col, imp_ts, click_ts,
+    lag_us).
+    """
+    li = impressions.withWatermark(ts_col, watermark).select(
+        F.col(key_col).alias("_k"), F.col(ts_col).alias("imp_ts")
+    )
+    rc = clicks.withWatermark(ts_col, watermark).select(
+        F.col(key_col).alias("_ck"), F.col(ts_col).alias("click_ts")
+    )
+    j = li.join(
+        rc,
+        F.expr(
+            "_k = _ck AND click_ts >= imp_ts "
+            f"AND click_ts <= imp_ts + interval {within}"
+        ),
+    )
+    return j.select(
+        F.col("_k").alias(key_col),
+        "imp_ts",
+        "click_ts",
+        (
+            F.unix_micros("click_ts") - F.unix_micros("imp_ts")
+        ).alias("lag_us"),
+    )

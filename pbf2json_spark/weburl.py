@@ -598,3 +598,67 @@ def url_templates(
         )
         .filter(F.col("n_pages") >= F.lit(min_pages))
     )
+
+
+def apportion_budget(
+    df: DataFrame,
+    budget: int,
+    key_col: str = "host",
+    weight_col: str = "n_pages",
+) -> DataFrame:
+    """Crawl-budget apportionment by the largest-remainder method
+    (Hamilton's method): split an integer `budget` of fetch slots across
+    hosts proportionally to `weight_col`, exactly — Σ quota == budget,
+    no fractional slots, no float drift. The politeness-scheduler input
+    every crawler computes after host_stats; also the integer answer to
+    per-domain sampling quotas in corpus curation.
+
+        base(h)  = budget·w_h div W        (floored share)
+        bonus(h) = 1 for the (budget − Σ base) largest remainders
+                   (budget·w_h mod W, ties → key ascending)
+
+    Products run in DECIMAL(38,0) (budget·w passes 2^63 at ~10^9 slots ×
+    10^10 pages) with the truncating div, matching DuckDB HUGEINT.
+
+    Shape at 10^9 hosts: one combinable total (1 row, broadcast back),
+    the floored shares in codegen, ONE metadata-scale collect of the
+    bonus count (a single int — same bounded-driver-value discipline as
+    the IVF train sample), and the bonus winners via orderBy().limit()
+    — TakeOrderedAndProject, k rows per partition, never a global sort.
+
+    Output: (key_col, weight_col, base_quota, bonus, quota).
+    """
+    tot = df.agg(
+        F.sum(weight_col).cast("decimal(38,0)").alias("_w_tot")
+    )
+    shared = df.crossJoin(F.broadcast(tot)).select(
+        F.col(key_col),
+        F.col(weight_col),
+        F.expr(
+            f"CAST(CAST({budget} AS DECIMAL(38,0)) * {weight_col} "
+            "div _w_tot AS BIGINT)"
+        ).alias("base_quota"),
+        F.expr(
+            f"CAST(CAST({budget} AS DECIMAL(38,0)) * {weight_col} "
+            "% _w_tot AS BIGINT)"
+        ).alias("_rem"),
+    )
+    n_bonus = budget - (
+        shared.agg(F.sum("base_quota").alias("s")).collect()[0]["s"] or 0
+    )
+    winners = (
+        shared.orderBy(F.col("_rem").desc(), F.col(key_col).asc())
+        .limit(int(n_bonus))
+        .select(F.col(key_col), F.lit(1).alias("bonus"))
+    )
+    return (
+        shared.join(winners, key_col, "left")
+        .select(
+            key_col,
+            weight_col,
+            "base_quota",
+            F.coalesce("bonus", F.lit(0)).alias("bonus"),
+            (F.col("base_quota") + F.coalesce("bonus", F.lit(0)))
+            .alias("quota"),
+        )
+    )

@@ -1468,6 +1468,40 @@ def main() -> int:
         ],
     ))
 
+    # 87. budget apportionment: combinable counts/total, bonus winners
+    # via TakeOrdered (k per partition, never a global sort), hash join
+    # back on the host key
+    bg = allq["crawl_budget"](spark, sf_dir)
+    p = plan_text(bg)
+    sections.append((
+        "crawl-budget apportionment (crawl_budget)", p,
+        [
+            ("bonus winners are TakeOrdered, not a global sort",
+             "TakeOrderedAndProject" in p, ""),
+            ("counts/total are partial aggs", "HashAggregate" in p, ""),
+            ("winner join is a hash/broadcast join",
+             "HashJoin" in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
+    # 88. cover dilation: codegen explode + ONE distinct exchange
+    dl = allq["dilate_cover"](spark, sf_dir)
+    p = plan_text(dl)
+    sections.append((
+        "grid-cover dilation (dilate_cover)", p,
+        [
+            ("disk expansion is codegen explode (Generate)",
+             "Generate" in p, ""),
+            ("dedup is a partial-agg distinct", "HashAggregate" in p, ""),
+            ("no join", "Join" not in p, ""),
+            ("no window", "Window" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ],
+    ))
+
     failed = 0
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     for title, plan, props in sections:
