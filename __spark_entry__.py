@@ -54,8 +54,8 @@ from pyspark.sql import functions as F
 
 from pbf2json_spark import (
     ann, cells, cluster, corpus, decontam, dedup, denorm, dsl, graph,
-    pages, raster, relations, routing, sampling, spans, spatial, temporal,
-    textops, trajectory, weburl,
+    pages, raster, relations, routing, sampling, spans, spatial, stats,
+    temporal, textops, trajectory, weburl,
 )
 
 # --------------------------------------------------------------------------
@@ -3661,6 +3661,364 @@ def _dilate_sql() -> str:
     )
 
 
+# wave 15 — IDW grid interpolation, Unicode script-mix profile,
+# hour-of-week activity profile.
+
+_IDW_RES = 6
+_IDW_R = 2
+
+
+def _q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW grid interpolation (spatial.idw_interpolate): orders-keyed
+    samples (value = o_orderkey % 1000) scattered to radius-2 disks with
+    integer 1e6 div (1+d²) weights; est = Σ w·v div Σ w — bit-exact on
+    both engines."""
+    o = _t(spark, sf_dir, "orders").select(
+        _lat_col(F.col("o_orderkey")).alias("lat"),
+        _lon_col(F.col("o_orderkey")).alias("lon"),
+        (F.col("o_orderkey") % 1000).alias("value"),
+    )
+    return spatial.idw_interpolate(o, res=_IDW_RES, radius=_IDW_R)
+
+
+def _idw_sql() -> str:
+    x, y = _sql_cell_xy("lat", "lon", _IDW_RES)
+    n = 1 << _IDW_RES
+    r = _IDW_R
+    offs = ", ".join(
+        f"({dx}, {dy}, {1_000_000 // (1 + dx * dx + dy * dy)})"
+        for dx in range(-r, r + 1) for dy in range(-r, r + 1)
+    )
+    return (
+        "WITH s AS (SELECT " + _lat_sql("o_orderkey") + " AS lat, "
+        + _lon_sql("o_orderkey") + " AS lon, "
+        "CAST(o_orderkey % 1000 AS BIGINT) AS v FROM orders), "
+        f"c AS (SELECT {x} AS sx, {y} AS sy, v FROM s), "
+        f"o AS (SELECT dx, dy, w FROM (VALUES {offs}) t(dx, dy, w)), "
+        f"g AS (SELECT (((c.sx + o.dx) % {n}) + {n}) % {n} AS cx, "
+        "c.sy + o.dy AS cy, CAST(o.w AS BIGINT) AS w, c.v FROM c, o "
+        f"WHERE c.sy + o.dy >= 0 AND c.sy + o.dy < {n}) "
+        "SELECT cx, cy, CAST(count(*) AS BIGINT) AS n_samples, "
+        "CAST(sum(w) AS BIGINT) AS w_sum, "
+        "CAST(sum(w * v) // sum(w) AS BIGINT) AS est "
+        "FROM g GROUP BY 1, 2"
+    )
+
+
+_MIX_SUFFIX = (
+    "CASE doc_id % 4 WHEN 0 THEN ' мир москва' WHEN 1 THEN ' 中文网页' "
+    "WHEN 2 THEN ' 2026 12345' ELSE '' END"
+)
+
+
+def _q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script-mix profile (textops.script_mix) over documents
+    with a deterministic Cyrillic/CJK/digit suffix injected by doc_id%4
+    (the base corpus is pure ASCII, which would make every row score 0);
+    counting-by-deletion regexes — identical semantics in both engines."""
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"concat(text, {_MIX_SUFFIX}) AS text"
+    )
+    return textops.script_mix(d)
+
+
+_MIX_SQL = (
+    f"WITH d AS (SELECT doc_id, text || {_MIX_SUFFIX} AS text "
+    "FROM documents), "
+    "c AS (SELECT doc_id, "
+    "CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) "
+    "AS BIGINT) AS n_latin, "
+    "CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) "
+    "AS BIGINT) AS n_digit, "
+    "CAST(length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')) "
+    "AS BIGINT) AS n_cyr, "
+    "CAST(length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) "
+    "AS BIGINT) AS n_cjk FROM d) "
+    "SELECT doc_id, n_latin, n_digit, n_cyr, n_cjk, "
+    "n_latin + n_digit + n_cyr + n_cjk AS n_marks, "
+    "CASE WHEN n_latin + n_digit + n_cyr + n_cjk = 0 THEN 0 "
+    "ELSE 1000000 - greatest(n_latin, n_digit, n_cyr, n_cjk) * 1000000 "
+    "// (n_latin + n_digit + n_cyr + n_cjk) END AS mix_e6 FROM c"
+)
+
+
+def _q_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week profile (temporal.activity_profile): per event type,
+    (dow, hour) counts + e6 share — dow/hour from pure epoch arithmetic
+    (0=Sunday via (days+4) mod 7), never engine calendar functions."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", _ntz_epoch_us("ts").alias("ts_us")
+    )
+    return temporal.activity_profile(e)
+
+
+_PROFILE_SQL = (
+    "WITH e AS (SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us "
+    "FROM events), "
+    "s AS (SELECT event_type, "
+    "CAST((ts_us // 86400000000 + 4) % 7 AS INT) AS dow, "
+    "CAST((ts_us // 3600000000) % 24 AS INT) AS hour FROM e), "
+    "n AS (SELECT event_type, dow, hour, CAST(count(*) AS BIGINT) AS n "
+    "FROM s GROUP BY 1, 2, 3), "
+    "t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot "
+    "FROM n GROUP BY 1) "
+    "SELECT n.event_type, n.dow, n.hour, n.n, "
+    "CAST(n.n * 1000000 // t.tot AS BIGINT) AS share_e6 "
+    "FROM n JOIN t USING (event_type)"
+)
+
+
+# wave 16 — synchronous label propagation, focal gradient, trajectory
+# cell-set Jaccard.
+
+_LPA_ROUNDS = 2
+
+
+def _q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous LPA communities (graph.label_propagation, 2 rounds)
+    over the synthetic link graph: most-frequent neighbor label,
+    smallest-label tiebreak — the oracle unrolls the same rounds."""
+    return graph.label_propagation(
+        _link_edges(spark, sf_dir), rounds=_LPA_ROUNDS
+    )
+
+
+def _lpa_sql(rounds: int = _LPA_ROUNDS) -> str:
+    parts = [
+        f"raw AS ({_EDGES_SQL})",
+        "e AS MATERIALIZED (SELECT DISTINCT x, y FROM ("
+        "SELECT src AS x, dst AS y FROM raw WHERE src <> dst "
+        "UNION ALL SELECT dst, src FROM raw WHERE src <> dst))",
+        "l0 AS (SELECT DISTINCT x AS id, x AS label FROM e)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"c{i + 1} AS (SELECT e.x, l.label, count(*) AS n "
+            f"FROM e JOIN l{i} l ON e.y = l.id GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"l{i + 1} AS MATERIALIZED (SELECT x AS id, label FROM ("
+            "SELECT x, label, row_number() OVER (PARTITION BY x "
+            f"ORDER BY n DESC, label ASC) AS rn FROM c{i + 1}) WHERE rn = 1)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label"
+        f" FROM l{rounds}"
+    )
+
+
+_GRAD_RES = 5
+
+
+def _q_grid_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Central-difference gradient (spatial.focal_gradient) over the
+    event-density grid at res 5: missing neighbors are 0 (sparse
+    semantics), longitude wraps — integer slopes, bit-exact."""
+    e = _t(spark, sf_dir, "events")
+    x, y = cells.xy_cols(
+        _lat_col(F.col("event_id")), _lon_col(F.col("event_id")), _GRAD_RES
+    )
+    grid = (
+        e.select(x.alias("cx"), y.alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return spatial.focal_gradient(grid, res=_GRAD_RES)
+
+
+def _grad_sql() -> str:
+    n = 1 << _GRAD_RES
+    x, y = _sql_cell_xy("lat", "lon", _GRAD_RES)
+    return (
+        "WITH pts AS (SELECT " + _lat_sql("event_id") + " AS lat, "
+        + _lon_sql("event_id") + " AS lon FROM events), "
+        f"g AS (SELECT {x} AS cx, {y} AS cy, CAST(count(*) AS BIGINT) AS v "
+        "FROM pts GROUP BY 1, 2), "
+        "o AS (SELECT * FROM (VALUES (0, 0, 0, 0, 1), (-1, 0, 1, 0, 0), "
+        "(1, 0, -1, 0, 0), (0, -1, 0, 1, 0), (0, 1, 0, -1, 0)) "
+        "t(dx, dy, cgx, cgy, slf)), "
+        f"s AS (SELECT (((g.cx + o.dx) % {n}) + {n}) % {n} AS tx, "
+        "g.cy + o.dy AS ty, o.cgx * g.v AS vx, o.cgy * g.v AS vy, "
+        "o.slf AS slf, o.slf * g.v AS vv FROM g, o "
+        f"WHERE g.cy + o.dy >= 0 AND g.cy + o.dy < {n}), "
+        "a AS (SELECT tx AS cx, ty AS cy, CAST(sum(vx) AS BIGINT) AS gx, "
+        "CAST(sum(vy) AS BIGINT) AS gy, max(slf) AS p, "
+        "CAST(sum(vv) AS BIGINT) AS n FROM s GROUP BY 1, 2) "
+        "SELECT cx, cy, n, gx, gy, "
+        "CAST(gx * gx + gy * gy AS BIGINT) AS g2 FROM a WHERE p = 1"
+    )
+
+
+_TJAC_RES = 4
+_TJAC_MIN_INTER = 2
+
+
+def _q_traj_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visited-cell-set Jaccard between users (trajectory.cell_jaccard)
+    over the shared trajectory frame at res 4, pairs with ≥2 shared
+    cells — integer e6 ratio, bit-exact."""
+    return trajectory.cell_jaccard(
+        _traj_events(spark, sf_dir), res=_TJAC_RES,
+        min_inter=_TJAC_MIN_INTER,
+    )
+
+
+def _tjac_sql() -> str:
+    x, y = _sql_cell_xy("lat", "lon", _TJAC_RES)
+    return (
+        f"WITH t AS ({_TRAJ_SQL}), "
+        f"p AS (SELECT DISTINCT user_id AS u, {x} AS cx, {y} AS cy FROM t), "
+        "sz AS (SELECT u, CAST(count(*) AS BIGINT) AS sz FROM p GROUP BY 1), "
+        "i AS (SELECT a.u AS user_a, b.u AS user_b, "
+        "CAST(count(*) AS BIGINT) AS inter FROM p a JOIN p b "
+        "ON a.cx = b.cx AND a.cy = b.cy AND a.u < b.u "
+        f"GROUP BY 1, 2 HAVING count(*) >= {_TJAC_MIN_INTER}) "
+        "SELECT i.user_a, i.user_b, sa.sz AS n_a, sb.sz AS n_b, i.inter, "
+        "CAST(i.inter * 1000000 // (sa.sz + sb.sz - i.inter) AS BIGINT) "
+        "AS jaccard_e6 FROM i JOIN sz sa ON i.user_a = sa.u "
+        "JOIN sz sb ON i.user_b = sb.u"
+    )
+
+
+# wave 17 — histogram quantiles, concentration indices.
+
+_HQ_BIN = 50
+_HQ_PCTS = (50, 90, 99)
+
+
+def _q_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantiles (stats.hist_quantiles) of document length per
+    (lang, source): fixed 50-char bins, quantile = lower edge of the
+    first bin whose cumulative count crosses p% — integer end to end."""
+    return stats.hist_quantiles(
+        _t(spark, sf_dir, "documents"), ["lang", "source"], "n_chars",
+        _HQ_BIN, list(_HQ_PCTS),
+    )
+
+
+def _hq_sql() -> str:
+    picks = ", ".join(
+        f"CAST(min(CASE WHEN cum * 100 >= tot * {p} THEN bin * {_HQ_BIN} END) "
+        f"AS BIGINT) AS p{p}"
+        for p in _HQ_PCTS
+    )
+    return (
+        f"WITH b AS (SELECT lang, source, n_chars // {_HQ_BIN} AS bin, "
+        "count(*) AS n FROM documents GROUP BY 1, 2, 3), "
+        "c AS (SELECT lang, source, bin, n, "
+        "sum(n) OVER (PARTITION BY lang, source ORDER BY bin) AS cum, "
+        "sum(n) OVER (PARTITION BY lang, source) AS tot FROM b) "
+        "SELECT lang, source, CAST(max(tot) AS BIGINT) AS n_total, "
+        + picks + " FROM c GROUP BY 1, 2"
+    )
+
+
+def _q_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration profile (stats.concentration) of event types per
+    user: top-share e6 and Herfindahl e8 — the template-domination
+    screen, exact integer moments."""
+    return stats.concentration(
+        _t(spark, sf_dir, "events"), ["user_id"], "event_type"
+    )
+
+
+_CONC_SQL = (
+    "WITH pi AS (SELECT user_id, event_type, count(*) AS n "
+    "FROM events GROUP BY 1, 2) "
+    "SELECT user_id, CAST(count(*) AS BIGINT) AS n_items, "
+    "CAST(sum(n) AS BIGINT) AS n_total, "
+    "CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS top_share_e6, "
+    "CAST(sum(n * n) * 100000000 // (sum(n) * sum(n)) AS BIGINT) AS hhi_e8 "
+    "FROM pi GROUP BY 1"
+)
+
+
+# wave 18 — Geary's C, modularity of the LPA labeling.
+
+def _q_geary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geary's C (spatial.geary_c) over the same res-4 density surface
+    global_moran scores — pairwise squared differences, integer DECIMAL
+    accumulation, truncating div on both engines."""
+    pts = _traj_events(spark, sf_dir).select("lat", "lon")
+    return spatial.geary_c(pts, res=_MORAN_RES)
+
+
+def _geary_sql() -> str:
+    n = 1 << _MORAN_RES
+    x = (
+        f"CAST(least(greatest(floor((lon + 180.0e0) / 360.0e0 * {n}.0e0), "
+        f"0.0e0), {n - 1}.0e0) AS BIGINT)"
+    )
+    y = (
+        f"CAST(least(greatest(floor((lat + 90.0e0) / 180.0e0 * {n}.0e0), "
+        f"0.0e0), {n - 1}.0e0) AS BIGINT)"
+    )
+    return (
+        f"WITH t AS ({_TRAJ_SQL}), "
+        f"c AS (SELECT {x} AS cx, {y} AS cy, "
+        "CAST(count(*) AS BIGINT) AS x FROM t GROUP BY 1, 2), "
+        "o AS (SELECT dx.d AS ddx, dy.d AS ddy FROM "
+        "(VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d) "
+        "WHERE NOT (dx.d = 0 AND dy.d = 0)), "
+        "nb AS (SELECT c.cx + o.ddx AS cx, c.cy + o.ddy AS cy, "
+        "c.x AS nx FROM c, o), "
+        "na AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS k, "
+        "CAST(sum(nx) AS BIGINT) AS nb, "
+        "CAST(sum(nx * nx) AS BIGINT) AS nbsq FROM nb GROUP BY cx, cy), "
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(x) AS BIGINT) AS s FROM c), "
+        "j AS (SELECT c.x, coalesce(na.k, 0) AS k, "
+        "coalesce(na.nb, 0) AS nb, coalesce(na.nbsq, 0) AS nbsq, "
+        "tot.n, tot.s FROM c "
+        "LEFT JOIN na ON c.cx = na.cx AND c.cy = na.cy, tot), "
+        "a AS (SELECT max(n) AS n_cells, max(s) AS s_total, "
+        "CAST(sum(k) AS BIGINT) AS w_pairs, "
+        "sum(CAST(k * x * x - 2 * x * nb + nbsq AS HUGEINT)) AS num, "
+        "sum(CAST(n * x - s AS HUGEINT) * CAST(n * x - s AS HUGEINT)) "
+        "AS den FROM j) "
+        "SELECT n_cells, s_total, w_pairs, "
+        "CAST(((n_cells - 1) * n_cells * n_cells * num * 1000000) // "
+        "greatest(2 * w_pairs * den, 1) AS BIGINT) AS geary_e6 FROM a"
+    )
+
+
+def _q_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity per community (graph.modularity) of the 2-round LPA
+    labeling over the synthetic link graph — exact integer q_e9, the
+    clustering-quality score next to lpa_communities."""
+    e = _link_edges(spark, sf_dir)
+    return graph.modularity(e, graph.label_propagation(e, rounds=_LPA_ROUNDS))
+
+
+def _modularity_sql() -> str:
+    # reuse the LPA CTE chain, then score it
+    lpa = _lpa_sql()
+    ctes = lpa[len("WITH "):lpa.index(" SELECT CAST(id AS BIGINT)")]
+    return (
+        "WITH " + ctes + ", "
+        "se AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM raw WHERE src <> dst), "
+        f"te AS MATERIALIZED (SELECT se.a, se.b, la.label AS la, "
+        f"lb.label AS lb FROM se JOIN l{_LPA_ROUNDS} la ON se.a = la.id "
+        f"JOIN l{_LPA_ROUNDS} lb ON se.b = lb.id), "
+        "mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM te), "
+        "mi AS (SELECT la AS label, CAST(count(*) AS BIGINT) AS m_in "
+        "FROM te WHERE la = lb GROUP BY 1), "
+        "dg AS (SELECT id, label, CAST(count(*) AS BIGINT) AS d FROM ("
+        "SELECT a AS id, la AS label FROM te "
+        "UNION ALL SELECT b, lb FROM te) GROUP BY 1, 2), "
+        "pl AS (SELECT label, CAST(count(*) AS BIGINT) AS n_nodes, "
+        "CAST(sum(d) AS BIGINT) AS d_tot FROM dg GROUP BY 1) "
+        "SELECT CAST(pl.label AS BIGINT) AS label, pl.n_nodes, "
+        "CAST(coalesce(mi.m_in, 0) AS BIGINT) AS m_in, pl.d_tot, "
+        "CAST((CAST(4 AS HUGEINT) * mm.m * coalesce(mi.m_in, 0) "
+        "- CAST(pl.d_tot AS HUGEINT) * pl.d_tot) * 1000000000 "
+        "// (CAST(4 AS HUGEINT) * mm.m * mm.m) AS BIGINT) AS q_e9 "
+        "FROM pl LEFT JOIN mi USING (label), mm"
+    )
+
+
 # --------------------------------------------------------------------------
 # Suite queries — tagged-union fold of same-family operators into ONE
 # driver gate slot.
@@ -4057,6 +4415,49 @@ def _suite_specs():
               ("bonus", "bonus", "i"), ("quota", "quota", "i")]),
             ("dilate", "dilate_cover", _q_dilate_cover,
              "cx", "cy", [("covered", None, "one")]),
+            # wave 15 folds into the same slot
+            ("idw", "idw_surface", _q_idw,
+             "cx", "cy",
+             [("n_samples", "n_samples", "i"), ("w_sum", "w_sum", "i"),
+              ("est", "est", "i")]),
+            ("mix", "script_mix", _q_script_mix,
+             "doc_id", None,
+             [("n_latin", "n_latin", "i"), ("n_digit", "n_digit", "i"),
+              ("n_cyr", "n_cyr", "i"), ("n_cjk", "n_cjk", "i"),
+              ("n_marks", "n_marks", "i"), ("mix_e6", "mix_e6", "i")]),
+            ("profile", "activity_profile", _q_activity_profile,
+             "event_type", ["dow", "hour"],
+             [("n", "n", "i"), ("share_e6", "share_e6", "i")]),
+            # wave 16 folds into the same slot
+            ("lpa", "lpa_communities", _q_lpa,
+             "id", None, [("label", "label", "i")]),
+            ("grad", "grid_gradient", _q_grid_gradient,
+             "cx", "cy",
+             [("n", "n", "i"), ("gx", "gx", "i"), ("gy", "gy", "i"),
+              ("g2", "g2", "i")]),
+            ("tjac", "traj_jaccard", _q_traj_jaccard,
+             "user_a", "user_b",
+             [("n_a", "n_a", "i"), ("n_b", "n_b", "i"),
+              ("inter", "inter", "i"), ("jaccard_e6", "jaccard_e6", "i")]),
+            # wave 17 folds into the same slot
+            ("hq", "len_quantiles", _q_len_quantiles,
+             "lang", "source",
+             [("n_total", "n_total", "i")]
+             + [(f"p{p}", f"p{p}", "i") for p in _HQ_PCTS]),
+            ("conc", "user_concentration", _q_user_concentration,
+             "user_id", None,
+             [("n_items", "n_items", "i"), ("n_total", "n_total", "i"),
+              ("top_share_e6", "top_share_e6", "i"),
+              ("hhi_e8", "hhi_e8", "i")]),
+            # wave 18 folds into the same slot
+            ("geary", "geary_stat", _q_geary,
+             "n_cells", None,
+             [("s_total", "s_total", "i"), ("w_pairs", "w_pairs", "i"),
+              ("geary_e6", "geary_e6", "i")]),
+            ("qmod", "lpa_modularity", _q_lpa_modularity,
+             "label", None,
+             [("n_nodes", "n_nodes", "i"), ("m_in", "m_in", "i"),
+              ("d_tot", "d_tot", "i"), ("q_e9", "q_e9", "i")]),
         ],
         "curation_suite": [
             ("contam", "contamination", _q_contamination,
@@ -4328,6 +4729,20 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 14
         "crawl_budget": _q_crawl_budget,
         "dilate_cover": _q_dilate_cover,
+        # wave 15
+        "idw_surface": _q_idw,
+        "script_mix": _q_script_mix,
+        "activity_profile": _q_activity_profile,
+        # wave 16
+        "lpa_communities": _q_lpa,
+        "grid_gradient": _q_grid_gradient,
+        "traj_jaccard": _q_traj_jaccard,
+        # wave 17
+        "len_quantiles": _q_len_quantiles,
+        "user_concentration": _q_user_concentration,
+        # wave 18
+        "geary_stat": _q_geary,
+        "lpa_modularity": _q_lpa_modularity,
     }
 
 
@@ -5435,6 +5850,20 @@ def oracle_sql() -> dict[str, str]:
     # wave-14 oracles
     sqls["crawl_budget"] = _BUDGET_SQL
     sqls["dilate_cover"] = _dilate_sql()
+    # wave-15 oracles
+    sqls["idw_surface"] = _idw_sql()
+    sqls["script_mix"] = _MIX_SQL
+    sqls["activity_profile"] = _PROFILE_SQL
+    # wave-16 oracles
+    sqls["lpa_communities"] = _lpa_sql()
+    sqls["grid_gradient"] = _grad_sql()
+    sqls["traj_jaccard"] = _tjac_sql()
+    # wave-17 oracles
+    sqls["len_quantiles"] = _hq_sql()
+    sqls["user_concentration"] = _CONC_SQL
+    # wave-18 oracles
+    sqls["geary_stat"] = _geary_sql()
+    sqls["lpa_modularity"] = _modularity_sql()
     # suite oracles composed verbatim from the per-operator strings above —
     # a green suite row certifies every folded operator's values.
     sqls.update(_suite_oracle_sql(sqls))

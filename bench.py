@@ -147,6 +147,20 @@ BENCH_QUERIES = [
     # wave 14
     "crawl_budget",
     "dilate_cover",
+    # wave 15
+    "idw_surface",
+    "script_mix",
+    "activity_profile",
+    # wave 16
+    "lpa_communities",
+    "grid_gradient",
+    "traj_jaccard",
+    # wave 17
+    "len_quantiles",
+    "user_concentration",
+    # wave 18
+    "geary_stat",
+    "lpa_modularity",
 ]
 
 

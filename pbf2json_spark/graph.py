@@ -668,3 +668,151 @@ def host_graph(
         .agg(F.count(F.lit(1)).alias("n_src_pages"))
     )
     return links.join(srcs, ["from_host", "to_host"])
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 2,
+) -> DataFrame:
+    """Synchronous label-propagation communities (LPA) over the
+    UNDIRECTED graph underlying (src, dst) — the cheap community pass a
+    web corpus runs between connected components (too coarse: one giant
+    blob) and modularity methods (too expensive at 10^12 edges): mirror
+    domains, template rings, and topic clusters settle into shared
+    labels within 2-5 rounds.
+
+    Deterministic by construction, unlike textbook LPA: every round is
+    SYNCHRONOUS (all nodes update from the same previous labeling — no
+    update-order dependence), and the adopted label is the most frequent
+    neighbor label with ties broken by the SMALLEST label. Labels start
+    as the node id, so round results are stable node-id sets on any
+    engine / partitioning — the DuckDB oracle unrolls the same rounds.
+
+    Shape at 10^12 edges: per round, one equi-join of the (deduped,
+    symmetrized) edge list against the |V|-sized label frame, ONE
+    combinable groupBy to (node, label) counts, and ONE argmax groupBy
+    to pick the winner — both map-side combinable; only (id, label,
+    count) int64 triples cross the shuffles. The argmax is
+    max(struct(count, -label)) — no window over the neighbor lists.
+    localCheckpoint per round bounds lineage.
+
+    Returns (id, label) after `rounds` rounds.
+    """
+    e = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .unionByName(
+            edges.select(F.col(dst).alias("x"), F.col(src).alias("y"))
+            .filter(F.col("x") != F.col("y"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = e.select(F.col("x").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(rounds):
+        counts = (
+            e.join(labels.withColumnRenamed("id", "y"), "y")
+            .groupBy("x", "label")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        labels = (
+            counts.groupBy("x")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("_n").alias("n"),
+                        (-F.col("label")).alias("nl"),
+                    )
+                ).alias("_b")
+            )
+            .select(F.col("x").alias("id"), (-F.col("_b.nl")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity of a community labeling — the quality score
+    that turns label_propagation from "some labels" into a measurable
+    clustering (compare labelings, stop iterating when Q plateaus, flag
+    spam rings whose Q is implausibly high):
+
+        Q = Σ_c [ m_c/m − (d_c/(2m))² ] = Σ_c (4m·m_c − d_c²) / (4m²)
+
+    over the UNDIRECTED simple graph underlying (src, dst) — self-loops
+    and duplicate/reverse edges dropped, the same normalization as
+    label_propagation. Emitted per community as exact integers:
+
+        q_e9 = (4m·m_c − d_c²) · 1e9 div (4m²)
+
+    (negative for communities sparser than chance; Σ q_e9 ≈ Q·1e9 with
+    per-community truncation toward zero — DuckDB `//`-identical).
+
+    Shape at 10^12 edges: the symmetrize+distinct exchange, two
+    label-map equi-joins on the endpoints, and THREE combinable
+    groupBys (degree per node already folded into the label join; m_c
+    and d_c per label). Only (id, label) pairs and int64 counters cross
+    any shuffle. Unlabeled endpoints (nodes absent from `labels`) fail
+    the inner join loudly by dropping their edges — pass a complete
+    labeling (label_propagation emits one).
+
+    Output: (label, n_nodes, m_in, d_tot, q_e9), one row per community.
+    """
+    e = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .filter(F.col(src) != F.col(dst))
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    lab = labels.select(F.col(id_col).alias("_id"), F.col(label_col))
+    la = lab.select(F.col("_id").alias("a"), F.col(label_col).alias("_la"))
+    lb = lab.select(F.col("_id").alias("b"), F.col(label_col).alias("_lb"))
+    tagged = e.join(la, "a").join(lb, "b")
+    m = tagged.count()
+    if m == 0:
+        raise ValueError("no labeled edges")
+    m_in = (
+        tagged.filter(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias(label_col))
+        .agg(F.count(F.lit(1)).alias("m_in"))
+    )
+    deg = (
+        tagged.select(F.col("a").alias("_id"), F.col("_la").alias(label_col))
+        .unionByName(
+            tagged.select(F.col("b").alias("_id"), F.col("_lb").alias(label_col))
+        )
+        .groupBy("_id", label_col)
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    per_label = deg.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.sum("_d").alias("d_tot")
+    )
+    return (
+        per_label.join(m_in, label_col, "left")
+        .select(
+            label_col,
+            "n_nodes",
+            F.coalesce("m_in", F.lit(0)).cast("long").alias("m_in"),
+            "d_tot",
+            # DECIMAL(38,0): 4m·m_c·1e9 passes 2^63 once m > ~10^5
+            F.expr(
+                f"CAST((CAST(4 AS DECIMAL(38,0)) * {m} * coalesce(m_in, 0) "
+                f"- CAST(d_tot AS DECIMAL(38,0)) * d_tot) * 1000000000 "
+                f"div (CAST(4 AS DECIMAL(38,0)) * {m} * {m}) AS BIGINT)"
+            ).alias("q_e9"),
+        )
+    )

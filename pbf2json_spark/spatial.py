@@ -1515,3 +1515,232 @@ def dilate_cover(
         )
         .distinct()
     )
+
+
+def idw_interpolate(
+    samples: DataFrame,
+    res: int,
+    radius: int = 2,
+    value_col: str = "value",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Inverse-distance-weighted grid interpolation — the raster
+    estimator: every grid cell within `radius` rings of a sample gets
+    the weighted mean of nearby sample values, weight = SCALE div
+    (1 + d²) with d² the squared cell-unit euclidean offset. Fully
+    integer (values are longs; est = Σ w·v div Σ w), so the surface is
+    bit-identical on any engine — the float IDW's order-dependent sum
+    is exactly what this formulation removes.
+
+    Longitude wraps (pmod); latitude offsets that fall off the poles are
+    DROPPED, not clamped — clamping would double-count a sample into the
+    same polar cell at two different weights.
+
+    Shape at 10^10 samples: ONE combinable groupBy. Each sample
+    SCATTERS to its (2r+1)² disk inside codegen (explode of a constant
+    offset grid — no join against a cell table, no candidate pairing;
+    each (sample, target) pair is generated exactly once), and the
+    groupBy collapses to cells. Weights are compile-time constants per
+    offset.
+
+    Output: (cx, cy, n_samples, w_sum, est).
+    """
+    n = 1 << res
+    scale = 1_000_000
+    x, y = cells.xy_cols(F.col(lat_col), F.col(lon_col), res)
+    offs = [
+        (dx, dy, scale // (1 + dx * dx + dy * dy))
+        for dx in range(-radius, radius + 1)
+        for dy in range(-radius, radius + 1)
+    ]
+    scatter = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(w).cast("long").alias("w"))
+        for dx, dy, w in offs
+    ])
+    return (
+        samples.select(
+            x.alias("_sx"), y.alias("_sy"),
+            F.col(value_col).cast("long").alias("_v"),
+            F.explode(scatter).alias("_o"),
+        )
+        .select(
+            F.pmod(F.col("_sx") + F.col("_o.dx"), F.lit(n)).alias("cx"),
+            (F.col("_sy") + F.col("_o.dy")).alias("cy"),
+            F.col("_o.w").alias("_w"),
+            F.col("_v"),
+        )
+        .filter((F.col("cy") >= 0) & (F.col("cy") < n))
+        .groupBy("cx", "cy")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("_w").alias("w_sum"),
+            F.expr("CAST(sum(_w * _v) div sum(_w) AS BIGINT)").alias("est"),
+        )
+    )
+
+
+def focal_gradient(
+    tiles: DataFrame,
+    res: int,
+    value_col: str = "n",
+) -> DataFrame:
+    """Central-difference gradient over an AGGREGATED grid — the
+    slope/edge-detection pass on a density surface (hotspot boundaries,
+    coastline-like transitions in a crawl-coverage raster): for every
+    cell PRESENT in the input,
+
+        gx = v(x+1, y) − v(x−1, y)      gy = v(x, y+1) − v(x, y−1)
+        g2 = gx² + gy²
+
+    with MISSING neighbors counted as 0 (sparse grid semantics — an
+    empty cell is a zero-density cell, so the surface's rim shows the
+    steepest gradients, which is the point). Longitude wraps (pmod);
+    off-grid latitude neighbors are 0 like any other absent cell.
+
+    Shape at any scale: runs on the aggregated tile frame (≤ 4^res
+    rows), SCATTER formulation — each cell ships its value to the 4
+    neighbors it influences (constant 5-element explode incl. the
+    presence self-mark, inside codegen) and ONE map-side-combinable
+    groupBy sums the signed contributions. No self-join against the
+    grid, no window. Integer values stay integers.
+
+    Output: (cx, cy, <value_col>, gx, gy, g2) — input cells only.
+    """
+    n = 1 << res
+    v = F.col(value_col).cast("long")
+    # contributions to target (tx, ty): (dx, dy, gx_coef, gy_coef, self)
+    offs = [
+        (0, 0, 0, 0, 1),
+        (-1, 0, 1, 0, 0),   # target x−1 sees me as its x+1 → +v to its gx
+        (1, 0, -1, 0, 0),
+        (0, -1, 0, 1, 0),
+        (0, 1, 0, -1, 0),
+    ]
+    scattered = tiles.select(
+        v.alias("_v"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.pmod(F.col("cx") + dx, F.lit(n)).alias("tx"),
+                    (F.col("cy") + dy).alias("ty"),
+                    F.lit(cx_c).alias("cgx"),
+                    F.lit(cy_c).alias("cgy"),
+                    F.lit(s).alias("slf"),
+                )
+                for dx, dy, cx_c, cy_c, s in offs
+            ])
+        ).alias("o"),
+    ).filter((F.col("o.ty") >= 0) & (F.col("o.ty") < n))
+    out = (
+        scattered.groupBy(
+            F.col("o.tx").alias("cx"), F.col("o.ty").alias("cy")
+        )
+        .agg(
+            F.sum(F.col("o.cgx") * F.col("_v")).alias("gx"),
+            F.sum(F.col("o.cgy") * F.col("_v")).alias("gy"),
+            F.max(F.col("o.slf")).alias("_p"),
+            F.sum(F.col("o.slf") * F.col("_v")).alias(value_col),
+        )
+        .filter(F.col("_p") == 1)
+        .drop("_p")
+    )
+    return out.select(
+        "cx", "cy", value_col, "gx", "gy",
+        (F.col("gx") * F.col("gx") + F.col("gy") * F.col("gy")).alias("g2"),
+    )
+
+
+def geary_c(
+    points: DataFrame,
+    res: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Global Geary's C over grid-cell point counts — the PAIRWISE
+    spatial-autocorrelation statistic completing the ESDA family next to
+    Moran's I (local_moran / global_moran): C < 1 clustered, C ≈ 1
+    random, C > 1 dispersed. Geary reacts to local squared DIFFERENCES
+    where Moran reacts to covariance with the mean, so the two disagree
+    exactly when small-scale heterogeneity hides inside large-scale
+    trend — the reason surveys report both.
+
+        C = (N−1)·Σ_ij w_ij (x_i − x_j)²  /  (2W · Σ_i (x_i − x̄)²)
+
+    Integer-exact formulation (queen weights over OCCUPIED cells, same
+    convention as global_moran): the numerator's pair sum is already
+    integer; the variance term uses the dev trick Σ(N·x_i − S)² = N²·Σ
+    (x_i − x̄)², giving
+
+        geary_e6 = (N−1)·N²·Σ_i (k_i·x_i² − 2·x_i·nbr_i + nbrsq_i)·1e6
+                   div (2W · Σ_i (N·x_i − S)²)
+
+    with every accumulation in DECIMAL(38,0). Truncation toward zero
+    matches DuckDB's `//`.
+
+    Shape: identical to global_moran — one combinable count over the
+    points, one 8-shift scatter over the AGGREGATED cell frame (now also
+    carrying x², still ids+ints only), one global agg. Output is 1 row.
+
+    Output: (n_cells, s_total, w_pairs, geary_e6).
+    """
+    x, y = cells.xy_cols(F.col(lat_col), F.col(lon_col), res)
+    counts = (
+        points.select(x.alias("cx"), y.alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if not (dx == 0 and dy == 0)]
+    probe = None
+    for dx, dy in offs:
+        o = counts.select(
+            (F.col("cx") + dx).alias("cx"),
+            (F.col("cy") + dy).alias("cy"),
+            F.col("x").alias("_nx"),
+        )
+        probe = o if probe is None else probe.unionByName(o)
+    nbr = probe.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).alias("k_nbrs"),
+        F.sum("_nx").alias("nbr_sum"),
+        F.sum(F.col("_nx") * F.col("_nx")).alias("nbr_sq"),
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("x").alias("_s")
+    )
+    j = (
+        counts.join(nbr, ["cx", "cy"], "left")
+        .select(
+            "x",
+            F.coalesce("k_nbrs", F.lit(0)).cast("long").alias("k"),
+            F.coalesce("nbr_sum", F.lit(0)).cast("long").alias("nb"),
+            F.coalesce("nbr_sq", F.lit(0)).cast("long").alias("nbsq"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    agg = j.agg(
+        F.max("_n").alias("n_cells"),
+        F.max("_s").alias("s_total"),
+        F.sum("k").alias("w_pairs"),
+        F.sum(
+            F.expr(
+                "CAST(k * x * x - 2 * x * nb + nbsq AS DECIMAL(38,0))"
+            )
+        ).alias("_num"),
+        F.sum(
+            F.expr(
+                "CAST(_n * x - _s AS DECIMAL(38,0)) * "
+                "CAST(_n * x - _s AS DECIMAL(38,0))"
+            )
+        ).alias("_den"),
+    )
+    return agg.select(
+        "n_cells",
+        "s_total",
+        "w_pairs",
+        F.expr(
+            "CAST(((n_cells - 1) * n_cells * n_cells * _num * 1000000) div "
+            "greatest(2 * w_pairs * _den, 1) AS BIGINT)"
+        ).alias("geary_e6"),
+    )

@@ -806,3 +806,38 @@ def cusum_changepoint(
             ).alias("cusum_e6"),
         )
     )
+
+
+def activity_profile(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_us_col: str = "ts_us",
+) -> DataFrame:
+    """Hour-of-week activity profile per key — the crawl-scheduling /
+    anomaly baseline: for each (key, day-of-week, hour-of-day) slot, the
+    event count and its e6 share of the key's total. Day/hour come from
+    pure epoch arithmetic (dow: 0=Sunday via (days+4) mod 7; hour:
+    (secs div 3600) mod 24) — never the engines' calendar functions,
+    whose dow origins disagree (Spark counts Sunday=1, DuckDB Sunday=0).
+
+    Shape at 10^12 events: ONE combinable groupBy to (key, dow, hour) —
+    the profile matrix is |keys|·168 — plus a broadcast-scale key-total
+    join. No window.
+
+    Output: (key_col, dow, hour, n, share_e6).
+    """
+    ts = F.col(ts_us_col)
+    days = F.expr(f"{ts_us_col} div 86400000000")
+    slot = df.select(
+        F.col(key_col),
+        F.pmod(days + 4, F.lit(7)).cast("int").alias("dow"),
+        F.expr(f"({ts_us_col} div 3600000000) % 24").cast("int").alias("hour"),
+    )
+    n = slot.groupBy(key_col, "dow", "hour").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = n.groupBy(key_col).agg(F.sum("n").alias("_tot"))
+    return n.join(F.broadcast(tot), key_col).select(
+        key_col, "dow", "hour", "n",
+        F.expr("n * 1000000 div _tot").alias("share_e6"),
+    )

@@ -399,3 +399,52 @@ def remove_boilerplate_lines(
             (F.col("_n_total") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
         )
     )
+
+
+def script_mix(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode script-mix profile — the homoglyph/spoofing and
+    wrong-language-injection signal a web corpus runs at scan time:
+    count characters in four script classes (Latin letters, digits,
+    Cyrillic, CJK) plus the total and a mix score
+
+        mix_e6 = 1e6 − max_class · 1e6 div marks
+
+    (0 = single-script, large = heavily mixed — a Latin page with
+    scattered Cyrillic look-alikes scores > 0 where a clean page scores
+    exactly 0). Pure Column: each class count is
+    length(text) − length(regexp_replace(text, class, '')) — counting
+    by deletion, the one regex idiom with identical semantics in every
+    engine (no regexp_count dialect drift). Scan-stage, zero shuffle.
+
+    Output: (input columns minus text) + (n_latin, n_digit, n_cyr,
+    n_cjk, n_marks, mix_e6).
+    """
+    t = F.col(text_col)
+
+    def cnt(cls: str) -> Column:
+        return (
+            F.length(t) - F.length(F.regexp_replace(t, cls, ""))
+        ).cast("long")
+
+    out = df.select(
+        *[c for c in df.columns if c != text_col],
+        cnt("[A-Za-z]").alias("n_latin"),
+        cnt("[0-9]").alias("n_digit"),
+        cnt("[Ѐ-ӿ]").alias("n_cyr"),
+        cnt("[一-鿿]").alias("n_cjk"),
+    )
+    marks = (
+        F.col("n_latin") + F.col("n_digit") + F.col("n_cyr") + F.col("n_cjk")
+    )
+    top = F.greatest("n_latin", "n_digit", "n_cyr", "n_cjk")
+    return out.select(
+        "*",
+        marks.alias("n_marks"),
+        F.when(marks == 0, F.lit(0).cast("long")).otherwise(
+            F.lit(1_000_000).cast("long")
+            - F.expr(
+                "greatest(n_latin, n_digit, n_cyr, n_cjk) * 1000000 "
+                "div (n_latin + n_digit + n_cyr + n_cjk)"
+            )
+        ).alias("mix_e6"),
+    )

@@ -420,3 +420,166 @@ def cell_transitions(
         "from_cx", "from_cy", "to_cx", "to_cy", "n",
         F.expr("n * 1000000 div _tot").alias("p_e6"),
     )
+
+
+def cell_jaccard(
+    df: DataFrame,
+    res: int,
+    user_col: str = "user_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    min_inter: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Trajectory similarity as visited-cell-set Jaccard: for every pair
+    of users sharing at least `min_inter` grid cells at `res`,
+
+        jaccard_e6 = |A∩B| · 1e6 div (|A| + |B| − |A∩B|)
+
+    — the coarse "same places" measure under mirror-account linking,
+    carpool detection, and route clustering (exact on integer counts, so
+    both engines agree bit-for-bit; the e6 ratio avoids float division).
+
+    Scale guard: pairing is inherently |cell posting list|² per cell.
+    ``max_df`` drops cells visited by more users than the cap BEFORE
+    pairing (a transit-hub cell links everyone to everyone — that is
+    crowd noise, not similarity). Set sizes are computed on the SAME
+    thinned cell space so the ratio stays a true Jaccard of the kept
+    cells; max_df=None is exact.
+
+    Shape at 10^12 pings: ONE distinct exchange to (user, cell), a
+    combinable per-cell df count + semi-join thin, a self-equi-join on
+    the cell bounded by max_df, ONE combinable pair count, and two joins
+    against the |users|-sized size frame. Ids only in every shuffle —
+    intersections count rows, never materializing cell sets.
+
+    Output: (user_a, user_b, n_a, n_b, inter, jaccard_e6), user_a <
+    user_b, inter ≥ min_inter.
+    """
+    from pbf2json_spark import cells as _cells
+
+    x, y = _cells.xy_cols(F.col(lat_col), F.col(lon_col), res)
+    pts = df.select(
+        F.col(user_col).alias("u"), x.alias("cx"), y.alias("cy")
+    ).distinct()
+    if max_df is not None:
+        rare = (
+            pts.groupBy("cx", "cy")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("cx", "cy")
+        )
+        pts = pts.join(rare, ["cx", "cy"], "left_semi")
+    sizes = pts.groupBy("u").agg(F.count(F.lit(1)).alias("_sz"))
+    a = pts.select(F.col("u").alias("user_a"), "cx", "cy")
+    b = pts.select(F.col("u").alias("user_b"), "cx", "cy")
+    inter = (
+        a.join(b, ["cx", "cy"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .filter(F.col("inter") >= min_inter)
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("u", "user_a"), "user_a")
+        .withColumnRenamed("_sz", "n_a")
+        .join(sizes.withColumnRenamed("u", "user_b"), "user_b")
+        .withColumnRenamed("_sz", "n_b")
+        .select(
+            "user_a", "user_b", "n_a", "n_b", "inter",
+            F.expr("inter * 1000000 div (n_a + n_b - inter)")
+            .alias("jaccard_e6"),
+        )
+    )
+
+
+def cell_minhash_pairs(
+    df: DataFrame,
+    res: int,
+    user_col: str = "user_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    num_perm: int = 32,
+    bands: int = 16,
+    threshold_e6: int = 300_000,
+) -> DataFrame:
+    """LSH scale path for cell_jaccard: banded minhash over each user's
+    visited-cell SET finds candidate pairs without the per-cell self-join
+    — the variant to reach for when a dense city grid makes every cell a
+    hub and max_df thinning would discard the very cells that carry the
+    signal. Candidates are verified with the EXACT integer cell Jaccard
+    (no false positives; recall is the standard LSH S-curve at
+    num_perm/bands rows per band — measured against cell_jaccard in the
+    test suite).
+
+    Shape at 10^12 pings: the distinct (user, cell) exchange, ONE
+    groupBy collecting each user's cell array (bounded by 4^res, and in
+    practice by the user's radius — NOT corpus-scale), a bands-way
+    banded self-equi-join carrying only (user, band, bucket) triples,
+    and a verify join fetching the two cell arrays per deduped candidate
+    pair. The all-pairs blowup never happens; hub cells cost nothing
+    because cells are never join keys.
+
+    Output: (user_a, user_b, n_a, n_b, inter, jaccard_e6) with
+    jaccard_e6 ≥ threshold_e6 — same schema as cell_jaccard.
+    """
+    from pbf2json_spark import cells as _cells
+    from pbf2json_spark.dedup import minhash_signature
+
+    if num_perm % bands:
+        raise ValueError("bands must divide num_perm")
+    rpb = num_perm // bands
+    x, y = _cells.xy_cols(F.col(lat_col), F.col(lon_col), res)
+    n = 1 << res
+    pts = df.select(
+        F.col(user_col).alias("u"),
+        (x * n + y).cast("long").alias("_c"),
+    ).distinct()
+    sets = pts.groupBy("u").agg(
+        F.sort_array(F.collect_set("_c")).alias("_cs")
+    )
+    sig = sets.select(
+        "u",
+        minhash_signature(
+            F.transform(F.col("_cs"), lambda c: c.cast("string")), num_perm
+        ).alias("_sig"),
+    )
+    banded = sig.select(
+        "u",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(F.concat_ws(",", *[
+                    F.element_at("_sig", bi * rpb + j + 1)
+                    for j in range(rpb)
+                ])).alias("bkey"),
+            )
+            for bi in range(bands)
+        ])).alias("_b"),
+    ).select("u", F.col("_b.band").alias("_band"),
+             F.col("_b.bkey").alias("_bkey"))
+    cand = (
+        banded.select(F.col("u").alias("user_a"), "_band", "_bkey")
+        .join(banded.select(F.col("u").alias("user_b"), "_band", "_bkey"),
+              ["_band", "_bkey"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .dropDuplicates(["user_a", "user_b"])
+    )
+    sa = sets.select(F.col("u").alias("user_a"), F.col("_cs").alias("_csa"))
+    sb = sets.select(F.col("u").alias("user_b"), F.col("_cs").alias("_csb"))
+    return (
+        cand.join(sa, "user_a")
+        .join(sb, "user_b")
+        .select(
+            "user_a", "user_b",
+            F.size("_csa").cast("long").alias("n_a"),
+            F.size("_csb").cast("long").alias("n_b"),
+            F.size(F.array_intersect("_csa", "_csb")).cast("long")
+            .alias("inter"),
+        )
+        .withColumn(
+            "jaccard_e6",
+            F.expr("inter * 1000000 div (n_a + n_b - inter)"),
+        )
+        .filter(F.col("jaccard_e6") >= threshold_e6)
+    )
