@@ -4019,6 +4019,262 @@ def _modularity_sql() -> str:
     )
 
 
+# wave 19 — per-group OLS trend, degree assortativity, gravity-model OD
+# flows, Heaps vocabulary growth.
+
+def _q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type volume trend (stats.linear_trend): x = epoch day
+    index, y = daily count — exact integer OLS slope/intercept/signed-r²
+    in e6 fixed point, truncating div on both engines."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", _ntz_epoch_us("ts").alias("_us")
+    ).select("event_type", F.expr("_us div 86400000000").alias("d"))
+    daily = e.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("y"))
+    return stats.linear_trend(daily, ["event_type"], "d", "y")
+
+
+_TREND_SQL = (
+    "WITH e AS (SELECT event_type, "
+    "CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d FROM events), "
+    "pts AS (SELECT event_type, d AS x, CAST(count(*) AS BIGINT) AS y "
+    "FROM e GROUP BY 1, 2), "
+    "m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, "
+    "sum(CAST(x AS HUGEINT) * y) AS sxy, sum(CAST(x AS HUGEINT) * x) AS sxx, "
+    "sum(CAST(y AS HUGEINT) * y) AS syy FROM pts GROUP BY 1), "
+    "c AS (SELECT event_type, n, sx, sy, "
+    "CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS cov, "
+    "CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS vx, "
+    "CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS vy FROM m), "
+    "s AS (SELECT *, CASE WHEN vx = 0 THEN 0 "
+    "ELSE cov * 1000000 // vx END AS slope FROM c) "
+    "SELECT event_type, n, CAST(slope AS BIGINT) AS slope_e6, "
+    "CAST((CAST(sy AS HUGEINT) * 1000000 - slope * sx) // n AS BIGINT) "
+    "AS intercept_e6, "
+    "CAST(CASE WHEN vx = 0 OR vy = 0 THEN 0 ELSE "
+    "(CASE WHEN cov < 0 THEN -1 ELSE 1 END) * "
+    "(cov * cov * 1000000 // (vx * vy)) END AS BIGINT) AS sr2_e6 FROM s"
+)
+
+
+def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (graph.assortativity) of the synthetic link
+    graph — exact Pearson r·1e6 of endpoint degrees (the both-orientation
+    symmetry collapses the sqrt), one row of integer moments."""
+    return graph.assortativity(_link_edges(spark, sf_dir))
+
+
+def _assort_sql() -> str:
+    return (
+        f"WITH raw AS ({_EDGES_SQL}), "
+        "e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM raw WHERE src <> dst), "
+        "d AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM ("
+        "SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1), "
+        "t AS (SELECT da.d AS ja, db.d AS jb FROM e "
+        "JOIN d da ON e.a = da.v JOIN d db ON e.b = db.v), "
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges, "
+        "CAST(sum(ja + jb) AS BIGINT) AS sum_deg, "
+        "sum(CAST(ja AS HUGEINT) * ja + CAST(jb AS HUGEINT) * jb) AS sjj, "
+        "sum(CAST(ja AS HUGEINT) * jb * 2) AS sjk FROM t) "
+        "SELECT m_edges, sum_deg, CAST(sjj AS BIGINT) AS sum_deg_sq, "
+        "CAST(sjk AS BIGINT) AS sum_jk2, "
+        "CAST(CASE WHEN 2 * CAST(m_edges AS HUGEINT) * sjj "
+        "- CAST(sum_deg AS HUGEINT) * sum_deg = 0 THEN 0 ELSE "
+        "(2 * CAST(m_edges AS HUGEINT) * sjk "
+        "- CAST(sum_deg AS HUGEINT) * sum_deg) * 1000000 "
+        "// (2 * CAST(m_edges AS HUGEINT) * sjj "
+        "- CAST(sum_deg AS HUGEINT) * sum_deg) END AS BIGINT) AS r_e6 FROM m"
+    )
+
+
+_GRAV_RES = 4
+
+
+def _q_gravity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gravity-model OD screen (trajectory.gravity_flows) over a
+    deterministic flow matrix: origin cell from event_id, destination
+    cell from the 29·id+11 companion key, counts aggregated, then
+    expected/lift e6 vs outflow·inflow div (1+Chebyshev²)."""
+    e = _t(spark, sf_dir, "events")
+    fx, fy = cells.xy_cols(
+        _lat_col(F.col("event_id")), _lon_col(F.col("event_id")), _GRAV_RES
+    )
+    tk = F.col("event_id") * 29 + 11
+    tx, ty = cells.xy_cols(_lat_col(tk), _lon_col(tk), _GRAV_RES)
+    flows = (
+        e.select(fx.alias("from_x"), fy.alias("from_y"),
+                 tx.alias("to_x"), ty.alias("to_y"))
+        .groupBy("from_x", "from_y", "to_x", "to_y")
+        .agg(F.count(F.lit(1)).alias("n_trips"))
+    )
+    return trajectory.gravity_flows(flows)
+
+
+def _gravity_sql() -> str:
+    fx, fy = _sql_cell_xy("flat", "flon", _GRAV_RES)
+    tx, ty = _sql_cell_xy("tlat", "tlon", _GRAV_RES)
+    return (
+        "WITH k AS (SELECT " + _lat_sql("event_id") + " AS flat, "
+        + _lon_sql("event_id") + " AS flon, "
+        + _lat_sql("(event_id * 29 + 11)") + " AS tlat, "
+        + _lon_sql("(event_id * 29 + 11)") + " AS tlon FROM events), "
+        f"f AS (SELECT {fx} AS from_x, {fy} AS from_y, "
+        f"{tx} AS to_x, {ty} AS to_y, CAST(count(*) AS BIGINT) AS n "
+        "FROM k GROUP BY 1, 2, 3, 4), "
+        "o AS (SELECT from_x, from_y, CAST(sum(n) AS BIGINT) AS outflow "
+        "FROM f GROUP BY 1, 2), "
+        "i AS (SELECT to_x, to_y, CAST(sum(n) AS BIGINT) AS inflow "
+        "FROM f GROUP BY 1, 2), "
+        "tt AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM f), "
+        "j AS (SELECT f.*, o.outflow, i.inflow, tt.t, "
+        "greatest(abs(f.from_x - f.to_x), abs(f.from_y - f.to_y)) AS d "
+        "FROM f JOIN o USING (from_x, from_y) JOIN i USING (to_x, to_y), tt) "
+        "SELECT from_x, from_y, to_x, to_y, n, CAST(d AS BIGINT) AS d_cheb, "
+        "outflow, inflow, "
+        "CAST(CAST(outflow AS HUGEINT) * inflow * 1000000 "
+        "// (CAST(t AS HUGEINT) * (1 + d * d)) AS BIGINT) AS expected_e6, "
+        "CAST(CAST(n AS HUGEINT) * t * (1 + d * d) * 1000000 "
+        "// (CAST(outflow AS HUGEINT) * inflow) AS BIGINT) AS lift_e6 FROM j"
+    )
+
+
+_VOCAB_BUCKET = 100
+
+
+def _q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps vocabulary-growth curve (corpus.vocab_growth): new token
+    types per 100-doc bucket (first occurrence = min doc_id — a pure
+    aggregate, order-independent) vs cumulative token volume."""
+    return corpus.vocab_growth(
+        _t(spark, sf_dir, "documents"), _VOCAB_BUCKET
+    )
+
+
+_VOCAB_SQL = (
+    "WITH d AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 "
+    r"THEN [] ELSE string_split_regex(trim(text), '\s+') END AS ws "
+    "FROM documents), "
+    f"pb AS (SELECT doc_id // {_VOCAB_BUCKET} AS bucket, "
+    "CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(len(ws)) AS BIGINT) AS n_tokens FROM d GROUP BY 1), "
+    "fs AS (SELECT min(doc_id) AS fid FROM d, unnest(ws) AS u(tok) "
+    "GROUP BY tok), "
+    f"nv AS (SELECT fid // {_VOCAB_BUCKET} AS bucket, "
+    "CAST(count(*) AS BIGINT) AS new_types FROM fs GROUP BY 1) "
+    "SELECT pb.bucket, pb.n_docs, pb.n_tokens, "
+    "CAST(coalesce(nv.new_types, 0) AS BIGINT) AS new_types, "
+    "CAST(sum(pb.n_tokens) OVER (ORDER BY pb.bucket) AS BIGINT) "
+    "AS cum_tokens, "
+    "CAST(sum(coalesce(nv.new_types, 0)) OVER (ORDER BY pb.bucket) "
+    "AS BIGINT) AS cum_types "
+    "FROM pb LEFT JOIN nv USING (bucket)"
+)
+
+
+# wave 20 — n-gram novelty, pagination detection, Ripley-K pair counts.
+# (multimodal.audio_features is binary-decode: brute-force pytest
+# coverage in tests/test_wave20.py, no SQL oracle by design — same
+# policy as the PNG/WAV codec layer.)
+
+def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram novelty (corpus.ngram_novelty): share of the doc's
+    distinct bigrams whose corpus-wide first occurrence (min doc_id) is
+    this doc — integer e6, order-independent."""
+    return corpus.ngram_novelty(_t(spark, sf_dir, "documents"), 2)
+
+
+_NOVELTY_SQL = (
+    "WITH w AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] "
+    r"ELSE string_split_regex(trim(text), '\s+') END AS s FROM documents), "
+    "bg AS (SELECT DISTINCT doc_id, s[i] || ' ' || s[i+1] AS g FROM w, "
+    "LATERAL unnest(range(1, len(s))) t(i)), "
+    "ty AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_gram_types "
+    "FROM bg GROUP BY 1), "
+    "nv AS (SELECT fid AS doc_id, CAST(count(*) AS BIGINT) AS novel_types "
+    "FROM (SELECT min(doc_id) AS fid FROM bg GROUP BY g) GROUP BY 1) "
+    "SELECT d.doc_id, CAST(coalesce(ty.n_gram_types, 0) AS BIGINT) "
+    "AS n_gram_types, "
+    "CAST(coalesce(nv.novel_types, 0) AS BIGINT) AS novel_types, "
+    "CAST(CASE WHEN coalesce(ty.n_gram_types, 0) = 0 THEN 0 "
+    "ELSE coalesce(nv.novel_types, 0) * 1000000 // ty.n_gram_types END "
+    "AS BIGINT) AS novelty_e6 "
+    "FROM documents d LEFT JOIN ty USING (doc_id) "
+    "LEFT JOIN nv USING (doc_id)"
+)
+
+
+_PAGN_PAT = r"^(.*[/=_-])([0-9]+)$"
+
+
+def _q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination-family mining (weburl.pagination_groups) over the
+    robots-query synthetic URLs (they end /page/<n>): trailing-number
+    families with ≥3 distinct pages, min/max/contiguity."""
+    d = _t(spark, sf_dir, "documents")
+    pages = d.selectExpr(f"{_ROBOTS_PAGE_URL} AS url")
+    return weburl.pagination_groups(pages, min_pages=3)
+
+
+_PAGN_SQL = (
+    "WITH p AS (SELECT "
+    + _ROBOTS_PAGE_URL.replace(" AS STRING", " AS VARCHAR")
+    + " AS url FROM documents), "
+    f"m AS (SELECT regexp_extract(url, '{_PAGN_PAT}', 1) AS family, "
+    f"CAST(regexp_extract(url, '{_PAGN_PAT}', 2) AS BIGINT) AS pnum "
+    f"FROM p WHERE regexp_extract(url, '{_PAGN_PAT}', 1) <> ''), "
+    "g AS (SELECT family, CAST(count(DISTINCT pnum) AS BIGINT) AS n_pages, "
+    "CAST(min(pnum) AS BIGINT) AS min_page, "
+    "CAST(max(pnum) AS BIGINT) AS max_page FROM m GROUP BY 1) "
+    "SELECT family, n_pages, min_page, max_page, "
+    "(max_page - min_page + 1 = n_pages) AS contiguous "
+    "FROM g WHERE n_pages >= 3"
+)
+
+
+_RIPLEY_RES = 4
+_RIPLEY_MAX_R = 3
+
+
+def _q_ripley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-scale pair counting (spatial.ripley_pairs) over the shared
+    trajectory points at res 4: ordered pairs within Chebyshev cell
+    distance r for r ≤ 3, k_e6 = pair fraction — exact integers."""
+    pts = _traj_events(spark, sf_dir).select("lat", "lon")
+    return spatial.ripley_pairs(pts, res=_RIPLEY_RES, max_r=_RIPLEY_MAX_R)
+
+
+def _ripley_sql() -> str:
+    n = 1 << _RIPLEY_RES
+    r = _RIPLEY_MAX_R
+    x, y = _sql_cell_xy("lat", "lon", _RIPLEY_RES)
+    offs = ", ".join(
+        f"({dx}, {dy}, {max(abs(dx), abs(dy))})"
+        for dx in range(-r, r + 1) for dy in range(-r, r + 1)
+    )
+    return (
+        f"WITH t AS ({_TRAJ_SQL}), "
+        f"c AS (SELECT {x} AS cx, {y} AS cy, CAST(count(*) AS BIGINT) AS x "
+        "FROM t GROUP BY 1, 2), "
+        f"o AS (SELECT dx, dy, ring FROM (VALUES {offs}) v(dx, dy, ring)), "
+        f"s AS (SELECT (((c.cx + o.dx) % {n}) + {n}) % {n} AS cx, "
+        "c.cy + o.dy AS cy, o.ring AS ring, c.x AS sx FROM c, o "
+        f"WHERE c.cy + o.dy >= 0 AND c.cy + o.dy < {n}), "
+        "pr AS (SELECT s.ring, CAST(sum(s.sx * c2.x) AS BIGINT) AS pairs "
+        "FROM s JOIN c c2 ON s.cx = c2.cx AND s.cy = c2.cy GROUP BY 1), "
+        "tot AS (SELECT CAST(sum(x) AS BIGINT) AS n_pts, "
+        "CAST(count(*) AS BIGINT) AS nc FROM c), "
+        "cum AS (SELECT ring AS r, "
+        "CAST(sum(pairs) OVER (ORDER BY ring) AS BIGINT) AS cum FROM pr) "
+        "SELECT r, tot.n_pts AS n_points, tot.nc AS n_cells, "
+        "CAST(cum - tot.n_pts AS BIGINT) AS pairs_leq, "
+        "CAST(CASE WHEN tot.n_pts < 2 THEN 0 ELSE "
+        "CAST(cum - tot.n_pts AS HUGEINT) * 1000000 "
+        "// (CAST(tot.n_pts AS HUGEINT) * (tot.n_pts - 1)) END AS BIGINT) "
+        "AS k_e6 FROM cum, tot"
+    )
+
+
 # --------------------------------------------------------------------------
 # Suite queries — tagged-union fold of same-family operators into ONE
 # driver gate slot.
@@ -4458,6 +4714,43 @@ def _suite_specs():
              "label", None,
              [("n_nodes", "n_nodes", "i"), ("m_in", "m_in", "i"),
               ("d_tot", "d_tot", "i"), ("q_e9", "q_e9", "i")]),
+            # wave 19 folds into the same slot
+            ("trend", "daily_trend", _q_daily_trend,
+             "event_type", None,
+             [("n", "n", "i"), ("slope_e6", "slope_e6", "i"),
+              ("intercept_e6", "intercept_e6", "i"),
+              ("sr2_e6", "sr2_e6", "i")]),
+            ("assort", "assortativity", _q_assortativity,
+             "m_edges", None,
+             [("sum_deg", "sum_deg", "i"), ("sum_deg_sq", "sum_deg_sq", "i"),
+              ("sum_jk2", "sum_jk2", "i"), ("r_e6", "r_e6", "i")]),
+            ("grav", "gravity_flows", _q_gravity,
+             ["from_x", "from_y"], ["to_x", "to_y"],
+             [("n", "n", "i"), ("d_cheb", "d_cheb", "i"),
+              ("outflow", "outflow", "i"), ("inflow", "inflow", "i"),
+              ("expected_e6", "expected_e6", "i"),
+              ("lift_e6", "lift_e6", "i")]),
+            ("vocab", "vocab_growth", _q_vocab_growth,
+             "bucket", None,
+             [("n_docs", "n_docs", "i"), ("n_tokens", "n_tokens", "i"),
+              ("new_types", "new_types", "i"),
+              ("cum_tokens", "cum_tokens", "i"),
+              ("cum_types", "cum_types", "i")]),
+            # wave 20 folds into the same slot
+            ("novel", "ngram_novelty", _q_ngram_novelty,
+             "doc_id", None,
+             [("n_gram_types", "n_gram_types", "i"),
+              ("novel_types", "novel_types", "i"),
+              ("novelty_e6", "novelty_e6", "i")]),
+            ("pagn", "pagination_groups", _q_pagination,
+             "family", None,
+             [("n_pages", "n_pages", "i"), ("min_page", "min_page", "i"),
+              ("max_page", "max_page", "i"),
+              ("contiguous", "contiguous", "b")]),
+            ("ripley", "ripley_pairs", _q_ripley,
+             "r", None,
+             [("n_points", "n_points", "i"), ("n_cells", "n_cells", "i"),
+              ("pairs_leq", "pairs_leq", "i"), ("k_e6", "k_e6", "i")]),
         ],
         "curation_suite": [
             ("contam", "contamination", _q_contamination,
@@ -4743,6 +5036,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 18
         "geary_stat": _q_geary,
         "lpa_modularity": _q_lpa_modularity,
+        # wave 19
+        "daily_trend": _q_daily_trend,
+        "assortativity": _q_assortativity,
+        "gravity_flows": _q_gravity,
+        "vocab_growth": _q_vocab_growth,
+        # wave 20
+        "ngram_novelty": _q_ngram_novelty,
+        "pagination_groups": _q_pagination,
+        "ripley_pairs": _q_ripley,
     }
 
 
@@ -5864,6 +6166,13 @@ def oracle_sql() -> dict[str, str]:
     # wave-18 oracles
     sqls["geary_stat"] = _geary_sql()
     sqls["lpa_modularity"] = _modularity_sql()
+    sqls["daily_trend"] = _TREND_SQL
+    sqls["assortativity"] = _assort_sql()
+    sqls["gravity_flows"] = _gravity_sql()
+    sqls["vocab_growth"] = _VOCAB_SQL
+    sqls["ngram_novelty"] = _NOVELTY_SQL
+    sqls["pagination_groups"] = _PAGN_SQL
+    sqls["ripley_pairs"] = _ripley_sql()
     # suite oracles composed verbatim from the per-operator strings above —
     # a green suite row certifies every folded operator's values.
     sqls.update(_suite_oracle_sql(sqls))

@@ -161,6 +161,15 @@ BENCH_QUERIES = [
     # wave 18
     "geary_stat",
     "lpa_modularity",
+    # wave 19
+    "daily_trend",
+    "assortativity",
+    "gravity_flows",
+    "vocab_growth",
+    # wave 20
+    "ngram_novelty",
+    "pagination_groups",
+    "ripley_pairs",
 ]
 
 

@@ -614,3 +614,128 @@ def term_geo_lift(
             ).alias("lift_e6"),
         )
     )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    bucket_docs: int,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve: scanning the corpus in doc_id
+    order, how many NEW token types appear per bucket of `bucket_docs`
+    documents, against cumulative token volume — the curve whose flattening
+    says "more of the same crawl adds no new vocabulary" (dedup/source-mix
+    health) and whose slope anomalies flag generated spam (vocabulary
+    growing too fast) or template farms (too slow).
+
+    A token's first occurrence is min(doc_id) over its postings — a pure
+    aggregate, NOT a sequential scan, so the "cumulative" curve is exact
+    and order-independent at any parallelism. Buckets: bucket =
+    doc_id div bucket_docs.
+
+    Scale shape at 10^12 docs: one explode → (token, doc) frame, ONE
+    map-side-combinable min-groupBy per token (the only token-keyed
+    exchange), one tiny per-bucket count, and a window cumsum over the
+    BUCKET frame (thousands of rows, not documents). Token volume rides
+    the same bucket key. No collect, no sort of the corpus.
+
+    Output: (bucket, n_docs, n_tokens, new_types, cum_tokens, cum_types),
+    one row per non-empty bucket, BIGINT throughout.
+    """
+    from pyspark.sql.window import Window
+
+    if bucket_docs <= 0:
+        raise ValueError("bucket_docs > 0")
+    base = docs.select(
+        F.expr(f"{doc_id} div {bucket_docs}").alias("bucket"),
+        F.col(doc_id).alias("_id"),
+        _words(text_col).alias("_ws"),
+    )
+    per_bucket = base.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("_ws")).cast("long").alias("n_tokens"),
+    )
+    firsts = (
+        base.select("_id", F.explode("_ws").alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.min("_id").alias("_first"))
+        .select(F.expr(f"_first div {bucket_docs}").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_bucket.join(firsts, "bucket", "left")
+        .select(
+            "bucket", "n_docs", "n_tokens",
+            F.coalesce("new_types", F.lit(0)).cast("long").alias("new_types"),
+        )
+        .select(
+            "bucket", "n_docs", "n_tokens", "new_types",
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            F.sum("new_types").over(w).cast("long").alias("cum_types"),
+        )
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 2,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty: of a doc's DISTINCT n-grams, the
+    share first seen in THIS doc (first occurrence = min doc_id over the
+    corpus — a pure aggregate, order-independent at any parallelism) —
+
+        novelty_e6 = novel_types · 1e6 div n_gram_types
+
+    The doc-grain twin of vocab_growth's corpus curve: generated spam
+    scores anomalously HIGH (every doc mints fresh n-grams), template
+    farms anomalously LOW (every doc reuses the site's grams). Docs with
+    fewer than `n` words have no grams and are emitted with zeros.
+
+    Scale shape at 10^12 docs: grams stay inside the scan stage (pure
+    Column zip_with slices — no UDF), ONE distinct to (gram, doc), ONE
+    combinable min-groupBy per gram (the only gram-keyed exchange), and
+    novel counts come from the firsts frame alone (novel ⇔ min doc over
+    postings equals this doc), so nothing ever joins back on the gram —
+    the two count frames re-meet on the DOC key. Output is doc-keyed
+    counters only.
+
+    Output: (doc_id, n_gram_types, novel_types, novelty_e6).
+    """
+    base = docs.select(
+        F.col(doc_id).alias("_id"),
+        ngrams_col(_words(text_col), n).alias("_gs"),
+    )
+    posts = base.select(
+        "_id", F.explode("_gs").alias("_g")
+    ).distinct()
+    types = posts.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_gram_types")
+    )
+    novel = (
+        posts.groupBy("_g").agg(F.min("_id").alias("_id"))
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("novel_types"))
+    )
+    return (
+        docs.select(F.col(doc_id).alias("_id"))
+        .join(types, "_id", "left")
+        .join(novel, "_id", "left")
+        .select(
+            F.col("_id").alias(doc_id),
+            F.coalesce("n_gram_types", F.lit(0)).cast("long")
+            .alias("n_gram_types"),
+            F.coalesce("novel_types", F.lit(0)).cast("long")
+            .alias("novel_types"),
+            F.expr(
+                "CASE WHEN coalesce(n_gram_types, 0) = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE coalesce(novel_types, 0) * 1000000 div n_gram_types END"
+            ).alias("novelty_e6"),
+        )
+    )

@@ -816,3 +816,81 @@ def modularity(
             ).alias("q_e9"),
         )
     )
+
+
+def assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree assortativity of the undirected simple graph — the one-row
+    mixing statistic behind "do popular pages link to popular pages"
+    (assortative, r > 0: social/citation shape) vs "hubs link to leaves"
+    (disassortative, r < 0: the classic web/spam-farm shape). Newman's r
+    is the Pearson correlation of endpoint degrees over DIRECTED edge
+    ends (each undirected edge contributes both orientations, which makes
+    the two marginals identical):
+
+        r = (M·Σjk − Σj·Σk) / sqrt((M·Σj² − (Σj)²)·(M·Σk² − (Σk)²))
+
+    Both-orientation symmetry makes the two marginals IDENTICAL, so the
+    sqrt collapses: varx = vary = var and r = cov/var exactly —
+
+        r_e6 = (M·Σjk − (Σj)²) · 1e6 div (M·Σj² − (Σj)²)
+
+    exact integers end to end, −1e6 ≤ r_e6 ≤ 1e6, truncation toward
+    zero = DuckDB `//`. Accumulation in DECIMAL(38,0): cov·1e6 passes
+    2^63 at ~10^6 edges; nothing is ever squared, so the 38-digit
+    ceiling holds past 10^12 edges.
+
+    Scale shape at 10^12 edges: the symmetrize+distinct exchange shared
+    with every graph op here, ONE combinable degree count, two (id →
+    degree) equi-joins to tag endpoints, ONE global agg of five moments.
+    Only (id, degree) pairs cross any shuffle; no window, no collect.
+
+    Output: one row (m_edges, sum_deg, sum_deg_sq, sum_jk2, r_e6) —
+    the raw moments ride along so downstream can re-derive r at any
+    precision.
+    """
+    e = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .filter(F.col(src) != F.col(dst))
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    tagged = (
+        e.join(deg.select(F.col("v").alias("a"), F.col("d").alias("_ja")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("_jb")), "b")
+    )
+    d38 = "DECIMAL(38,0)"
+    m = tagged.agg(
+        F.count(F.lit(1)).alias("m_edges"),
+        F.sum(F.col("_ja") + F.col("_jb")).alias("sum_deg"),
+        F.sum(
+            F.expr(f"CAST(_ja AS {d38}) * _ja + CAST(_jb AS {d38}) * _jb")
+        ).alias("_sjj"),
+        F.sum(F.expr(f"CAST(_ja AS {d38}) * _jb * 2")).alias("_sjk"),
+    )
+    return m.select(
+        "m_edges",
+        "sum_deg",
+        F.expr("CAST(_sjj AS BIGINT)").alias("sum_deg_sq"),
+        F.expr("CAST(_sjk AS BIGINT)").alias("sum_jk2"),
+        F.expr(
+            f"CAST(CASE WHEN CAST(2 AS {d38}) * m_edges * _sjj "
+            f"- CAST(sum_deg AS {d38}) * sum_deg = 0 THEN 0 ELSE "
+            f"(CAST(2 AS {d38}) * m_edges * _sjk "
+            f"- CAST(sum_deg AS {d38}) * sum_deg) * 1000000 "
+            f"div (CAST(2 AS {d38}) * m_edges * _sjj "
+            f"- CAST(sum_deg AS {d38}) * sum_deg) END AS BIGINT)"
+        ).alias("r_e6"),
+    )

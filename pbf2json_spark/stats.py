@@ -76,6 +76,73 @@ def hist_quantiles(
     return c.groupBy(*group_cols).agg(*aggs)
 
 
+def linear_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group OLS trend line over integer (x, y) points — "is this
+    host's daily volume growing", "is this event type's rate decaying" —
+    as exact fixed-point integers, so any engine and any partitioning
+    agree bit-for-bit:
+
+        slope_e6     = (n·Σxy − Σx·Σy) · 1e6 div (n·Σx² − (Σx)²)
+        intercept_e6 = (Σy·1e6 − slope_e6·Σx) div n
+        sr2_e6       = sign(cov) · cov² · 1e6 div (varx·vary)
+
+    sr2_e6 is the SIGNED coefficient of determination (r² carrying the
+    slope's sign, the standard sqrt-free correlation report: −1e6 ≤
+    sr2_e6 ≤ 1e6). Degenerate groups (constant x or constant y) emit 0
+    slope / 0 sr2 rather than dividing by zero; intercept then equals
+    mean(y)·1e6 truncated. All products accumulate in DECIMAL(38,0)
+    (cov²·1e6 passes 2^63 far below web scale); truncation toward zero
+    matches DuckDB `//` exactly.
+
+    Scale shape at 10^12 rows: ONE map-side-combinable groupBy carrying
+    six int/decimal moments per group — no window, no second pass, no
+    value multiset. The moments are order-independent sums, so AQE can
+    split or coalesce partitions freely.
+
+    Output: (group_cols..., n, slope_e6, intercept_e6, sr2_e6).
+    """
+    d38 = "DECIMAL(38,0)"
+    m = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(x_col).cast("long")).alias("_sx"),
+        F.sum(F.col(y_col).cast("long")).alias("_sy"),
+        F.sum(F.expr(f"CAST({x_col} AS {d38}) * {y_col}")).alias("_sxy"),
+        F.sum(F.expr(f"CAST({x_col} AS {d38}) * {x_col}")).alias("_sxx"),
+        F.sum(F.expr(f"CAST({y_col} AS {d38}) * {y_col}")).alias("_syy"),
+    )
+    c = m.select(
+        *group_cols, "n", "_sx", "_sy",
+        F.expr(f"CAST(n AS {d38}) * _sxy - CAST(_sx AS {d38}) * _sy")
+        .alias("_cov"),
+        F.expr(f"CAST(n AS {d38}) * _sxx - CAST(_sx AS {d38}) * _sx")
+        .alias("_vx"),
+        F.expr(f"CAST(n AS {d38}) * _syy - CAST(_sy AS {d38}) * _sy")
+        .alias("_vy"),
+    )
+    slope = (
+        "CASE WHEN _vx = 0 THEN CAST(0 AS BIGINT) "
+        "ELSE CAST(_cov * 1000000 div _vx AS BIGINT) END"
+    )
+    return c.select(
+        *group_cols, "n",
+        F.expr(slope).alias("slope_e6"),
+        F.expr(
+            f"CAST((CAST(_sy AS {d38}) * 1000000 - ({slope}) * _sx) "
+            "div n AS BIGINT)"
+        ).alias("intercept_e6"),
+        F.expr(
+            "CASE WHEN _vx = 0 OR _vy = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(CASE WHEN _cov < 0 THEN -1 ELSE 1 END "
+            "* (_cov * _cov * 1000000 div (_vx * _vy)) AS BIGINT) END"
+        ).alias("sr2_e6"),
+    )
+
+
 def concentration(
     df: DataFrame,
     group_cols: list[str],

@@ -583,3 +583,67 @@ def cell_minhash_pairs(
         )
         .filter(F.col("jaccard_e6") >= threshold_e6)
     )
+
+
+def gravity_flows(
+    flows: DataFrame,
+    from_x: str = "from_x",
+    from_y: str = "from_y",
+    to_x: str = "to_x",
+    to_y: str = "to_y",
+    n_col: str = "n_trips",
+) -> DataFrame:
+    """Gravity-model screen over an OD flow matrix (od_flows /
+    cell_transitions output): the expected flow between two cells is
+    proportional to origin outflow × destination inflow, damped by
+    squared Chebyshev grid distance —
+
+        expected_e6 = O_i · D_j · 1e6 div (T · (1 + d²))
+        lift_e6     = n · T · (1 + d²) · 1e6 div (O_i · D_j)
+
+    lift > 1e6 flags corridors carrying MORE traffic than size+distance
+    predicts (commuter pairs, mirror-site sync routes); lift ≪ 1e6 flags
+    barriers. All integers (counts, Chebyshev d, e6 ratios) — exact on
+    any engine; DECIMAL(38,0) accumulation for the triple products.
+
+    Scale shape: the flow matrix is already aggregated (cells², not
+    pings) — two combinable marginal groupBys, two equi-joins back on
+    the cell key, one global total broadcast. Nothing rescans points.
+
+    Output: (from_x, from_y, to_x, to_y, n, d_cheb, outflow, inflow,
+    expected_e6, lift_e6).
+    """
+    f = flows.select(
+        F.col(from_x).alias("fx"), F.col(from_y).alias("fy"),
+        F.col(to_x).alias("tx"), F.col(to_y).alias("ty"),
+        F.col(n_col).cast("long").alias("n"),
+    )
+    out_m = f.groupBy("fx", "fy").agg(F.sum("n").alias("outflow"))
+    in_m = f.groupBy("tx", "ty").agg(F.sum("n").alias("inflow"))
+    tot = f.agg(F.sum("n").alias("_t"))
+    d38 = "DECIMAL(38,0)"
+    j = (
+        f.join(out_m, ["fx", "fy"])
+        .join(in_m, ["tx", "ty"])
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "d_cheb",
+            F.greatest(
+                F.abs(F.col("fx") - F.col("tx")),
+                F.abs(F.col("fy") - F.col("ty")),
+            ).cast("long"),
+        )
+    )
+    return j.select(
+        F.col("fx").alias(from_x), F.col("fy").alias(from_y),
+        F.col("tx").alias(to_x), F.col("ty").alias(to_y),
+        "n", "d_cheb", "outflow", "inflow",
+        F.expr(
+            f"CAST(CAST(outflow AS {d38}) * inflow * 1000000 "
+            f"div (CAST(_t AS {d38}) * (1 + d_cheb * d_cheb)) AS BIGINT)"
+        ).alias("expected_e6"),
+        F.expr(
+            f"CAST(CAST(n AS {d38}) * _t * (1 + d_cheb * d_cheb) * 1000000 "
+            f"div (CAST(outflow AS {d38}) * inflow) AS BIGINT)"
+        ).alias("lift_e6"),
+    )

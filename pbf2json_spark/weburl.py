@@ -662,3 +662,50 @@ def apportion_budget(
             .alias("quota"),
         )
     )
+
+
+def pagination_groups(
+    df: DataFrame,
+    url_col: str = "url",
+    min_pages: int = 3,
+) -> DataFrame:
+    """Numeric-pagination detection: URLs whose trailing component is a
+    digit run after a separator — `/page/2`, `?p=14`, `thread-7` — group
+    by the shared prefix into pagination families, with page-number
+    statistics a crawler schedules on (fetch page 1..max contiguously,
+    or flag gaps as deleted listings):
+
+        ^(.*[/=_-])([0-9]+)$   →  (family prefix, page number)
+
+    Only families with ≥ `min_pages` distinct members survive (a single
+    `article-2024` match is noise, not pagination). `contiguous` = the
+    observed numbers form an unbroken [min..max] run. Greedy `.*` makes
+    the LAST separator+digits the page marker in both Java regex and
+    RE2, so the grouping is engine-portable.
+
+    Scale shape at 10^12 urls: one scan-stage regexp (no UDF), ONE
+    map-side-combinable groupBy on the prefix; page numbers reduce to
+    min/max/distinct counters, never a per-family list.
+
+    Output: (family, n_pages, min_page, max_page, contiguous:boolean).
+    """
+    pat = r"^(.*[/=_-])([0-9]+)$"
+    m = df.select(
+        F.regexp_extract(F.col(url_col), pat, 1).alias("family"),
+        F.regexp_extract(F.col(url_col), pat, 2).alias("_num"),
+    ).filter(F.col("family") != "")
+    g = (
+        m.select("family", F.col("_num").cast("long").alias("_p"))
+        .groupBy("family")
+        .agg(
+            F.countDistinct("_p").alias("n_pages"),
+            F.min("_p").alias("min_page"),
+            F.max("_p").alias("max_page"),
+        )
+        .filter(F.col("n_pages") >= min_pages)
+    )
+    return g.select(
+        "family", "n_pages", "min_page", "max_page",
+        (F.col("max_page") - F.col("min_page") + 1 == F.col("n_pages"))
+        .alias("contiguous"),
+    )
