@@ -4275,6 +4275,143 @@ def _ripley_sql() -> str:
     )
 
 
+# ---- wave 21: Getis-Ord Gi*, Knox space-time, Levenshtein near-dup ----
+
+_KNOX_TAU_US = 6 * 3600 * 1_000_000  # 6h — wide enough for real pair mass
+
+
+def _q_gi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hotspot scores (spatial.gi_star) over the shared
+    res-4 density surface — signed squared z-scores, integer-exact (the
+    sqrt never happens on either engine)."""
+    pts = _traj_events(spark, sf_dir).select("lat", "lon")
+    return spatial.gi_star(pts, res=_MORAN_RES)
+
+
+def _gi_star_sql() -> str:
+    x, y = _sql_cell_xy("lat", "lon", _MORAN_RES)
+    return (
+        f"WITH t AS ({_TRAJ_SQL}), "
+        f"c AS (SELECT {x} AS cx, {y} AS cy, "
+        "CAST(count(*) AS BIGINT) AS x FROM t GROUP BY 1, 2), "
+        "o AS (SELECT dx.d AS ddx, dy.d AS ddy FROM "
+        "(VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d) "
+        "WHERE NOT (dx.d = 0 AND dy.d = 0)), "
+        "nb AS (SELECT c.cx + o.ddx AS cx, c.cy + o.ddy AS cy, "
+        "c.x AS nx FROM c, o), "
+        "na AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS k, "
+        "CAST(sum(nx) AS BIGINT) AS nbr FROM nb GROUP BY cx, cy), "
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(x) AS BIGINT) AS s, "
+        "CAST(sum(x * x) AS BIGINT) AS q FROM c), "
+        "j AS (SELECT c.cx, c.cy, c.x, "
+        "coalesce(na.k, 0) + 1 AS w_i, "
+        "c.x + coalesce(na.nbr, 0) AS t_i, tot.n, tot.s, tot.q FROM c "
+        "LEFT JOIN na ON c.cx = na.cx AND c.cy = na.cy, tot) "
+        "SELECT cx, cy, x, CAST(w_i AS BIGINT) AS w_i, "
+        "CAST(t_i AS BIGINT) AS t_i, "
+        "CAST(sign(n * t_i - w_i * s) AS BIGINT) AS gi_sign, "
+        "CAST((CAST(n * t_i - w_i * s AS HUGEINT) * (n * t_i - w_i * s) "
+        "* (n - 1) * 1000000) // "
+        "greatest((CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s) * "
+        "(n * w_i - w_i * w_i), 1) AS BIGINT) AS gi2_e6 FROM j"
+    )
+
+
+def _q_knox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knox space-time interaction (spatial.knox_pairs) over the shared
+    trajectory events: exact ordered-pair counts close in space (queen
+    cells at res 4), close in time (|dt| <= 6h, exact on microsecond
+    timestamps), and both — one integer lift row."""
+    ev = _traj_events(spark, sf_dir).select(
+        "lat", "lon", _ntz_epoch_us("ts").alias("ts_us")
+    )
+    return spatial.knox_pairs(ev, res=_MORAN_RES, tau_us=_KNOX_TAU_US)
+
+
+def _knox_sql() -> str:
+    n = 1 << _MORAN_RES
+    tau = _KNOX_TAU_US
+    x, y = _sql_cell_xy("lat", "lon", _MORAN_RES)
+    offs9 = ", ".join(
+        f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    return (
+        f"WITH t AS ({_TRAJ_SQL}), "
+        f"g AS (SELECT {x} AS cx, {y} AS cy, "
+        "CAST(epoch_us(ts) AS BIGINT) AS tt, "
+        "CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2, 3), "
+        # epoch-µs is positive → truncating // equals the floor bucket
+        f"gb AS (SELECT *, tt // {tau} AS b FROM g), "
+        f"o9 AS (SELECT dx, dy FROM (VALUES {offs9}) v(dx, dy)), "
+        "o3 AS (SELECT d AS db FROM (VALUES (-1), (0), (1)) v(d)), "
+        "cell AS (SELECT cx, cy, CAST(sum(c) AS BIGINT) AS c FROM g "
+        "GROUP BY 1, 2), "
+        f"sp AS (SELECT (((cell.cx + o9.dx) % {n}) + {n}) % {n} AS cx, "
+        "cell.cy + o9.dy AS cy, cell.c AS sc FROM cell, o9 "
+        f"WHERE cell.cy + o9.dy >= 0 AND cell.cy + o9.dy < {n}), "
+        "ns AS (SELECT CAST(sum(sp.sc * c2.c) AS BIGINT) AS ns_raw "
+        "FROM sp JOIN cell c2 ON sp.cx = c2.cx AND sp.cy = c2.cy), "
+        "tf AS (SELECT b, tt, CAST(sum(c) AS BIGINT) AS c FROM gb "
+        "GROUP BY 1, 2), "
+        "tp AS (SELECT tf.b + o3.db AS b, tf.tt AS st, tf.c AS sc "
+        "FROM tf, o3), "
+        "nt AS (SELECT CAST(sum(tp.sc * t2.c) AS BIGINT) AS nt_raw "
+        f"FROM tp JOIN tf t2 ON tp.b = t2.b WHERE abs(tp.st - t2.tt) <= {tau}), "
+        f"xps AS (SELECT (((gb.cx + o9.dx) % {n}) + {n}) % {n} AS cx, "
+        "gb.cy + o9.dy AS cy, gb.b + o3.db AS b, gb.tt AS st, gb.c AS sc "
+        "FROM gb, o9, o3 "
+        f"WHERE gb.cy + o9.dy >= 0 AND gb.cy + o9.dy < {n}), "
+        "xp AS (SELECT CAST(sum(xps.sc * g2.c) AS BIGINT) AS x_raw "
+        "FROM xps JOIN gb g2 ON xps.cx = g2.cx AND xps.cy = g2.cy "
+        f"AND xps.b = g2.b WHERE abs(xps.st - g2.tt) <= {tau}), "
+        "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_events FROM g) "
+        "SELECT tot.n_events, "
+        "CAST(tot.n_events * (tot.n_events - 1) AS BIGINT) AS n_pairs, "
+        "CAST(ns.ns_raw - tot.n_events AS BIGINT) AS ns_pairs, "
+        "CAST(nt.nt_raw - tot.n_events AS BIGINT) AS nt_pairs, "
+        "CAST(xp.x_raw - tot.n_events AS BIGINT) AS x_pairs, "
+        "CAST(CAST(xp.x_raw - tot.n_events AS HUGEINT) * tot.n_events * "
+        "(tot.n_events - 1) * 1000000 // "
+        "greatest(CAST(ns.ns_raw - tot.n_events AS HUGEINT) * "
+        "(nt.nt_raw - tot.n_events), 1) AS BIGINT) AS knox_lift_e6 "
+        "FROM tot, ns, nt, xp"
+    )
+
+
+def _q_edit_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-duplicate pairs (dedup.edit_near_dup) over
+    normalized 24-char title prefixes of documents, blocked exactly by
+    (lang, length bucket) — char-level typo dedup next to the token-set
+    families."""
+    return dedup.edit_near_dup(_t(spark, sf_dir, "documents"))
+
+
+def _edit_near_dup_sql() -> str:
+    d, b, tl = 3, 8, 24
+    return (
+        "WITH t AS (SELECT doc_id AS id, lang, "
+        f"regexp_replace(lower(substr(text, 1, {tl})), '[^a-z0-9 ]', '', 'g') "
+        "AS title FROM documents), "
+        "tt AS (SELECT id, lang, title, "
+        f"CAST(length(title) AS BIGINT) AS len, length(title) // {b} AS bk "
+        "FROM t), "
+        "lft AS (SELECT id, lang, bk + off.o AS bk, title, len, off.o "
+        "FROM tt, (VALUES (0), (1)) off(o)), "
+        "cand AS (SELECT l.id AS lid, r.id AS rid, l.title AS tl, "
+        "r.title AS tr, l.len AS ll, r.len AS lr FROM lft l "
+        "JOIN tt r ON l.lang = r.lang AND l.bk = r.bk "
+        "WHERE ((l.o = 0 AND l.id < r.id) OR (l.o = 1 AND l.id <> r.id)) "
+        f"AND abs(l.len - r.len) <= {d}), "
+        "hit AS (SELECT lid, rid, ll, lr, "
+        "CAST(levenshtein(tl, tr) AS INTEGER) AS dist FROM cand "
+        f"WHERE levenshtein(tl, tr) <= {d}) "
+        "SELECT least(lid, rid) AS a, greatest(lid, rid) AS b, "
+        "CASE WHEN lid < rid THEN ll ELSE lr END AS len_a, "
+        "CASE WHEN lid < rid THEN lr ELSE ll END AS len_b, dist FROM hit"
+    )
+
+
 # --------------------------------------------------------------------------
 # Suite queries — tagged-union fold of same-family operators into ONE
 # driver gate slot.
@@ -4751,6 +4888,20 @@ def _suite_specs():
              "r", None,
              [("n_points", "n_points", "i"), ("n_cells", "n_cells", "i"),
               ("pairs_leq", "pairs_leq", "i"), ("k_e6", "k_e6", "i")]),
+            # wave 21 folds into the same slot
+            ("gistar", "gi_star", _q_gi_star,
+             ["cx", "cy"], None,
+             [("x", "x", "i"), ("w_i", "w_i", "i"), ("t_i", "t_i", "i"),
+              ("gi_sign", "gi_sign", "i"), ("gi2_e6", "gi2_e6", "i")]),
+            ("knox", "knox_pairs", _q_knox,
+             "n_events", None,
+             [("n_pairs", "n_pairs", "i"), ("ns_pairs", "ns_pairs", "i"),
+              ("nt_pairs", "nt_pairs", "i"), ("x_pairs", "x_pairs", "i"),
+              ("knox_lift_e6", "knox_lift_e6", "i")]),
+            ("editdup", "edit_near_dup", _q_edit_near_dup,
+             "a", "b",
+             [("len_a", "len_a", "i"), ("len_b", "len_b", "i"),
+              ("dist", "dist", "i")]),
         ],
         "curation_suite": [
             ("contam", "contamination", _q_contamination,
@@ -5045,6 +5196,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": _q_ngram_novelty,
         "pagination_groups": _q_pagination,
         "ripley_pairs": _q_ripley,
+        # wave 21
+        "gi_star": _q_gi_star,
+        "knox_pairs": _q_knox,
+        "edit_near_dup": _q_edit_near_dup,
     }
 
 
@@ -6173,6 +6328,10 @@ def oracle_sql() -> dict[str, str]:
     sqls["ngram_novelty"] = _NOVELTY_SQL
     sqls["pagination_groups"] = _PAGN_SQL
     sqls["ripley_pairs"] = _ripley_sql()
+    # wave-21 oracles
+    sqls["gi_star"] = _gi_star_sql()
+    sqls["knox_pairs"] = _knox_sql()
+    sqls["edit_near_dup"] = _edit_near_dup_sql()
     # suite oracles composed verbatim from the per-operator strings above —
     # a green suite row certifies every folded operator's values.
     sqls.update(_suite_oracle_sql(sqls))

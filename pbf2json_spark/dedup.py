@@ -501,3 +501,90 @@ def containment_pairs(
         .filter(F.col("containment_e6") >= threshold_e6)
         .select("a", "b", "size_a", "size_b", "common", "containment_e6")
     )
+
+
+def edit_near_dup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    max_dist: int = 3,
+    title_len: int = 24,
+    bucket: int = 8,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs over normalized title prefixes
+    — the character-level complement to the token-set families (Jaccard
+    shingles see reorderings, MinHash/SimHash see global similarity;
+    Levenshtein sees TYPOS: one-off scrape variants, OCR noise,
+    templated titles differing by a serial number).
+
+    Title = the first `title_len` chars of the text lowercased and
+    stripped to [a-z0-9 ] — the ASCII normalization sidesteps
+    engine-specific Unicode case folding so Spark's `levenshtein` and
+    DuckDB's `levenshtein` (both classic char-DP) agree bit-for-bit.
+
+    Blocking: candidates must share `lang` and land in the same or
+    adjacent length bucket (len div `bucket`); since an edit script of
+    cost ≤ d changes length by ≤ d, bucket ≥ max_dist+1 guarantees NO
+    missed pair crosses more than one bucket boundary — this is exact,
+    not approximate, recall. The scatter (off ∈ {0,1} on the LEFT side
+    only, a < b tie-break inside the join) meets each unordered pair in
+    exactly one bucket — no dedup exchange.
+
+    Shape at 10^12 docs: never all-pairs. The frame collapses to
+    (id, lang, title, len) — titles are ≤ title_len bytes, so the
+    shuffle payload is ids + short strings; the candidate join is a
+    bucketed equi-join on (lang, bucket); Spark's levenshtein takes the
+    threshold arg for early-exit DP. Hot blocks (one lang + one length
+    dominating) salt like any hot equi-key. Quadratic cost is confined
+    WITHIN a block; `bucket`/`title_len` bound the block width.
+
+    Output: (a, b, len_a, len_b, dist), a < b, dist ≤ max_dist.
+    """
+    if bucket < max_dist + 1:
+        raise ValueError("bucket must be >= max_dist + 1 for exact recall")
+    t = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(lang_col).alias("_lang"),
+        F.regexp_replace(
+            F.lower(F.substring(F.col(text_col), 1, title_len)),
+            "[^a-z0-9 ]", "",
+        ).alias("_title"),
+    ).withColumn("_len", F.length("_title").cast("long")).withColumn(
+        "_bk", F.expr(f"_len div {int(bucket)}")
+    )
+    left = None
+    for off in (0, 1):
+        o = t.select(
+            F.col("_id").alias("_l"), F.col("_lang"),
+            (F.col("_bk") + off).alias("_bk"),
+            F.col("_title").alias("_tl"), F.col("_len").alias("_ll"),
+            F.lit(off).alias("_off"),
+        )
+        left = o if left is None else left.unionByName(o)
+    right = t.select(
+        F.col("_id").alias("_r"), "_lang", "_bk",
+        F.col("_title").alias("_tr"), F.col("_len").alias("_lr"),
+    )
+    return (
+        left.join(right, ["_lang", "_bk"])
+        # same-bucket pairs meet twice at off=0 (both orderings): keep
+        # the _l < _r copy; cross-bucket pairs meet exactly once at
+        # off=1 — keep unconditionally, normalize the ordering below
+        .filter(
+            ((F.col("_off") == 0) & (F.col("_l") < F.col("_r")))
+            | ((F.col("_off") == 1) & (F.col("_l") != F.col("_r")))
+        )
+        .filter(F.abs(F.col("_ll") - F.col("_lr")) <= max_dist)
+        .withColumn("dist", F.levenshtein("_tl", "_tr"))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.least("_l", "_r").alias("a"),
+            F.greatest("_l", "_r").alias("b"),
+            F.when(F.col("_l") < F.col("_r"), F.col("_ll"))
+            .otherwise(F.col("_lr")).alias("len_a"),
+            F.when(F.col("_l") < F.col("_r"), F.col("_lr"))
+            .otherwise(F.col("_ll")).alias("len_b"),
+            "dist",
+        )
+    )

@@ -1836,3 +1836,215 @@ def ripley_pairs(
             ).alias("k_e6"),
         )
     )
+
+
+def gi_star(
+    points: DataFrame,
+    res: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Getis–Ord Gi* hot/cold-spot scores over grid-cell point counts —
+    the LOCAL hotspot statistic completing the ESDA family next to
+    local/global Moran and Geary's C: where Moran's I_i flags cells that
+    COVARY with their neighbors (high-high AND low-low both score
+    positive), Gi* flags cells whose neighborhood SUM is high (hot) or
+    low (cold) against the global mean, which is the statistic actually
+    used to draw hotspot maps.
+
+        Gi* = (T_i − x̄·W_i) / (S·sqrt((n·W_i − W_i²)/(n−1)))
+
+    with star weights (queen neighborhood INCLUDING self, over OCCUPIED
+    cells — the same lattice convention as global_moran/geary_c), T_i
+    the neighborhood sum, W_i = k_i + 1 the weight count, S the global
+    std-dev. Integer-exact, engine-portable formulation: the sqrt never
+    happens — emit the SIGN of the numerator and the SQUARED z-score
+
+        gi2_e6 = num_i²·(n−1)·1e6 div ((n·Q − S²)·(n·W_i − W_i²))
+
+    where num_i = n·T_i − W_i·S_tot (the numerator scaled by n), Q = Σx²,
+    S_tot = Σx. Every accumulation is int64/DECIMAL(38,0); the single
+    truncating `div` matches DuckDB's `//`. |Gi*| > 1.96 ⇔ gi2_e6 >
+    3.84e6, so hotspot thresholds translate directly.
+
+    Shape at 10^12 points: ONE map-side-combinable count collapses
+    points to occupied cells; an 8-shift scatter over the AGGREGATED
+    cell frame (ids+ints only) builds neighborhoods; one equi-join back;
+    the two global scalars (n, S_tot, Q) broadcast. Identical plan
+    skeleton to geary_c — per-cell output instead of one row.
+
+    Output: (cx, cy, x, w_i, t_i, gi_sign, gi2_e6), one row per occupied
+    cell.
+    """
+    x, y = cells.xy_cols(F.col(lat_col), F.col(lon_col), res)
+    counts = (
+        points.select(x.alias("cx"), y.alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if not (dx == 0 and dy == 0)]
+    probe = None
+    for dx, dy in offs:
+        o = counts.select(
+            (F.col("cx") + dx).alias("cx"),
+            (F.col("cy") + dy).alias("cy"),
+            F.col("x").alias("_nx"),
+        )
+        probe = o if probe is None else probe.unionByName(o)
+    nbr = probe.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum("_nx").alias("_nbr"),
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("x").alias("_s"),
+        F.sum(F.col("x") * F.col("x")).alias("_q"),
+    )
+    j = (
+        counts.join(nbr, ["cx", "cy"], "left")
+        .select(
+            "cx", "cy", "x",
+            (F.coalesce("_k", F.lit(0)) + 1).cast("long").alias("w_i"),
+            (F.col("x") + F.coalesce("_nbr", F.lit(0)))
+            .cast("long").alias("t_i"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    return j.select(
+        "cx", "cy", "x", "w_i", "t_i",
+        F.expr(
+            "CAST(sign(_n * t_i - w_i * _s) AS BIGINT)"
+        ).alias("gi_sign"),
+        F.expr(
+            "CAST((CAST(_n * t_i - w_i * _s AS DECIMAL(38,0)) * "
+            "(_n * t_i - w_i * _s) * (_n - 1) * 1000000) div "
+            "greatest((CAST(_n AS DECIMAL(38,0)) * _q - "
+            "CAST(_s AS DECIMAL(38,0)) * _s) * "
+            "(_n * w_i - w_i * w_i), 1) AS BIGINT)"
+        ).alias("gi2_e6"),
+    )
+
+
+def knox_pairs(
+    events: DataFrame,
+    res: int,
+    tau_us: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Knox space–time interaction statistic: do events that are close
+    in SPACE also happen close in TIME (epidemic bursts, coordinated
+    posting, geo-synchronized crawl traps)? Counts ordered pairs i ≠ j
+    that are space-close (cell Chebyshev distance ≤ 1 at `res` — the
+    queen lattice metric used by the whole ESDA family here), time-close
+    (|Δt| ≤ tau_us, EXACT on microsecond timestamps, not bucketed), and
+    both; the statistic is the lift of the joint count over independence:
+
+        knox_lift_e6 = x_pairs · n_pairs · 1e6 div (ns_pairs · nt_pairs)
+
+    lift > 1e6 ⇔ space-close pairs are ALSO time-close more often than
+    chance. All counts are exact integers; one truncating div matches
+    DuckDB's `//`.
+
+    Shape at 10^12 events: never all-pairs. Events collapse to
+    (cell, ts) groups (combinable count) — pairs are counted as products
+    of group sizes. Space-close: 9-offset scatter over the cell-level
+    aggregate, equi-join on the cell key (ripley_pairs' r=1 shape).
+    Time-close: scatter over bucket b = ts div tau with offsets {−1,0,1},
+    equi-join on b, EXACT |Δt| ≤ tau filter after the join — each
+    qualifying pair meets in exactly one (offset, bucket) combination.
+    Both: 27-offset scatter on (cell, bucket), same exact filter.
+    Self-pairs (i = j) subtract as the event total N. Longitude wraps
+    (pmod); rows shifted off the poles drop — focal_gradient's
+    conventions.
+
+    Output: 1 row (n_events, n_pairs, ns_pairs, nt_pairs, x_pairs,
+    knox_lift_e6).
+    """
+    n = 1 << res
+    x, y = cells.xy_cols(F.col(lat_col), F.col(lon_col), res)
+    g = (
+        events.select(
+            x.alias("cx"), y.alias("cy"),
+            F.col(ts_col).cast("long").alias("t"),
+        )
+        .groupBy("cx", "cy", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    g = g.localCheckpoint(eager=False)
+    # integer bucket math end to end — a float divide of epoch-µs int64
+    # loses exactness above 2^53
+    g_b = g.withColumn(
+        "b",
+        F.expr(f"(t - pmod(t, {int(tau_us)})) div {int(tau_us)}"),
+    )
+
+    cell = g.groupBy("cx", "cy").agg(F.sum("c").alias("c"))
+    s_offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    probe = None
+    for dx, dy in s_offs:
+        o = cell.select(
+            F.pmod(F.col("cx") + dx, F.lit(n)).alias("cx"),
+            (F.col("cy") + dy).alias("cy"),
+            F.col("c").alias("_sc"),
+        ).filter((F.col("cy") >= 0) & (F.col("cy") < n))
+        probe = o if probe is None else probe.unionByName(o)
+    ns = probe.join(cell, ["cx", "cy"]).agg(
+        F.sum(F.col("_sc") * F.col("c")).alias("ns_raw")
+    )
+
+    tf = g_b.groupBy("b", "t").agg(F.sum("c").alias("c"))
+    tprobe = None
+    for db in (-1, 0, 1):
+        o = tf.select(
+            (F.col("b") + db).alias("b"),
+            F.col("t").alias("_st"), F.col("c").alias("_sc"),
+        )
+        tprobe = o if tprobe is None else tprobe.unionByName(o)
+    nt = (
+        tprobe.join(tf, ["b"])
+        .filter(F.abs(F.col("_st") - F.col("t")) <= int(tau_us))
+        .agg(F.sum(F.col("_sc") * F.col("c")).alias("nt_raw"))
+    )
+
+    xprobe = None
+    for dx, dy in s_offs:
+        for db in (-1, 0, 1):
+            o = g_b.select(
+                F.pmod(F.col("cx") + dx, F.lit(n)).alias("cx"),
+                (F.col("cy") + dy).alias("cy"),
+                (F.col("b") + db).alias("b"),
+                F.col("t").alias("_st"), F.col("c").alias("_sc"),
+            ).filter((F.col("cy") >= 0) & (F.col("cy") < n))
+            xprobe = o if xprobe is None else xprobe.unionByName(o)
+    xp = (
+        xprobe.join(g_b, ["cx", "cy", "b"])
+        .filter(F.abs(F.col("_st") - F.col("t")) <= int(tau_us))
+        .agg(F.sum(F.col("_sc") * F.col("c")).alias("x_raw"))
+    )
+
+    tot = g.agg(F.sum("c").alias("n_events"))
+    return (
+        tot.crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(xp))
+        .select(
+            F.col("n_events").cast("long").alias("n_events"),
+            (F.col("n_events") * (F.col("n_events") - 1))
+            .cast("long").alias("n_pairs"),
+            (F.col("ns_raw") - F.col("n_events"))
+            .cast("long").alias("ns_pairs"),
+            (F.col("nt_raw") - F.col("n_events"))
+            .cast("long").alias("nt_pairs"),
+            (F.col("x_raw") - F.col("n_events"))
+            .cast("long").alias("x_pairs"),
+            F.expr(
+                "CAST(CAST((x_raw - n_events) AS DECIMAL(38,0)) * "
+                "n_events * (n_events - 1) * 1000000 div "
+                "greatest(CAST((ns_raw - n_events) AS DECIMAL(38,0)) * "
+                "(nt_raw - n_events), 1) AS BIGINT)"
+            ).alias("knox_lift_e6"),
+        )
+    )
