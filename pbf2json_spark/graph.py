@@ -136,6 +136,9 @@ def connected_components(
         edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
         .unionByName(edges.select(F.col(b).alias("x"), F.col(a).alias("y")))
         .distinct()
+        # e is probed EVERY round — pin it so the upstream pipeline
+        # (often a full scan + join chain) runs once, not once per round
+        .localCheckpoint(eager=False)
     )
     labels = e.select("x").distinct().withColumn("rep", F.col("x"))
     for _ in range(max_iters):
@@ -160,12 +163,16 @@ def connected_components(
             )
             .select("x", F.coalesce("_r2", "rep").alias("rep"))
         )
+        # checkpoint FIRST, then probe the change flag against the pinned
+        # result — probing the un-checkpointed frame would recompute the
+        # whole round's join chain a second time
+        new_labels = jumped.localCheckpoint(eager=True)
         changed = not (
-            jumped.join(labels.withColumnRenamed("rep", "_old"), "x")
+            new_labels.join(labels.withColumnRenamed("rep", "_old"), "x")
             .filter(F.col("rep") != F.col("_old"))
             .isEmpty()
         )
-        labels = jumped.localCheckpoint(eager=True)
+        labels = new_labels
         if not changed:
             break
     return labels.select(F.col("x").alias("id"), "rep")

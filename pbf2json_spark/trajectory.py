@@ -462,6 +462,9 @@ def cell_jaccard(
     pts = df.select(
         F.col(user_col).alias("u"), x.alias("cx"), y.alias("cy")
     ).distinct()
+    # pts feeds the df-filter, BOTH self-join sides, and the size agg —
+    # pin it so the upstream (events scan + distinct) runs once, not 4×
+    pts = pts.localCheckpoint(eager=False)
     if max_df is not None:
         rare = (
             pts.groupBy("cx", "cy")

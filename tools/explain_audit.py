@@ -1502,6 +1502,105 @@ def main() -> int:
         ],
     ))
 
+    # 89+. waves 15-21 — spec-driven sweep. Shared invariants for every
+    # late-wave operator: zero row-at-a-time Python, zero Python, plans
+    # stay in whole-stage codegen; per-query structural properties listed
+    # with each spec. "noSP" = no single-partition window/exchange on a
+    # per-row frame (driver-sized frames are exempted per spec).
+    def has(s):
+        return lambda p: s in p
+
+    def lacks(s):
+        return lambda p: s not in p
+
+    wave_specs = [
+        ("idw_surface", "IDW interpolation surface (wave 15)", [
+            ("neighborhood scatter joins back as a hash join", has("HashJoin")),
+            ("partial aggregation", has("HashAggregate")),
+        ]),
+        ("script_mix", "script-mix profiling (wave 15)", [
+            ("no join", lacks("Join")),
+            ("no window", lacks("Window")),
+        ]),
+        ("activity_profile", "activity profiles (wave 15)", [
+            ("partial aggregation", has("HashAggregate")),
+        ]),
+        ("lpa_communities", "label propagation (wave 16)", []),
+        ("grid_gradient", "grid gradient (wave 16)", [
+            ("scatter joins back as a hash join", has("HashJoin")),
+            ("partial aggregation", has("HashAggregate")),
+        ]),
+        ("traj_jaccard", "trajectory Jaccard (wave 16)", [
+            ("cell-bucketed candidate equi-join", has("Join")),
+            ("partial aggregation", has("HashAggregate")),
+        ]),
+        ("len_quantiles", "histogram quantiles (wave 17)", [
+            ("aggregation present", has("Aggregate")),
+            ("no per-row single-partition window", lacks("SinglePartition")),
+        ]),
+        ("user_concentration", "user concentration (wave 17)", [
+            ("partial aggregation", has("HashAggregate")),
+            ("no per-row single-partition window", lacks("SinglePartition")),
+        ]),
+        ("geary_stat", "Geary's C (wave 18)", [
+            ("partial aggregation", has("HashAggregate")),
+            ("totals broadcast", has("Broadcast")),
+        ]),
+        ("lpa_modularity", "LPA modularity (wave 18)", [
+            ("partial aggregation", has("HashAggregate")),
+        ]),
+        ("daily_trend", "daily trend regression (wave 19)", [
+            ("regression sums are one partial agg", has("HashAggregate")),
+            ("no window", lacks("Window")),
+        ]),
+        ("assortativity", "degree assortativity (wave 19)", [
+            ("degree join is a hash join", has("HashJoin")),
+            ("partial aggregation", has("HashAggregate")),
+        ]),
+        ("gravity_flows", "gravity flow lift (wave 19)", [
+            ("marginal joins are hash joins", has("HashJoin")),
+            ("partial aggregation", has("HashAggregate")),
+        ]),
+        ("vocab_growth", "vocabulary growth (wave 19)", [
+            ("first-occurrence is a partial agg", has("HashAggregate")),
+        ]),
+        ("ngram_novelty", "n-gram novelty (wave 20)", [
+            ("shingling is codegen explode", has("Generate")),
+            ("partial aggregation", has("HashAggregate")),
+        ]),
+        ("pagination_groups", "pagination families (wave 20)", [
+            ("partial aggregation", has("HashAggregate")),
+            ("no per-row single-partition window", lacks("SinglePartition")),
+        ]),
+        ("ripley_pairs", "Ripley-K pair counts (wave 20)", [
+            ("ring scatter joins back as a hash join", has("HashJoin")),
+            ("partial aggregation", has("HashAggregate")),
+        ]),
+        ("gi_star", "Getis-Ord Gi* (wave 21)", [
+            ("neighborhood join over the AGGREGATED frame", has("Join")),
+            ("totals broadcast", has("Broadcast")),
+            ("partial aggregation", has("HashAggregate")),
+        ]),
+        ("knox_pairs", "Knox space-time interaction (wave 21)", [
+            ("scatter equi-joins (never all-pairs)", has("Join")),
+            ("scalar counts broadcast", has("Broadcast")),
+            ("partial aggregation", has("HashAggregate")),
+        ]),
+        ("edit_near_dup", "Levenshtein near-dup (wave 21)", [
+            ("blocked candidate equi-join", has("Join")),
+            ("levenshtein stays JVM-side", lacks("EvalPython")),
+        ]),
+    ]
+    for key, title, props in wave_specs:
+        p = plan_text(allq[key](spark, sf_dir))
+        checks = [(nm, fn(p), "") for nm, fn in props]
+        checks += [
+            ("no row-at-a-time Python", "BatchEvalPython" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+            ("whole-stage codegen", "codegen id" in p, ""),
+        ]
+        sections.append((f"{title} ({key})", p, checks))
+
     failed = 0
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     for title, plan, props in sections:
