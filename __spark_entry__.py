@@ -4412,6 +4412,145 @@ def _edit_near_dup_sql() -> str:
     )
 
 
+# ---- wave 22: quadtree bins, Mann-Kendall trend, co-location lift ----
+
+_QT_RES, _QT_T = 6, 64
+_CLQ_RES = 4
+
+
+def _q_quadtree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quadtree binning (spatial.quadtree_bins) over the orders
+    point cloud: split any cell with > 64 points down to res 6 —
+    variable-resolution density leaves, exact integer counts."""
+    o = _t(spark, sf_dir, "orders")
+    pts = o.select(
+        _lat_col(F.col("o_orderkey")).alias("lat"),
+        _lon_col(F.col("o_orderkey")).alias("lon"),
+    )
+    return spatial.quadtree_bins(pts, max_res=_QT_RES, threshold=_QT_T)
+
+
+def _quadtree_sql() -> str:
+    t = _QT_T
+    x, y = _sql_cell_xy(_lat_sql("o_orderkey"), _lon_sql("o_orderkey"),
+                        _QT_RES)
+    ctes = [
+        f"l{_QT_RES} AS (SELECT {x} AS cx, {y} AS cy, "
+        "CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1, 2)"
+    ]
+    for r in range(_QT_RES - 1, -1, -1):
+        ctes.append(
+            f"l{r} AS (SELECT cx // 2 AS cx, cy // 2 AS cy, "
+            f"CAST(sum(n) AS BIGINT) AS n FROM l{r + 1} GROUP BY 1, 2)"
+        )
+    parts = [
+        f"SELECT CAST(0 AS INTEGER) AS res, cx, cy, n AS n_points, "
+        f"false AS forced FROM l0 WHERE n <= {t}"
+    ]
+    for r in range(1, _QT_RES + 1):
+        own = f"l.n <= {t} AND " if r < _QT_RES else ""
+        parts.append(
+            f"SELECT CAST({r} AS INTEGER) AS res, l.cx, l.cy, "
+            f"l.n AS n_points, l.n > {t} AS forced "
+            f"FROM l{r} l JOIN l{r - 1} p "
+            "ON l.cx // 2 = p.cx AND l.cy // 2 = p.cy "
+            f"WHERE {own}p.n > {t}"
+        )
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(parts)
+
+
+def _q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic trend (stats.mann_kendall) per event type
+    over the SAME daily buckets daily_trend regresses — S statistic,
+    tie-corrected var18, continuity-corrected signed z² in e6."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", _ntz_epoch_us("ts").alias("_us")
+    ).select("event_type", F.expr("_us div 86400000000").alias("d"))
+    daily = e.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("y"))
+    return stats.mann_kendall(daily, ["event_type"], "d", "y")
+
+
+_MK_SQL = (
+    "WITH e AS (SELECT event_type, "
+    "CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d FROM events), "
+    "pts AS (SELECT event_type, d AS x, CAST(count(*) AS BIGINT) AS y "
+    "FROM e GROUP BY 1, 2), "
+    "s AS (SELECT a.event_type, CAST(sum(CASE WHEN b.y > a.y THEN 1 "
+    "WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat "
+    "FROM pts a JOIN pts b ON a.event_type = b.event_type AND a.x < b.x "
+    "GROUP BY 1), "
+    "nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs "
+    "FROM pts GROUP BY 1), "
+    "tie AS (SELECT event_type, CAST(sum(t * (t - 1) * (2 * t + 5)) "
+    "AS BIGINT) AS tie18 FROM (SELECT event_type, y, "
+    "CAST(count(*) AS BIGINT) AS t FROM pts GROUP BY 1, 2) GROUP BY 1) "
+    "SELECT nn.event_type, nn.n_obs, "
+    "coalesce(s.s_stat, 0) AS s_stat, "
+    "CAST(nn.n_obs * (nn.n_obs - 1) * (2 * nn.n_obs + 5) - tie.tie18 "
+    "AS BIGINT) AS var18, "
+    "CAST(CAST(sign(coalesce(s.s_stat, 0)) AS BIGINT) * "
+    "((abs(coalesce(s.s_stat, 0)) - 1) * (abs(coalesce(s.s_stat, 0)) - 1) "
+    "* 18 * 1000000 // greatest(nn.n_obs * (nn.n_obs - 1) * "
+    "(2 * nn.n_obs + 5) - tie.tie18, 1)) AS BIGINT) AS mk2_e6 "
+    "FROM nn LEFT JOIN s ON nn.event_type = s.event_type "
+    "JOIN tie ON nn.event_type = tie.event_type"
+)
+
+
+def _q_colocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-type co-location lift (spatial.colocation_lift): ordered
+    event-type pairs within one res-4 cell step vs the independence
+    expectation — integer clq_e6 controlling for abundance AND overall
+    clustering."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("etype"),
+        _lat_col(F.col("event_id")).alias("lat"),
+        _lon_col(F.col("event_id")).alias("lon"),
+    )
+    return spatial.colocation_lift(e, res=_CLQ_RES, type_col="etype")
+
+
+def _colocation_sql() -> str:
+    n = 1 << _CLQ_RES
+    x, y = _sql_cell_xy(_lat_sql("event_id"), _lon_sql("event_id"),
+                        _CLQ_RES)
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    return (
+        f"WITH g AS (SELECT event_type AS t, {x} AS cx, {y} AS cy, "
+        "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2, 3), "
+        f"o AS (SELECT dx, dy FROM (VALUES {offs}) v(dx, dy)), "
+        f"pr AS (SELECT g.t AS ta, (((g.cx + o.dx) % {n}) + {n}) % {n} "
+        "AS cx, g.cy + o.dy AS cy, g.c AS ca FROM g, o "
+        f"WHERE g.cy + o.dy >= 0 AND g.cy + o.dy < {n}), "
+        "obs AS (SELECT pr.ta, g2.t AS tb, "
+        "CAST(sum(pr.ca * g2.c) AS BIGINT) AS raw FROM pr "
+        "JOIN g g2 ON pr.cx = g2.cx AND pr.cy = g2.cy GROUP BY 1, 2), "
+        "marg AS (SELECT t, CAST(sum(c) AS BIGINT) AS nt FROM g GROUP BY 1), "
+        "tot AS (SELECT CAST(sum(nt) AS BIGINT) AS nn FROM marg), "
+        "cell AS (SELECT cx, cy, CAST(sum(c) AS BIGINT) AS c FROM g "
+        "GROUP BY 1, 2), "
+        f"cp AS (SELECT (((cell.cx + o.dx) % {n}) + {n}) % {n} AS cx, "
+        "cell.cy + o.dy AS cy, cell.c AS ca FROM cell, o "
+        f"WHERE cell.cy + o.dy >= 0 AND cell.cy + o.dy < {n}), "
+        "pt AS (SELECT CAST(sum(cp.ca * c2.c) AS BIGINT) AS praw FROM cp "
+        "JOIN cell c2 ON cp.cx = c2.cx AND cp.cy = c2.cy) "
+        "SELECT obs.ta AS type_a, obs.tb AS type_b, ma.nt AS n_a, "
+        "mb.nt AS n_b, "
+        "CAST(obs.raw - CASE WHEN obs.ta = obs.tb THEN ma.nt ELSE 0 END "
+        "AS BIGINT) AS obs_pairs, "
+        "CAST(CAST(obs.raw - CASE WHEN obs.ta = obs.tb THEN ma.nt "
+        "ELSE 0 END AS HUGEINT) * tot.nn * (tot.nn - 1) * 1000000 // "
+        "greatest(CAST(pt.praw - tot.nn AS HUGEINT) * ma.nt * "
+        "(mb.nt - CASE WHEN obs.ta = obs.tb THEN 1 ELSE 0 END), 1) "
+        "AS BIGINT) AS clq_e6 "
+        "FROM obs JOIN marg ma ON obs.ta = ma.t "
+        "JOIN marg mb ON obs.tb = mb.t, tot, pt "
+        "WHERE obs.raw - CASE WHEN obs.ta = obs.tb THEN ma.nt ELSE 0 END > 0"
+    )
+
+
 # --------------------------------------------------------------------------
 # Suite queries — tagged-union fold of same-family operators into ONE
 # driver gate slot.
@@ -4902,6 +5041,18 @@ def _suite_specs():
              "a", "b",
              [("len_a", "len_a", "i"), ("len_b", "len_b", "i"),
               ("dist", "dist", "i")]),
+            # wave 22 folds into the same slot
+            ("qtree", "quadtree_bins", _q_quadtree,
+             ["res", "cx", "cy"], None,
+             [("n_points", "n_points", "i"), ("forced", "forced", "b")]),
+            ("mk", "mann_kendall", _q_mann_kendall,
+             "event_type", None,
+             [("n_obs", "n_obs", "i"), ("s_stat", "s_stat", "i"),
+              ("var18", "var18", "i"), ("mk2_e6", "mk2_e6", "i")]),
+            ("clq", "colocation_lift", _q_colocation_lift,
+             "type_a", "type_b",
+             [("n_a", "n_a", "i"), ("n_b", "n_b", "i"),
+              ("obs_pairs", "obs_pairs", "i"), ("clq_e6", "clq_e6", "i")]),
         ],
         "curation_suite": [
             ("contam", "contamination", _q_contamination,
@@ -5200,6 +5351,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gi_star": _q_gi_star,
         "knox_pairs": _q_knox,
         "edit_near_dup": _q_edit_near_dup,
+        # wave 22
+        "quadtree_bins": _q_quadtree,
+        "mann_kendall": _q_mann_kendall,
+        "colocation_lift": _q_colocation_lift,
     }
 
 
@@ -6332,6 +6487,10 @@ def oracle_sql() -> dict[str, str]:
     sqls["gi_star"] = _gi_star_sql()
     sqls["knox_pairs"] = _knox_sql()
     sqls["edit_near_dup"] = _edit_near_dup_sql()
+    # wave-22 oracles
+    sqls["quadtree_bins"] = _quadtree_sql()
+    sqls["mann_kendall"] = _MK_SQL
+    sqls["colocation_lift"] = _colocation_sql()
     # suite oracles composed verbatim from the per-operator strings above —
     # a green suite row certifies every folded operator's values.
     sqls.update(_suite_oracle_sql(sqls))

@@ -2048,3 +2048,198 @@ def knox_pairs(
             ).alias("knox_lift_e6"),
         )
     )
+
+
+def quadtree_bins(
+    points: DataFrame,
+    max_res: int,
+    threshold: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Adaptive quadtree binning: split any cell holding more than
+    `threshold` points into its 4 children, recursively, until `max_res`
+    — the variable-resolution aggregation every density map wants (one
+    fixed res either blurs the cities or shatters the oceans). A cell is
+    an emitted LEAF iff its own count ≤ threshold and its parent's count
+    > threshold (counts are monotone up the tree, so "parent > T" ⟺
+    "every ancestor > T"); cells still over threshold AT max_res emit as
+    forced leaves. Empty cells never exist (sparse in, sparse out);
+    leaves tile exactly the occupied space.
+
+    Shape at 10^12 points: ONE map-side-combinable groupBy collapses the
+    points to max_res cells (the only pass over the data); the per-level
+    rollups run over AGGREGATED frames that shrink 4× per level (a
+    geometric series — total extra work < 1/3 of the base agg); the
+    leaf test is one equi-join per level against the parent level's
+    counts, ids+ints only. No window, no Python, no driver loop over
+    data (the level loop is over `max_res` plan stages, not rows).
+
+    Output: (res, cx, cy, n_points, forced) — one row per leaf; (cx,cy)
+    are in the emitting level's coordinates.
+    """
+    if max_res < 1:
+        raise ValueError("max_res >= 1")
+    x, y = cells.xy_cols(F.col(lat_col), F.col(lon_col), max_res)
+    levels: dict[int, DataFrame] = {}
+    # every level is referenced by TWO union branches (its own leaf test
+    # and its children's parent test) — pin each aggregated frame so the
+    # base points scan runs once, not once per level
+    levels[max_res] = (
+        points.select(x.alias("cx"), y.alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    for r in range(max_res - 1, -1, -1):
+        levels[r] = (
+            levels[r + 1]
+            .groupBy(
+                F.shiftright(F.col("cx"), 1).alias("cx"),
+                F.shiftright(F.col("cy"), 1).alias("cy"),
+            )
+            .agg(F.sum("n").alias("n"))
+            .localCheckpoint(eager=False)
+        )
+    parts = []
+    # root: leaf iff the whole surface fits the budget
+    parts.append(
+        levels[0]
+        .filter(F.col("n") <= threshold)
+        .select(
+            F.lit(0).alias("res"), "cx", "cy",
+            F.col("n").alias("n_points"), F.lit(False).alias("forced"),
+        )
+    )
+    for r in range(1, max_res + 1):
+        parent_over = (
+            levels[r - 1]
+            .filter(F.col("n") > threshold)
+            .select(
+                F.col("cx").alias("_px"), F.col("cy").alias("_py")
+            )
+        )
+        lvl = levels[r].join(
+            parent_over,
+            (F.shiftright(F.col("cx"), 1) == F.col("_px"))
+            & (F.shiftright(F.col("cy"), 1) == F.col("_py")),
+            "left_semi",
+        )
+        keep = (
+            lvl.filter(
+                (F.col("n") <= threshold) if r < max_res else F.lit(True)
+            )
+            .select(
+                F.lit(r).alias("res"), "cx", "cy",
+                F.col("n").alias("n_points"),
+                (F.col("n") > threshold).alias("forced"),
+            )
+        )
+        parts.append(keep)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def colocation_lift(
+    events: DataFrame,
+    res: int,
+    type_col: str = "etype",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Cross-type co-location lift: for every ORDERED type pair (A, B),
+    how much more often is an A within one cell (queen neighborhood,
+    self cell included) of a B than independence predicts — the
+    bivariate version of the Ripley r=1 statistic, and the cell-join
+    form of the co-location quotient used to answer "do error events
+    cluster around deploy events", "do spam pages sit near link farms".
+
+        obs(A,B)  = Σ_c nA(c) · nbrB(c)  −  [A = B]·N_A
+                    (ordered cross-type pairs within one cell step)
+        clq_e6    = obs(A,B) · N·(N−1) · 1e6
+                    div (P · N_A · (N_B − [A = B]))
+
+    where P = Σ_c nTot(c)·nbrTot(c) − N is the same pair count for ALL
+    types (the baseline co-location rate of the point pattern itself) —
+    so clq controls BOTH for type abundance and for overall clustering:
+    clq ≈ 1e6 means A-B pairs co-locate exactly as much as any two
+    points do. Exact integers end to end; one truncating div.
+
+    Shape at 10^12 events: points collapse to (cell, type) counts (one
+    combinable groupBy); a 9-offset scatter over that AGGREGATED frame
+    equi-joins back on the cell key — pair counts are products of group
+    sizes, never an event-level join; type marginals broadcast.
+    Longitude wraps, pole rows drop (the family's conventions).
+
+    Output: (type_a, type_b, n_a, n_b, obs_pairs, clq_e6) for every
+    ordered pair with obs_pairs > 0, plus same-type rows (A = A:
+    self-pairs excluded exactly).
+    """
+    n = 1 << res
+    x, y = cells.xy_cols(F.col(lat_col), F.col(lon_col), res)
+    g = (
+        events.select(F.col(type_col).alias("t"), x.alias("cx"), y.alias("cy"))
+        .groupBy("t", "cx", "cy")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    g = g.localCheckpoint(eager=False)
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    probe = None
+    for dx, dy in offs:
+        o = g.select(
+            F.col("t").alias("ta"),
+            F.pmod(F.col("cx") + dx, F.lit(n)).alias("cx"),
+            (F.col("cy") + dy).alias("cy"),
+            F.col("c").alias("_ca"),
+        ).filter((F.col("cy") >= 0) & (F.col("cy") < n))
+        probe = o if probe is None else probe.unionByName(o)
+    obs = (
+        probe.join(
+            g.select(F.col("t").alias("tb"), "cx", "cy",
+                     F.col("c").alias("_cb")),
+            ["cx", "cy"],
+        )
+        .groupBy("ta", "tb")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_raw"))
+    )
+    marg = g.groupBy("t").agg(F.sum("c").alias("nt"))
+    tot = marg.agg(F.sum("nt").alias("_n"))
+    # P: all-type neighborhood pairs — reuse the same scatter, typeless
+    cell = g.groupBy("cx", "cy").agg(F.sum("c").alias("c"))
+    cprobe = None
+    for dx, dy in offs:
+        o = cell.select(
+            F.pmod(F.col("cx") + dx, F.lit(n)).alias("cx"),
+            (F.col("cy") + dy).alias("cy"),
+            F.col("c").alias("_ca"),
+        ).filter((F.col("cy") >= 0) & (F.col("cy") < n))
+        cprobe = o if cprobe is None else cprobe.unionByName(o)
+    ptot = (
+        cprobe.join(cell, ["cx", "cy"])
+        .agg(F.sum(F.col("_ca") * F.col("c")).alias("_praw"))
+    )
+    return (
+        obs.join(F.broadcast(marg.withColumnRenamed("t", "ta")
+                             .withColumnRenamed("nt", "n_a")), "ta")
+        .join(F.broadcast(marg.withColumnRenamed("t", "tb")
+                          .withColumnRenamed("nt", "n_b")), "tb")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ptot))
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "n_a", "n_b",
+            F.expr(
+                "CAST(_raw - IF(ta = tb, n_a, 0) AS BIGINT)"
+            ).alias("obs_pairs"),
+            F.expr(
+                "CAST(CAST(_raw - IF(ta = tb, n_a, 0) AS DECIMAL(38,0)) * "
+                "_n * (_n - 1) * 1000000 div "
+                "greatest(CAST(_praw - _n AS DECIMAL(38,0)) * n_a * "
+                "(n_b - IF(ta = tb, 1, 0)), 1) AS BIGINT)"
+            ).alias("clq_e6"),
+        )
+        .filter(F.col("obs_pairs") > 0)
+    )

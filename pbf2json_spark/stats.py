@@ -184,3 +184,82 @@ def concentration(
             F.expr("_ss * 100000000 div (n_total * n_total)").alias("hhi_e8"),
         )
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mann–Kendall monotonic-trend test per group — the NONPARAMETRIC
+    complement to linear_trend: OLS slope is dragged by outliers and
+    assumes linearity; MK only asks "do later values tend to be larger",
+    which is the robust question for daily crawl/event volumes. The
+    standard first stage of emerging-hotspot analysis.
+
+        S = Σ_{i<j} sign(y_j − y_i)         (ordered by x)
+        Var(S)·18 = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)
+
+    Integer-exact, sqrt-free: emit S, the tie-corrected var18, and the
+    continuity-corrected SQUARED z with the trend's sign
+
+        mk2_e6 = sign(S) · (|S|−1)² · 18 · 1e6 div max(var18, 1)
+
+    (z² > 3.84 ⇔ p < 0.05 two-sided, so mk2_e6 beyond ±3.84e6 flags a
+    significant trend and its direction). Truncating div matches
+    DuckDB's `//`.
+
+    Shape at 10^12 rows: the input here is an ALREADY-AGGREGATED series
+    (e.g. per-key day buckets — bounded rows per key), so the within-key
+    pair join is quadratic only in the series length, never in the raw
+    events; the join is a key equi-join, the tie term one combinable
+    count. Raw-event callers must pre-aggregate (exactly like
+    linear_trend).
+
+    Output: (*group_cols, n_obs, s_stat, var18, mk2_e6).
+    """
+    a = df.select(
+        *group_cols, F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    )
+    b = a.select(
+        *group_cols, F.col("_x").alias("_x2"), F.col("_y").alias("_y2")
+    )
+    s = (
+        a.join(b, group_cols)
+        .filter(F.col("_x") < F.col("_x2"))
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(F.signum(F.col("_y2") - F.col("_y")).cast("long"))
+            .alias("s_stat"),
+        )
+    )
+    nn = a.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_obs"))
+    ties = (
+        a.groupBy(*group_cols, "_y")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(
+                F.expr("_t * (_t - 1) * (2 * _t + 5)")
+            ).alias("_tie18"),
+        )
+    )
+    return (
+        # left join: a 1-observation group has no pairs → S = 0, kept
+        nn.join(s, group_cols, "left")
+        .withColumn("s_stat", F.coalesce("s_stat", F.lit(0).cast("long")))
+        .join(ties, group_cols)
+        .select(
+            *group_cols, "n_obs", "s_stat",
+            F.expr(
+                "n_obs * (n_obs - 1) * (2 * n_obs + 5) - _tie18"
+            ).cast("long").alias("var18"),
+            F.expr(
+                "CAST(sign(s_stat) AS BIGINT) * "
+                "CAST((abs(s_stat) - 1) * (abs(s_stat) - 1) * 18 * 1000000 "
+                "div greatest(n_obs * (n_obs - 1) * (2 * n_obs + 5) - _tie18, 1) "
+                "AS BIGINT)"
+            ).alias("mk2_e6"),
+        )
+    )

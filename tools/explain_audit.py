@@ -1515,7 +1515,8 @@ def main() -> int:
 
     wave_specs = [
         ("idw_surface", "IDW interpolation surface (wave 15)", [
-            ("neighborhood scatter joins back as a hash join", has("HashJoin")),
+            ("scatter-AGGREGATE, no self-join at all", lacks("Join")),
+            ("disk scatter is codegen explode", has("Generate")),
             ("partial aggregation", has("HashAggregate")),
         ]),
         ("script_mix", "script-mix profiling (wave 15)", [
@@ -1527,7 +1528,7 @@ def main() -> int:
         ]),
         ("lpa_communities", "label propagation (wave 16)", []),
         ("grid_gradient", "grid gradient (wave 16)", [
-            ("scatter joins back as a hash join", has("HashJoin")),
+            ("scatter-AGGREGATE, no self-join at all", lacks("Join")),
             ("partial aggregation", has("HashAggregate")),
         ]),
         ("traj_jaccard", "trajectory Jaccard (wave 16)", [
@@ -1589,6 +1590,25 @@ def main() -> int:
         ("edit_near_dup", "Levenshtein near-dup (wave 21)", [
             ("blocked candidate equi-join", has("Join")),
             ("levenshtein stays JVM-side", lacks("EvalPython")),
+        ]),
+        ("quadtree_bins", "adaptive quadtree binning (wave 22)", [
+            ("base collapse + per-level rollups are partial aggs",
+             has("HashAggregate")),
+            ("leaf tests are semi-joins over AGGREGATED levels",
+             has("Join")),
+            ("no window", lacks("Window")),
+        ]),
+        ("mann_kendall", "Mann-Kendall trend (wave 22)", [
+            ("pair join is a key equi-join over the AGGREGATED series",
+             has("Join")),
+            ("partial aggregation", has("HashAggregate")),
+            ("no window", lacks("Window")),
+        ]),
+        ("colocation_lift", "co-location lift (wave 22)", [
+            ("scatter equi-join over aggregated (cell,type) counts",
+             has("Join")),
+            ("marginals broadcast", has("Broadcast")),
+            ("partial aggregation", has("HashAggregate")),
         ]),
     ]
     for key, title, props in wave_specs:
