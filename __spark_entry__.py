@@ -4551,6 +4551,76 @@ def _colocation_sql() -> str:
     )
 
 
+# ---- wave 23: emerging hotspots (per-slice Gi* + MK trend) ----
+
+_EMERGE_BUCKET_US = 86_400_000_000  # day slices
+
+
+def _q_emerging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging-hotspot analysis (spatial.emerging_hotspots): day-sliced
+    Gi* scores per res-4 cell, Mann-Kendall trend over each cell's
+    signed-z² series — the space-time composite, integer-exact end to
+    end."""
+    ev = _traj_events(spark, sf_dir).select(
+        "lat", "lon", _ntz_epoch_us("ts").alias("ts_us")
+    )
+    return spatial.emerging_hotspots(
+        ev, res=_MORAN_RES, bucket_us=_EMERGE_BUCKET_US
+    )
+
+
+def _emerging_sql() -> str:
+    x, y = _sql_cell_xy("lat", "lon", _MORAN_RES)
+    bu = _EMERGE_BUCKET_US
+    return (
+        f"WITH t AS ({_TRAJ_SQL}), "
+        f"g AS (SELECT CAST(epoch_us(ts) AS BIGINT) // {bu} AS b, "
+        f"{x} AS cx, {y} AS cy, CAST(count(*) AS BIGINT) AS x "
+        "FROM t GROUP BY 1, 2, 3), "
+        "o AS (SELECT dx.d AS ddx, dy.d AS ddy FROM "
+        "(VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d) "
+        "WHERE NOT (dx.d = 0 AND dy.d = 0)), "
+        "nb AS (SELECT g.b, g.cx + o.ddx AS cx, g.cy + o.ddy AS cy, "
+        "g.x AS nx FROM g, o), "
+        "na AS (SELECT b, cx, cy, CAST(count(*) AS BIGINT) AS k, "
+        "CAST(sum(nx) AS BIGINT) AS nbr FROM nb GROUP BY 1, 2, 3), "
+        "tot AS (SELECT b, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(x) AS BIGINT) AS s, CAST(sum(x * x) AS BIGINT) AS q "
+        "FROM g GROUP BY 1), "
+        "j AS (SELECT g.b, g.cx, g.cy, g.x, coalesce(na.k, 0) + 1 AS w_i, "
+        "g.x + coalesce(na.nbr, 0) AS t_i, tot.n, tot.s, tot.q FROM g "
+        "LEFT JOIN na ON g.b = na.b AND g.cx = na.cx AND g.cy = na.cy "
+        "JOIN tot ON g.b = tot.b), "
+        "gi AS (SELECT b, cx, cy, "
+        "CAST(sign(n * t_i - w_i * s) AS BIGINT) * "
+        "CAST((CAST(n * t_i - w_i * s AS HUGEINT) * (n * t_i - w_i * s) "
+        "* (n - 1) * 1000000) // "
+        "greatest((CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s) * "
+        "(n * w_i - w_i * w_i), 1) AS BIGINT) AS gi FROM j), "
+        "s AS (SELECT a.cx, a.cy, CAST(sum(CASE WHEN p.gi > a.gi THEN 1 "
+        "WHEN p.gi < a.gi THEN -1 ELSE 0 END) AS BIGINT) AS s_stat "
+        "FROM gi a JOIN gi p ON a.cx = p.cx AND a.cy = p.cy "
+        "AND a.b < p.b GROUP BY 1, 2), "
+        "nn AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n_buckets "
+        "FROM gi GROUP BY 1, 2), "
+        "tie AS (SELECT cx, cy, CAST(sum(tc * (tc - 1) * (2 * tc + 5)) "
+        "AS BIGINT) AS tie18 FROM (SELECT cx, cy, gi, "
+        "CAST(count(*) AS BIGINT) AS tc FROM gi GROUP BY 1, 2, 3) "
+        "GROUP BY 1, 2) "
+        "SELECT nn.cx, nn.cy, nn.n_buckets, "
+        "coalesce(s.s_stat, 0) AS s_stat, "
+        "CAST(nn.n_buckets * (nn.n_buckets - 1) * (2 * nn.n_buckets + 5) "
+        "- tie.tie18 AS BIGINT) AS var18, "
+        "CAST(CAST(sign(coalesce(s.s_stat, 0)) AS BIGINT) * "
+        "((abs(coalesce(s.s_stat, 0)) - 1) * "
+        "(abs(coalesce(s.s_stat, 0)) - 1) * 18 * 1000000 // "
+        "greatest(nn.n_buckets * (nn.n_buckets - 1) * "
+        "(2 * nn.n_buckets + 5) - tie.tie18, 1)) AS BIGINT) AS mk2_e6 "
+        "FROM nn LEFT JOIN s ON nn.cx = s.cx AND nn.cy = s.cy "
+        "JOIN tie ON nn.cx = tie.cx AND nn.cy = tie.cy"
+    )
+
+
 # --------------------------------------------------------------------------
 # Suite queries — tagged-union fold of same-family operators into ONE
 # driver gate slot.
@@ -5053,6 +5123,11 @@ def _suite_specs():
              "type_a", "type_b",
              [("n_a", "n_a", "i"), ("n_b", "n_b", "i"),
               ("obs_pairs", "obs_pairs", "i"), ("clq_e6", "clq_e6", "i")]),
+            # wave 23 folds into the same slot
+            ("emerge", "emerging_hotspots", _q_emerging,
+             ["cx", "cy"], None,
+             [("n_buckets", "n_buckets", "i"), ("s_stat", "s_stat", "i"),
+              ("var18", "var18", "i"), ("mk2_e6", "mk2_e6", "i")]),
         ],
         "curation_suite": [
             ("contam", "contamination", _q_contamination,
@@ -5355,6 +5430,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadtree_bins": _q_quadtree,
         "mann_kendall": _q_mann_kendall,
         "colocation_lift": _q_colocation_lift,
+        # wave 23
+        "emerging_hotspots": _q_emerging,
     }
 
 
@@ -6491,6 +6568,8 @@ def oracle_sql() -> dict[str, str]:
     sqls["quadtree_bins"] = _quadtree_sql()
     sqls["mann_kendall"] = _MK_SQL
     sqls["colocation_lift"] = _colocation_sql()
+    # wave-23 oracle
+    sqls["emerging_hotspots"] = _emerging_sql()
     # suite oracles composed verbatim from the per-operator strings above —
     # a green suite row certifies every folded operator's values.
     sqls.update(_suite_oracle_sql(sqls))

@@ -1592,10 +1592,13 @@ def main() -> int:
             ("levenshtein stays JVM-side", lacks("EvalPython")),
         ]),
         ("quadtree_bins", "adaptive quadtree binning (wave 22)", [
-            ("base collapse + per-level rollups are partial aggs",
-             has("HashAggregate")),
-            ("leaf tests are semi-joins over AGGREGATED levels",
-             has("Join")),
+            # the per-level collapse aggs materialize inside the pinned
+            # localCheckpoints, so the final plan shows their RESULTS
+            # (ExistingRDD scans), not the HashAggregates themselves
+            ("levels pinned once (ExistingRDD scans, no re-agg)",
+             has("ExistingRDD")),
+            ("leaf tests are broadcast semi-joins over AGGREGATED levels",
+             has("BroadcastHashJoin LeftSemi")),
             ("no window", lacks("Window")),
         ]),
         ("mann_kendall", "Mann-Kendall trend (wave 22)", [
