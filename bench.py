@@ -194,15 +194,23 @@ def _host_idle_frac(interval: float = 1.0) -> float:
         return 1.0
 
 
-def _wait_idle(threshold: float = 0.85, deadline: float = 90.0) -> None:
+_IDLE_BUDGET = [180.0]  # total seconds the WHOLE suite may spend gating
+
+
+def _wait_idle(threshold: float = 0.85, deadline: float = 30.0) -> None:
     """Gate a timed measurement on the host being idle. The box is
     multi-tenant (tenant CPU bursts swing identical runs up to 3×, see
-    BENCH/BASELINE.md); a bounded wait keeps the suite from hanging when
-    the neighbor never quiets down."""
+    BENCH/BASELINE.md); a bounded per-gate wait plus a GLOBAL budget
+    keeps the suite wall time bounded when the neighbor never quiets
+    down — with ~66 gates per run, an unbudgeted 90 s deadline degrades
+    to a ~100-minute stall under sustained load. Once the budget is
+    spent, gates become no-ops and the calib_sec field carries the
+    load-normalization signal instead."""
     start = time.time()
-    while time.time() - start < deadline:
+    while time.time() - start < min(deadline, _IDLE_BUDGET[0]):
         if _host_idle_frac() >= threshold:
-            return
+            break
+    _IDLE_BUDGET[0] = max(0.0, _IDLE_BUDGET[0] - (time.time() - start))
 
 
 def build_pages_pipeline(spark: SparkSession, n_pages: int):
@@ -341,6 +349,29 @@ def main() -> None:
         page_sec = sec if page_sec is None or sec < page_sec else page_sec
     timings["pages_pipeline"] = round(page_sec, 3)
 
+    # pure-compute hardware calibration (same kernel as
+    # tools/scaling_bench.py): an xxhash64 chain over range() — no
+    # Python, no strings, no real shuffle. Its wall time moves ONLY with
+    # host speed (co-tenant steal / frequency), so cross-round deltas in
+    # `queries` can be normalized against cross-round deltas in
+    # `calib_sec` before being read as engine regressions
+    # (BENCH/BASELINE.md noise methodology).
+    def _calib_plan():
+        df = spark.range(0, 200_000_000, 1, 128)
+        x = F.col("id")
+        for i in range(8):
+            x = F.xxhash64(x, F.lit(i))
+        return df.select(F.sum(F.pmod(x, F.lit(1000))))
+
+    _calib_plan().collect()  # warm-up
+    calib = None
+    for _ in range(2):
+        _wait_idle()
+        t0 = time.time()
+        _calib_plan().collect()
+        sec = time.time() - t0
+        calib = sec if calib is None or sec < calib else calib
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -355,6 +386,7 @@ def main() -> None:
                 "sf": sf_val,
                 "pages_per_sec": round(n_pages / page_sec, 1),
                 "n_pages": n_pages,
+                "calib_sec": round(calib, 3),
                 "regressions": regressions,
             }
         )
