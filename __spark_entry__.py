@@ -4621,6 +4621,148 @@ def _emerging_sql() -> str:
     )
 
 
+# ---- wave 24: chi-square mix divergence, Benford anomaly ----
+
+
+def _q_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source chi-square divergence (stats.chi2_divergence) of the
+    language mix vs the whole corpus — the anomalous-host screen,
+    integer e6."""
+    return stats.chi2_divergence(
+        _t(spark, sf_dir, "documents"), ["source"], "lang"
+    )
+
+
+_CHI2_SQL = (
+    "WITH oc AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o "
+    "FROM documents GROUP BY 1, 2), "
+    "gc AS (SELECT lang, CAST(count(*) AS BIGINT) AS g "
+    "FROM documents GROUP BY 1), "
+    "gt AS (SELECT CAST(count(*) AS BIGINT) AS gg FROM documents), "
+    "nt AS (SELECT source, CAST(count(*) AS BIGINT) AS n "
+    "FROM documents GROUP BY 1), "
+    "grid AS (SELECT nt.source, nt.n, gc.lang, gc.g FROM nt, gc), "
+    "f AS (SELECT grid.source, grid.n, grid.g, "
+    "coalesce(oc.o, 0) AS o FROM grid LEFT JOIN oc "
+    "ON grid.source = oc.source AND grid.lang = oc.lang) "
+    "SELECT f.source, f.n, CAST(count(*) AS BIGINT) AS n_cats, "
+    "CAST(sum((CAST(o AS HUGEINT) * gt.gg - CAST(n AS HUGEINT) * g) * "
+    "(CAST(o AS HUGEINT) * gt.gg - CAST(n AS HUGEINT) * g) * 1000000 // "
+    "(CAST(n AS HUGEINT) * g * gt.gg)) AS BIGINT) AS chi2_e6 "
+    "FROM f, gt GROUP BY 1, 2"
+)
+
+
+def _q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit anomaly (textops.benford_profile) per source.
+    The synthetic documents' text carries no digit tokens (the extractor
+    found 0 at every SF — a vacuous gate row), so the numeric stream under
+    test is each doc's n_chars rendered as text: a real, length-derived
+    magnitude distribution with rows at every SF."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("string").alias("text")
+    )
+    return textops.benford_profile(docs, ["source"])
+
+
+def _benford_sql() -> str:
+    from pbf2json_spark.textops import BENFORD_E6
+
+    vals = ", ".join(
+        f"('{d + 1}', {p})" for d, p in enumerate(BENFORD_E6)
+    )
+    return (
+        "WITH toks AS (SELECT source, substr(tok, 1, 1) AS d FROM "
+        "(SELECT source, unnest(regexp_extract_all("
+        "CAST(n_chars AS VARCHAR), '[1-9][0-9]*')) AS tok "
+        "FROM documents)), "
+        "oc AS (SELECT source, d, CAST(count(*) AS BIGINT) AS o "
+        "FROM toks GROUP BY 1, 2), "
+        "nt AS (SELECT source, CAST(count(*) AS BIGINT) AS n "
+        "FROM toks GROUP BY 1), "
+        f"dg AS (SELECT * FROM (VALUES {vals}) v(d, p)), "
+        "grid AS (SELECT nt.source, nt.n, dg.d, dg.p FROM nt, dg), "
+        "f AS (SELECT grid.source, grid.n, grid.p, coalesce(oc.o, 0) AS o "
+        "FROM grid LEFT JOIN oc ON grid.source = oc.source "
+        "AND grid.d = oc.d) "
+        "SELECT source, n AS n_numbers, "
+        "CAST(sum((CAST(o AS HUGEINT) * 1000000 - "
+        "CAST(n AS HUGEINT) * p) * (CAST(o AS HUGEINT) * 1000000 - "
+        "CAST(n AS HUGEINT) * p) * 1000000 // "
+        "(CAST(n AS HUGEINT) * p * 1000000)) AS BIGINT) AS chi2_e6 "
+        "FROM f GROUP BY 1, 2"
+    )
+
+
+# ---- wave 25: Gini index, BFS hop labels, heading-octant mix ----
+
+
+def _q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini of document length (stats.gini_index) — exact
+    rank-formula concentration computed in histogram form (window over
+    DISTINCT lengths, never per-row), integer e6."""
+    return stats.gini_index(
+        _t(spark, sf_dir, "documents"), ["source"], "n_chars"
+    )
+
+
+# Oracle uses the per-row row_number() form of the same rank formula —
+# tie order is provably irrelevant (swapping equal values leaves
+# sum(i*x_i) unchanged), so histogram form == row form bit-exact.
+_GINI_SQL = (
+    "WITH r AS (SELECT source, n_chars AS v, row_number() OVER "
+    "(PARTITION BY source ORDER BY n_chars) AS i FROM documents), "
+    "a AS (SELECT source, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(v) AS HUGEINT) AS s, "
+    "CAST(sum(CAST(i AS HUGEINT) * v) AS HUGEINT) AS t FROM r GROUP BY 1) "
+    "SELECT source, n, CAST(s AS BIGINT) AS sum_val, "
+    "CASE WHEN s = 0 THEN CAST(0 AS BIGINT) ELSE "
+    "CAST((2 * t - (CAST(n AS HUGEINT) + 1) * s) * 1000000 // "
+    "(CAST(n AS HUGEINT) * s) AS BIGINT) END AS gini_e6 FROM a"
+)
+
+
+def _q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop labels from seed set {0, 17} over the synthetic link graph
+    (graph.bfs_hops), 4 rounds of frontier expansion. The oracle is a
+    recursive CTE enumerating (node, hop) states (UNION dedup bounds it
+    at n·(max_hops+1) states) folded by min(hop) — different evaluation
+    strategy, identical labels."""
+    seeds = spark.createDataFrame([(0,), (17,)], "node long")
+    return graph.bfs_hops(_link_edges(spark, sf_dir), seeds, max_hops=4)
+
+
+_BFS_SQL = (
+    f"WITH RECURSIVE e AS ({_EDGES_SQL}), "
+    "walk(node, hop) AS ("
+    "SELECT * FROM (VALUES (CAST(0 AS BIGINT), 0), "
+    "(CAST(17 AS BIGINT), 0)) v(node, hop) "
+    "UNION "
+    "SELECT e.dst, walk.hop + 1 FROM walk JOIN e ON e.src = walk.node "
+    "WHERE walk.hop < 4) "
+    "SELECT node, CAST(min(hop) AS BIGINT) AS hop FROM walk GROUP BY node"
+)
+
+
+def _q_heading_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user compass-octant step counts (trajectory.heading_mix) over
+    the shared trajectory frame — sign/magnitude comparison ladder, no
+    atan2, so the identical CASE in DuckDB is value-exact."""
+    return trajectory.heading_mix(_traj_events(spark, sf_dir))
+
+
+_HEADING_SQL = (
+    f"WITH t AS ({_TRAJ_SQL}), "
+    "l AS (SELECT user_id, "
+    "lat - lag(lat) OVER (PARTITION BY user_id ORDER BY ts) AS dla, "
+    "lon - lag(lon) OVER (PARTITION BY user_id ORDER BY ts) AS dlo FROM t) "
+    "SELECT user_id, "
+    + trajectory._HEADING_CASE.format(dla="dla", dlo="dlo")
+    + " AS heading, CAST(count(*) AS BIGINT) AS n_steps "
+    "FROM l WHERE dla IS NOT NULL GROUP BY 1, 2"
+)
+
+
 # --------------------------------------------------------------------------
 # Suite queries — tagged-union fold of same-family operators into ONE
 # driver gate slot.
@@ -4839,6 +4981,9 @@ def _suite_specs():
             ("od", "od_flows", _q_od_flows,
              ["from_x", "from_y"], ["to_x", "to_y"],
              [("n_trips", "n_trips", "i")]),
+            # wave 25 folds into the same slot
+            ("headmix", "heading_mix", _q_heading_mix,
+             "user_id", "heading", [("n_steps", "n_steps", "i")]),
         ],
         "graph_suite": [
             ("pagerank", "pagerank", _q_pagerank,
@@ -4852,6 +4997,9 @@ def _suite_specs():
                                   ("cluster_id", "cluster_id", "i")]),
             ("focal", "focal_smooth", _q_focal,
              ["cx", "cy"], None, [("n_focal", "n_focal", "i")]),
+            # wave 25 folds into the same slot
+            ("bfs", "bfs_hops", _q_bfs_hops,
+             "node", None, [("hop", "hop", "i")]),
         ],
         "wave5_suite": [
             ("wsample", "weighted_sample", _q_weighted_sample,
@@ -5128,6 +5276,19 @@ def _suite_specs():
              ["cx", "cy"], None,
              [("n_buckets", "n_buckets", "i"), ("s_stat", "s_stat", "i"),
               ("var18", "var18", "i"), ("mk2_e6", "mk2_e6", "i")]),
+            # wave 24 folds into the same slot
+            ("chi2", "lang_divergence", _q_lang_divergence,
+             "source", None,
+             [("n", "n", "i"), ("n_cats", "n_cats", "i"),
+              ("chi2_e6", "chi2_e6", "i")]),
+            ("benford", "benford_anomaly", _q_benford,
+             "source", None,
+             [("n_numbers", "n_numbers", "i"), ("chi2_e6", "chi2_e6", "i")]),
+            # wave 25 folds into the same slot
+            ("gini", "gini_len", _q_gini,
+             "source", None,
+             [("n", "n", "i"), ("sum_val", "sum_val", "i"),
+              ("gini_e6", "gini_e6", "i")]),
         ],
         "curation_suite": [
             ("contam", "contamination", _q_contamination,
@@ -5432,6 +5593,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "colocation_lift": _q_colocation_lift,
         # wave 23
         "emerging_hotspots": _q_emerging,
+        # wave 24
+        "lang_divergence": _q_lang_divergence,
+        "benford_anomaly": _q_benford,
+        # wave 25
+        "gini_len": _q_gini,
+        "bfs_hops": _q_bfs_hops,
+        "heading_mix": _q_heading_mix,
     }
 
 
@@ -6570,6 +6738,13 @@ def oracle_sql() -> dict[str, str]:
     sqls["colocation_lift"] = _colocation_sql()
     # wave-23 oracle
     sqls["emerging_hotspots"] = _emerging_sql()
+    # wave-24 oracles
+    sqls["lang_divergence"] = _CHI2_SQL
+    sqls["benford_anomaly"] = _benford_sql()
+    # wave-25 oracles
+    sqls["gini_len"] = _GINI_SQL
+    sqls["bfs_hops"] = _BFS_SQL
+    sqls["heading_mix"] = _HEADING_SQL
     # suite oracles composed verbatim from the per-operator strings above —
     # a green suite row certifies every folded operator's values.
     sqls.update(_suite_oracle_sql(sqls))

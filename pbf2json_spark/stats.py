@@ -263,3 +263,146 @@ def mann_kendall(
             ).alias("mk2_e6"),
         )
     )
+
+
+def chi2_divergence(
+    df: DataFrame,
+    group_cols: list[str],
+    cat_col: str,
+) -> DataFrame:
+    """Per-group chi-square divergence of a categorical distribution
+    against the GLOBAL (all-groups) distribution — the "which hosts have
+    an anomalous language mix / content-type mix / status-code mix"
+    screen. Groups whose mix matches the corpus score ~0; chi2_e6 past
+    the χ²(k−1) quantiles flags outliers.
+
+    With per-group observed o_c, group total n, global category count
+    g_c, global total G (expected = n·g_c/G):
+
+        chi2_e6 = Σ_c (o_c·G − n·g_c)² · 1e6 div (n · g_c · G)
+
+    — every factor integer, one truncating div PER CATEGORY TERM before
+    the sum (documented; both engines truncate identically, and the
+    error per term is < 1e-6 of the term). Categories a group lacks
+    contribute n·g_c·1e6 div (G... ) via o_c = 0 — the left join keeps
+    them, which is what makes a MISSING expected-common category count
+    as divergence.
+
+    Shape at 10^12 rows: two combinable groupBys (group×cat, cat) + the
+    group totals; the expected join is (group×cat) ⋈ broadcast(cat) —
+    the category side is vocabulary-sized. Never a window, never
+    all-pairs.
+
+    Output: (*group_cols, n, n_cats, chi2_e6).
+    """
+    oc = df.groupBy(*group_cols, cat_col).agg(
+        F.count(F.lit(1)).alias("_o")
+    )
+    gc = df.groupBy(cat_col).agg(F.count(F.lit(1)).alias("_g"))
+    # NB: Spark resolves names case-insensitively, so the grand total
+    # must not be spelled `_G` alongside the per-category `_g`.
+    gt = df.agg(F.count(F.lit(1)).alias("_gg"))
+    nt = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    # full grid: every group × every GLOBAL category (missing cats count)
+    grid = nt.crossJoin(F.broadcast(gc))
+    full = grid.join(oc, [*group_cols, cat_col], "left").select(
+        *group_cols, "n", "_g",
+        F.coalesce("_o", F.lit(0)).cast("long").alias("_o"),
+    )
+    return (
+        full.crossJoin(F.broadcast(gt))
+        .select(
+            *group_cols, "n",
+            F.expr(
+                "CAST((CAST(_o AS DECIMAL(38,0)) * _gg - "
+                "CAST(n AS DECIMAL(38,0)) * _g) * "
+                "(CAST(_o AS DECIMAL(38,0)) * _gg - "
+                "CAST(n AS DECIMAL(38,0)) * _g) * 1000000 div "
+                "(CAST(n AS DECIMAL(38,0)) * _g * _gg) AS BIGINT)"
+            ).alias("_term"),
+        )
+        .groupBy(*group_cols, "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_cats"),
+            F.sum("_term").alias("chi2_e6"),
+        )
+        .select(*group_cols, "n", "n_cats", "chi2_e6")
+    )
+
+
+def gini_index(
+    df: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+) -> DataFrame:
+    """Per-group Gini concentration index over a NON-NEGATIVE INTEGER
+    value column, e6 fixed point — the inequality screen a curation
+    pipeline runs before trusting per-host aggregates: a host whose byte
+    volume is one giant page (gini → 1) and a host of uniform pages
+    (gini → 0) need different thresholds.
+
+    Exact rank formula, G = (2·T − (n+1)·S) / (n·S) with
+    T = Σ_i i·x_(i) over the ascending sort — but computed in HISTOGRAM
+    form so no per-row window is needed: with count c_v per distinct
+    value v and C_v = cumulative count of strictly smaller values,
+
+        T = Σ_v v · (C_v·c_v + c_v·(c_v+1)/2)
+
+    (the c·(c+1) product is always even, so the /2 is exact). Tie order
+    cannot matter: swapping equal values leaves Σ i·x_(i) unchanged,
+    which is why the histogram form equals ANY sorted-row evaluation —
+    the DuckDB oracle uses the row_number() form and matches bit-exact.
+    gini_e6 = (2T − (n+1)S)·1e6 div (n·S); the numerator is ≥ 0 by the
+    rearrangement inequality, so floor and truncating div agree. Groups
+    with S = 0 (all-zero values) emit gini_e6 = 0.
+
+    Shape at 10^12 rows: ONE map-side-combinable (group, value) count,
+    then a window over the AGGREGATED histogram — partition size is the
+    group's number of DISTINCT values, not its row count (doc lengths,
+    status codes, and size buckets are small domains). Never a per-row
+    window, never a self-join.
+
+    Output: (*group_cols, n, sum_val, gini_e6) — all BIGINT.
+    """
+    hist = df.groupBy(*group_cols, val_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(val_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        *group_cols,
+        F.col(val_col).cast("decimal(38,0)").alias("_v"),
+        F.col("_c").cast("decimal(38,0)").alias("_cd"),
+        (F.sum("_c").over(w) - F.col("_c")).cast("decimal(38,0)").alias("_cprev"),
+    )
+    terms = cum.select(
+        *group_cols,
+        F.col("_cd"),
+        (F.col("_v") * F.col("_cd")).alias("_s_term"),
+        (
+            F.col("_v")
+            * (F.col("_cprev") * F.col("_cd")
+               + F.col("_cd") * (F.col("_cd") + 1) / 2)
+        ).cast("decimal(38,0)").alias("_t_term"),
+    )
+    agg = terms.groupBy(*group_cols).agg(
+        F.sum("_cd").cast("long").alias("n"),
+        F.sum("_s_term").alias("_s"),
+        F.sum("_t_term").alias("_t"),
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        F.col("_s").cast("long").alias("sum_val"),
+        F.when(F.col("_s") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                "CAST((2 * _t - (CAST(n AS DECIMAL(38,0)) + 1) * _s) "
+                "* 1000000 div (CAST(n AS DECIMAL(38,0)) * _s) AS BIGINT)"
+            )
+        )
+        .alias("gini_e6"),
+    )

@@ -650,3 +650,66 @@ def gravity_flows(
             f"div (CAST(outflow AS {d38}) * inflow) AS BIGINT)"
         ).alias("lift_e6"),
     )
+
+
+# Heading classes: 8 compass octants + 'O' for a zero-length step. The
+# split is |dlat| vs |dlon| magnitude comparison first (E/W/N/S halves),
+# exact-tie |dlat| == |dlon| goes to the diagonal classes — every branch
+# is a comparison of IEEE doubles computed by one subtraction each, so
+# the classification is bit-reproducible on any engine (the DuckDB
+# oracle repeats the identical CASE ladder).
+_HEADING_CASE = (
+    "CASE "
+    "WHEN {dla} = 0 AND {dlo} = 0 THEN 'O' "
+    "WHEN abs({dlo}) > abs({dla}) THEN (CASE WHEN {dlo} > 0 THEN 'E' ELSE 'W' END) "
+    "WHEN abs({dla}) > abs({dlo}) THEN (CASE WHEN {dla} > 0 THEN 'N' ELSE 'S' END) "
+    "WHEN {dla} > 0 THEN (CASE WHEN {dlo} > 0 THEN 'NE' ELSE 'NW' END) "
+    "ELSE (CASE WHEN {dlo} > 0 THEN 'SE' ELSE 'SW' END) END"
+)
+
+
+def heading_mix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Per-user movement-direction profile: each consecutive step
+    classifies into one of 8 compass octants (or 'O' for a stationary
+    repeat), and the output counts steps per (user, heading) — the
+    directional-bias screen (commuters skew one axis; GPS noise is
+    near-uniform; grid-snapped bots pin to pure cardinals).
+
+    The octant comes from sign/magnitude COMPARISONS of (Δlat, Δlon) —
+    never atan2 — so it is integer-exact in spirit: subtraction of two
+    doubles is one correctly-rounded IEEE op and comparisons of the
+    results are deterministic, making the DuckDB oracle (same CASE
+    ladder over the same lag window) value-exact. Boundary rule: an
+    exact |Δlat| = |Δlon| tie is the diagonal class, a zero component
+    with nonzero other is the cardinal class.
+
+    Shape at 10^12 rows: ONE hash exchange on the user key + the lag
+    window inside the partition + one map-side-combinable count — the
+    same cost envelope as travel_stats/sessionize, no self-joins.
+
+    Output: (user, heading, n_steps). Users with a single point emit
+    nothing (no step exists). Rows need unique (user, ts) upstream for a
+    deterministic lag order, as with every trajectory operator here.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    plat, plon = F.lag(lat_col).over(w), F.lag(lon_col).over(w)
+    stepped = df.select(
+        F.col(user_col),
+        (F.col(lat_col) - plat).alias("_dla"),
+        (F.col(lon_col) - plon).alias("_dlo"),
+    ).filter(F.col("_dla").isNotNull())
+    return (
+        stepped.select(
+            user_col,
+            F.expr(_HEADING_CASE.format(dla="_dla", dlo="_dlo"))
+            .alias("heading"),
+        )
+        .groupBy(user_col, "heading")
+        .agg(F.count(F.lit(1)).alias("n_steps"))
+    )

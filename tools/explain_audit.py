@@ -1613,6 +1613,32 @@ def main() -> int:
             ("marginals broadcast", has("Broadcast")),
             ("partial aggregation", has("HashAggregate")),
         ]),
+        ("emerging_hotspots", "emerging hotspots (wave 23)", [
+            ("per-slice neighborhood join over AGGREGATED counts",
+             has("Join")),
+            ("per-bucket scalars broadcast", has("Broadcast")),
+            ("partial aggregation", has("HashAggregate")),
+        ]),
+        ("lang_divergence", "chi-square mix divergence (wave 24)", [
+            ("category grid joins as broadcast", has("Broadcast")),
+            ("partial aggregation", has("HashAggregate")),
+            ("no window", lacks("Window")),
+        ]),
+        ("benford_anomaly", "Benford anomaly (wave 24)", [
+            ("digit extraction is codegen explode", has("Generate")),
+            ("digit grid broadcast", has("Broadcast")),
+            ("partial aggregation", has("HashAggregate")),
+            ("no window", lacks("Window")),
+        ]),
+        ("gini_len", "Gini index (wave 25)", [
+            ("window runs over the AGGREGATED histogram, after an agg",
+             has("Window")),
+            ("partial aggregation", has("HashAggregate")),
+        ]),
+        ("heading_mix", "heading-octant mix (wave 25)", [
+            ("one user-key window then combinable count", has("Window")),
+            ("partial aggregation", has("HashAggregate")),
+        ]),
     ]
     for key, title, props in wave_specs:
         p = plan_text(allq[key](spark, sf_dir))
@@ -1623,6 +1649,31 @@ def main() -> int:
             ("whole-stage codegen", "codegen id" in p, ""),
         ]
         sections.append((f"{title} ({key})", p, checks))
+
+    # BFS hop labels (wave 25): the returned frame is a union of pinned
+    # per-round localCheckpoints, so audit ONE round's expansion — the
+    # frontier ⋈ edges join + anti-join vs visited — unpinned.
+    from pbf2json_spark import graph as graph_mod
+    edges25 = entry_mod._link_edges(spark, sf_dir).select(
+        F.col("src").alias("_s"), F.col("dst").alias("_d"))
+    seeds25 = spark.createDataFrame([(0,), (17,)], "node long")
+    vis25 = seeds25.select("node", F.lit(0).cast("long").alias("hop"))
+    round25 = (
+        seeds25.join(edges25, seeds25["node"] == edges25["_s"])
+        .select(F.col("_d").alias("node")).distinct()
+        .join(vis25, "node", "left_anti")
+        .select("node", F.lit(1).cast("long").alias("hop"))
+    )
+    p25 = plan_text(round25)
+    sections.append(("BFS frontier round (bfs_hops, wave 25)", p25, [
+        ("frontier expansion is an equi-join", "Join" in p25, ""),
+        ("visited suppression is an anti join",
+         "LeftAnti" in p25, ""),
+        ("ids only (no payload columns in the shuffle)",
+         "text" not in p25, ""),
+        ("no row-at-a-time Python", "BatchEvalPython" not in p25, ""),
+        ("whole-stage codegen", "codegen id" in p25, ""),
+    ]))
 
     failed = 0
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
