@@ -4763,6 +4763,158 @@ _HEADING_SQL = (
 )
 
 
+# ---- wave 28: HMM map-matching (Viterbi) ----
+
+
+def _q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi map-matching (spatial.map_match) of the shared trajectory
+    frame against a deterministic synthetic road grid (20 latitude lines
+    × 12 pieces). Iterative DP — NO SQL oracle by design; correctness is
+    pytest vs brute Viterbi (test_wave28)."""
+    segs = spark.range(0, 240).select(
+        F.col("id").alias("seg_id"),
+        (-57.0 + (F.col("id") % 20) * 6.0).alias("alat"),
+        (-180.0 + F.expr("id div 20") * 30.0).alias("alon"),
+        (-57.0 + (F.col("id") % 20) * 6.0).alias("blat"),
+        (-150.0 + F.expr("id div 20") * 30.0).alias("blon"),
+    )
+    traj = _traj_events(spark, sf_dir).select(
+        "user_id", _ntz_epoch_us("ts").alias("ts"), "lat", "lon"
+    )
+    return spatial.map_match(
+        traj, segs, radius_deg=4.0, res=5, cand_k=3
+    )
+
+
+# ---- wave 27: reciprocal-rank fusion, BPE merge-table encoding ----
+
+
+def _q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-search fusion (corpus.rrf_fuse): the BM25 top-25 fused with
+    a length-based top-25 by Σ 1e6 div (60 + rank) — integer RRF terms,
+    so the fused score is engine-exact; both inputs are k-row candidate
+    lists by contract."""
+    d = _t(spark, sf_dir, "documents")
+    r1 = corpus.bm25_rank(d, ["merge", "spark", "window"], k=25)
+    r2 = (
+        d.select("doc_id", F.col("n_chars").cast("double").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(25)
+    )
+    return corpus.rrf_fuse([r1.select("doc_id", "score"), r2], top_k=15)
+
+
+def _rrf_sql() -> str:
+    return (
+        f"WITH r1 AS ({_bm25_sql(['merge', 'spark', 'window'], 25)}), "
+        "r2 AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS score "
+        "FROM documents ORDER BY score DESC, doc_id LIMIT 25), "
+        "k1 AS (SELECT doc_id, row_number() OVER "
+        "(ORDER BY score DESC, doc_id) AS rnk FROM r1), "
+        "k2 AS (SELECT doc_id, row_number() OVER "
+        "(ORDER BY score DESC, doc_id) AS rnk FROM r2), "
+        "u AS (SELECT doc_id, CAST(1000000 // (60 + rnk) AS BIGINT) AS t "
+        "FROM k1 UNION ALL "
+        "SELECT doc_id, CAST(1000000 // (60 + rnk) AS BIGINT) FROM k2) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rankers, "
+        "CAST(sum(t) AS BIGINT) AS rrf_e6 FROM u GROUP BY 1 "
+        "ORDER BY rrf_e6 DESC, doc_id LIMIT 15"
+    )
+
+
+_BPE_MERGES = [
+    ("s", "c"), ("sc", "a"), ("sca", "n"), ("t", "a"), ("ta", "b"),
+    ("h", "a"), ("ha", "s"), ("has", "h"), ("w", "i"), ("wi", "n"),
+    ("a", "b"),
+]
+
+
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge application (corpus.bpe_encode) with a fixed merge
+    table — bracketed-symbol replaces make one pass per merge exactly
+    canonical greedy merge-all, identical in DuckDB."""
+    return corpus.bpe_encode(
+        _t(spark, sf_dir, "documents"), _BPE_MERGES, top_k=40
+    )
+
+
+def _bpe_sql(merges: list[tuple[str, str]], top_k: int) -> str:
+    from pbf2json_spark.corpus import _BPE_L as L, _BPE_R as R
+
+    reps = "s"
+    for a, b in merges:
+        reps = f"replace({reps}, '{L}{a}{R}{L}{b}{R}', '{L}{a}{b}{R}')"
+    return (
+        "WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), "
+        r"'\s+')) AS w FROM documents WHERE length(trim(text)) > 0), "
+        f"b AS (SELECT regexp_replace(substr(replace(replace(w, '{L}', ''), "
+        f"'{R}', ''), 1, 128), '(.)', '{L}\\1{R}', 'g') AS s "
+        "FROM w WHERE w <> ''), "
+        f"m AS (SELECT {reps} AS s FROM b), "
+        "u AS (SELECT unnest(string_split(replace(replace(replace(s, "
+        f"'{R}{L}', ' '), '{L}', ''), '{R}', ''), ' ')) AS token FROM m) "
+        "SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM u "
+        f"WHERE token <> '' GROUP BY 1 ORDER BY cnt DESC, token LIMIT {top_k}"
+    )
+
+
+# ---- wave 26: MAD outliers, rolling active users, DTW pairs ----
+
+
+def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust outlier screen on document length
+    (stats.mad_outliers, k=5): exact interpolated median + MAD, both
+    dyadic rationals of integers, so DuckDB's quantile_cont mirror is
+    bit-exact (the host_median_len precedent)."""
+    return stats.mad_outliers(
+        _t(spark, sf_dir, "documents"), ["source"], "n_chars", k=5
+    )
+
+
+_MAD_SQL = (
+    "WITH m AS (SELECT source, quantile_cont(n_chars, 0.5) AS med "
+    "FROM documents GROUP BY 1), "
+    "d AS (SELECT documents.source, abs(n_chars - med) AS dev, med "
+    "FROM documents JOIN m ON documents.source = m.source), "
+    "a AS (SELECT source, CAST(count(*) AS BIGINT) AS n, "
+    "min(med) AS median, quantile_cont(dev, 0.5) AS mad "
+    "FROM d GROUP BY 1) "
+    "SELECT a.source, a.n, a.median, a.mad, "
+    "CAST(sum(CASE WHEN d.dev > 5 * a.mad THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_outliers "
+    "FROM d JOIN a ON d.source = a.source GROUP BY 1, 2, 3, 4"
+)
+
+
+def _q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 7-day rolling distinct actives (temporal.rolling_active_users)
+    over events — presence dedup + bounded W-fold explode + two-phase
+    count-distinct; day buckets from the NTZ wall-clock epoch."""
+    return temporal.rolling_active_users(_t(spark, sf_dir, "events"), 7)
+
+
+_ROLLACT_SQL = (
+    "WITH p AS (SELECT DISTINCT user_id AS u, "
+    "CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d FROM events), "
+    "mx AS (SELECT max(d) AS m FROM p), "
+    "e AS (SELECT u, d + t.g AS de FROM p CROSS JOIN range(0, 7) t(g)) "
+    "SELECT de AS day_end, CAST(count(DISTINCT u) AS BIGINT) AS active_users "
+    "FROM e, mx WHERE de <= m GROUP BY 1"
+)
+
+
+def _q_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded DTW over per-user cell sequences (trajectory.dtw_pairs) —
+    order-aware trajectory similarity. Iterative DP is not
+    SQL-expressible: NO oracle by design; correctness is the brute-force
+    full-matrix pytest (test_wave26), determinism from all-integer costs.
+    Capped via max_df so the shared-trajectory formula users don't
+    degenerate to all-pairs."""
+    return trajectory.dtw_pairs(
+        _traj_events(spark, sf_dir), res=6, max_df=50
+    )
+
+
 # --------------------------------------------------------------------------
 # Suite queries — tagged-union fold of same-family operators into ONE
 # driver gate slot.
@@ -4923,6 +5075,12 @@ def _suite_specs():
              "gram", None, [("occurrences", "occurrences", "i")]),
             ("bm25", "bm25_rank", _q_bm25,
              "doc_id", None, [("score", "score", "d"), ("dl", "dl", "i")]),
+            # wave 27 folds into the same slot
+            ("rrf", "rrf_fuse", _q_rrf,
+             "doc_id", None, [("n_rankers", "n_rankers", "i"),
+                              ("rrf_e6", "rrf_e6", "i")]),
+            ("bpe", "bpe_encode", _q_bpe_encode,
+             "token", None, [("cnt", "cnt", "i")]),
         ],
         "dedup_suite": [
             ("exact", "exact_dedup", _q_exact_dedup,
@@ -5289,6 +5447,14 @@ def _suite_specs():
              "source", None,
              [("n", "n", "i"), ("sum_val", "sum_val", "i"),
               ("gini_e6", "gini_e6", "i")]),
+            # wave 26 folds into the same slot
+            ("madout", "mad_outliers", _q_mad_outliers,
+             "source", None,
+             [("n", "n", "i"), ("median", "median", "d"),
+              ("mad", "mad", "d"), ("n_outliers", "n_outliers", "i")]),
+            ("rollact", "rolling_active", _q_rolling_active,
+             "day_end", None,
+             [("active_users", "active_users", "i")]),
         ],
         "curation_suite": [
             ("contam", "contamination", _q_contamination,
@@ -5600,6 +5766,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_len": _q_gini,
         "bfs_hops": _q_bfs_hops,
         "heading_mix": _q_heading_mix,
+        # wave 26 (dtw_pairs: pytest-only, no SQL oracle — iterative DP)
+        "mad_outliers": _q_mad_outliers,
+        "rolling_active": _q_rolling_active,
+        "dtw_pairs": _q_dtw_pairs,
+        # wave 27
+        "rrf_fuse": _q_rrf,
+        "bpe_encode": _q_bpe_encode,
+        # wave 28 (pytest-only, no SQL oracle — Viterbi DP)
+        "map_match": _q_map_match,
     }
 
 
@@ -6745,6 +6920,12 @@ def oracle_sql() -> dict[str, str]:
     sqls["gini_len"] = _GINI_SQL
     sqls["bfs_hops"] = _BFS_SQL
     sqls["heading_mix"] = _HEADING_SQL
+    # wave-26 oracles (dtw_pairs has none by design — iterative DP)
+    sqls["mad_outliers"] = _MAD_SQL
+    sqls["rolling_active"] = _ROLLACT_SQL
+    # wave-27 oracles
+    sqls["rrf_fuse"] = _rrf_sql()
+    sqls["bpe_encode"] = _bpe_sql(_BPE_MERGES, 40)
     # suite oracles composed verbatim from the per-operator strings above —
     # a green suite row certifies every folded operator's values.
     sqls.update(_suite_oracle_sql(sqls))

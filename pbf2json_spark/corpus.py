@@ -739,3 +739,134 @@ def ngram_novelty(
             ).alias("novelty_e6"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    k_const: int = 60,
+    top_k: int = 25,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked candidate lists — the standard
+    hybrid-search combiner (BM25 ⊕ dense cosine ⊕ freshness): each input
+    ranking contributes 1/(k + rank) per document, summed across
+    rankers, re-ranked by the fused score. In e6 fixed point,
+
+        rrf_e6 = Σ_r 1e6 div (k_const + rank_r(doc))
+
+    with rank from 1 by (score DESC, id ASC) — a truncating integer div
+    per ranker BEFORE the sum, so the fusion is bit-identical on any
+    engine (the float 1/(k+r) sum would be order-dependent). Documents
+    absent from a ranker contribute 0 from it (the RRF convention).
+    Fused ties break by id ascending.
+
+    Shape: each input is ALREADY a top-k candidate list (k rows — that
+    is RRF's contract; feeding a corpus-sized frame here is a misuse, so
+    the single-partition rank window over k rows is metadata-scale, not
+    a scale hazard). One union of (id, term) pairs + one combinable sum
+    + TakeOrdered(top_k). Never touches raw documents.
+
+    Output: (id_col, n_rankers, rrf_e6) — top_k rows, fused order.
+    """
+    from pyspark.sql.window import Window
+
+    parts = []
+    for r in rankings:
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        parts.append(
+            r.select(
+                F.col(id_col),
+                F.row_number().over(w).alias("_rank"),
+            ).select(
+                id_col,
+                F.expr(f"CAST(1000000 div ({k_const} + _rank) AS BIGINT)")
+                .alias("_term"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_rankers"),
+        F.sum("_term").alias("rrf_e6"),
+    )
+    return (
+        fused.orderBy(F.col("rrf_e6").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )
+
+
+# Symbol brackets for the merge-replace representation: each symbol is
+# written \x01sym\x02, so a merge (a, b) is ONE plain left-to-right
+# replace of \x01a\x02\x01b\x02 with \x01ab\x02 — brackets are per
+# symbol (nothing shared between neighbors, unlike a space separator),
+# so a single non-overlapping replace pass merges EVERY left-to-right
+# adjacency, which is exactly canonical greedy BPE merge application.
+# A space-separator encoding is subtly wrong: adjacent occurrences
+# share their boundary space, one pass merges only alternate pairs, and
+# the fixpoint segments "ababab…" differently from the greedy scan.
+_BPE_L, _BPE_R = "\x01", "\x02"
+_BPE_WORD_CAP = 128
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Apply a FIXED BPE merge table and count the resulting subword
+    tokens — the encode half of byte-pair encoding (bpe_pair_counts is
+    the training half). Each word becomes bracketed symbols (chars),
+    every merge (a, b) → ab applies in table order as ONE plain string
+    replace (see _BPE_L: per-symbol brackets make a single
+    left-to-right non-overlapping replace identical to canonical greedy
+    merge-all). Both engines' replace() scan the same way, so the token
+    stream is bit-identical and the DuckDB oracle (same chained
+    replaces) compares value-exact.
+
+    Words truncate at _BPE_WORD_CAP symbols (identically both sides);
+    the bracket control chars are reserved — input text containing
+    \\x01/\\x02 is stripped of them first (both sides). The merge table
+    is pipeline CONFIG (vocabulary-sized, compiled into the expression
+    tree as literals) — never a data-sized join.
+
+    Shape at 10^12 docs: tokenize/merge/split are scan-stage Column ops;
+    ONE combinable (token, count) groupBy; TakeOrdered(top_k) — no global
+    sort, no shuffle of raw text.
+
+    Output: (token, cnt) — top_k by (cnt DESC, token ASC).
+    """
+    L, R = _BPE_L, _BPE_R
+    for a, b in merges:
+        if not a or not b or not set(a + b).isdisjoint({" ", L, R}):
+            raise ValueError(
+                "merge symbols must be non-empty, free of spaces/brackets"
+            )
+    clean = F.replace(
+        F.replace(F.col("_w"), F.lit(L), F.lit("")), F.lit(R), F.lit("")
+    )
+    sym = F.array_join(
+        F.transform(
+            F.slice(F.split(clean, ""), 1, _BPE_WORD_CAP),
+            lambda c: F.concat(F.lit(L), c, F.lit(R)),
+        ),
+        "",
+    )
+    for a, b in merges:
+        sym = F.replace(
+            sym, F.lit(f"{L}{a}{R}{L}{b}{R}"), F.lit(f"{L}{a}{b}{R}")
+        )
+    unbracketed = F.replace(
+        F.replace(F.replace(sym, F.lit(f"{R}{L}"), F.lit(" ")),
+                  F.lit(L), F.lit("")),
+        F.lit(R), F.lit(""),
+    )
+    toks = (
+        df.select(F.explode(_words(text_col)).alias("_w"))
+        .select(F.explode(F.split(unbracketed, " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(top_k)

@@ -2336,3 +2336,154 @@ def emerging_hotspots(
     return _stats.mann_kendall(gi, ["cx", "cy"], "b", "gi").withColumnRenamed(
         "n_obs", "n_buckets"
     )
+
+
+_MATCH_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("seg_id", T.LongType()),
+    T.StructField("emis_e12", T.LongType()),
+])
+
+
+def map_match(
+    points: DataFrame,
+    segments: DataFrame,
+    radius_deg: float,
+    res: int = 10,
+    cand_k: int = 3,
+    switch_shared_e12: int = 10_000,
+    switch_jump_e12: int = 1_000_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    seg_id: str = "seg_id",
+) -> DataFrame:
+    """HMM map-matching: snap each user's ping sequence to the most
+    likely SEGMENT SEQUENCE, not the per-ping nearest segment — the
+    operator that keeps a GPS trace on the road it is actually following
+    when noise momentarily favors a parallel road (nearest_segment_join
+    is the memoryless version; this is the Viterbi version).
+
+    Costs are integers end to end, so the optimum (and its tie-breaks)
+    is engine/partition-exact: emission = floor(dist2_deg · 1e12) to the
+    candidate segment; transition = 0 (same segment), `switch_shared_e12`
+    (segments sharing an endpoint — a turn at a junction), else
+    `switch_jump_e12` (a teleport, strongly discouraged). Ties prefer
+    the smaller predecessor seg_id, then the smaller final seg_id.
+
+    Shape at 10^12 pings: candidate generation is the SAME grid cover
+    equi-join as nearest_segment_join (each pair meets in exactly one
+    cell — no dedup exchange) with a top-`cand_k` window whose partition
+    is one ping's candidate list; the DP is one applyInPandas over the
+    user key — state per user is its candidate rows (≤ pings·cand_k),
+    the same per-key envelope as sessionize. Pings with no candidate in
+    radius drop out of the sequence (documented; the DP bridges the gap
+    by paying one transition across it). Iterative DP is not relational:
+    NO SQL oracle by design — correctness is pytest vs brute Viterbi.
+
+    Inputs: points (user, ts, lat, lon) with unique (user, ts) and an
+    INTEGER ts (epoch seconds/µs — convert timestamps upstream, the
+    output schema carries the long back); segments (seg_id, alat, alon,
+    blat, blon).
+    Output: (user_id, ts, seg_id, emis_e12) — one row per matched ping.
+    """
+    pts = points.select(
+        F.col(user_col).alias("user_id"), F.col(ts_col).alias("ts"),
+        F.col("lat").alias("_plat"), F.col("lon").alias("_plon"),
+    )
+    px, py = cells.xy_cols(F.col("_plat"), F.col("_plon"), res)
+    pts = pts.select("*", px.alias("cx"), py.alias("cy"))
+    seg = segments.select(
+        F.col(seg_id),
+        F.col("alat"), F.col("alon"), F.col("blat"), F.col("blon"),
+        (F.least("alat", "blat") - radius_deg).alias("lat0"),
+        (F.greatest("alat", "blat") + radius_deg).alias("lat1"),
+        (F.least("alon", "blon") - radius_deg).alias("lon0"),
+        (F.greatest("alon", "blon") + radius_deg).alias("lon1"),
+    )
+    sg = _grid_cover(seg, res, "s_")
+    j = pts.join(sg, ["cx", "cy"])
+    ax, ay = F.col("s_alon"), F.col("s_alat")
+    dx, dy = F.col("s_blon") - ax, F.col("s_blat") - ay
+    len2 = dx * dx + dy * dy
+    t_raw = ((F.col("_plon") - ax) * dx + (F.col("_plat") - ay) * dy) / len2
+    t = F.when(len2 == 0.0, F.lit(0.0)).otherwise(
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), t_raw))
+    )
+    qx_, qy_ = ax + t * dx, ay + t * dy
+    dist2 = (F.col("_plon") - qx_) * (F.col("_plon") - qx_) + (
+        F.col("_plat") - qy_
+    ) * (F.col("_plat") - qy_)
+    cand = j.select(
+        "user_id", "ts",
+        F.col(f"s_{seg_id}").alias("_sid"),
+        F.floor(dist2 * F.lit(1e12)).cast("long").alias("_emis"),
+        F.col("s_alat").alias("_aa"), F.col("s_alon").alias("_ab"),
+        F.col("s_blat").alias("_ba"), F.col("s_blon").alias("_bb"),
+    ).filter(dist2 <= F.lit(radius_deg * radius_deg))
+    wk = Window.partitionBy("user_id", "ts").orderBy("_emis", "_sid")
+    top = cand.select(
+        "*", F.row_number().over(wk).alias("_rk")
+    ).filter(F.col("_rk") <= cand_k)
+
+    sh, jp = int(switch_shared_e12), int(switch_jump_e12)
+
+    def _viterbi(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "_sid"])
+        user = int(pdf["user_id"].iloc[0])
+        steps = []          # per ts: list of (sid, ends, emis)
+        ts_order = []
+        for ts_val, grp in pdf.groupby("ts", sort=True):
+            ts_order.append(int(ts_val))
+            # plain tuples: itertuples would positionally rename the
+            # underscore-prefixed column labels
+            steps.append([
+                (int(sid), {(aa, ab), (ba, bb)}, int(emis))
+                for sid, aa, ab, ba, bb, emis in grp[
+                    ["_sid", "_aa", "_ab", "_ba", "_bb", "_emis"]
+                ].itertuples(index=False, name=None)
+            ])
+        if not steps:
+            return pd.DataFrame(
+                {"user_id": [], "ts": [], "seg_id": [], "emis_e12": []}
+            ).astype("int64")
+        costs = [e for (_s, _e2, e) in steps[0]]
+        backs: list[list[int]] = []
+        for level in steps[1:]:
+            prev_level = steps[len(backs)]
+            ncosts, nback = [], []
+            for sid, ends, emis in level:
+                best_c, best_p = None, -1
+                for pi, (psid, pends, _pe) in enumerate(prev_level):
+                    if psid == sid:
+                        trans = 0
+                    elif ends & pends:
+                        trans = sh
+                    else:
+                        trans = jp
+                    c = costs[pi] + trans + emis
+                    # strict < keeps the smallest-psid predecessor
+                    # (prev_level is sid-sorted within the ts group)
+                    if best_c is None or c < best_c:
+                        best_c, best_p = c, pi
+                ncosts.append(best_c)
+                nback.append(best_p)
+            costs = ncosts
+            backs.append(nback)
+        # final argmin: cost then seg_id (levels are sid-sorted)
+        cur = min(range(len(costs)),
+                  key=lambda i: (costs[i], steps[-1][i][0]))
+        idxs = [0] * len(steps)
+        idxs[-1] = cur
+        for lvl in range(len(steps) - 1, 0, -1):
+            cur = backs[lvl - 1][cur]
+            idxs[lvl - 1] = cur
+        rows = [
+            (user, ts_order[i], steps[i][j][0], steps[i][j][2])
+            for i, j in enumerate(idxs)
+        ]
+        return pd.DataFrame(
+            rows, columns=["user_id", "ts", "seg_id", "emis_e12"]
+        )
+
+    return top.groupBy("user_id").applyInPandas(_viterbi, _MATCH_SCHEMA)

@@ -406,3 +406,58 @@ def gini_index(
         )
         .alias("gini_e6"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Per-group robust outlier screen on an integer value column:
+    median, MAD (median absolute deviation), and the count of values
+    deviating more than k·MAD from the median — the scale-free anomaly
+    count that, unlike mean/stddev z-scores, a few extreme values cannot
+    mask (the host whose page sizes are one 2 GB blob among 10-byte
+    stubs still shows a tiny MAD and flags the blob).
+
+    Exactness: the exact interpolated percentile of integers is an
+    integer or half-integer; |x − median| is then dyadic too, and ITS
+    median interpolates to quarters — every step (sub, abs, interpolate,
+    integer-k multiply, compare) is IEEE-exact, so DuckDB's
+    quantile_cont mirror matches bit-for-bit (the host_median_len
+    precedent). Degenerate groups where ≥ half the values equal the
+    median have MAD = 0, and ANY deviation then counts as an outlier —
+    the standard MAD caveat, deliberate here (a constant-template host
+    SHOULD flag every off-template page).
+
+    Shape: exact percentiles hold a group's value multiset during the
+    aggregation, so this is the bounded-group-size exactness twin;
+    `hist_quantiles` is the unbounded scale path. Two joins back against
+    the one-row-per-group stats frames (broadcast-sized relative to the
+    data) — no window, no self-join.
+
+    Output: (*group_cols, n, median, mad, n_outliers).
+    """
+    med = df.groupBy(*group_cols).agg(
+        F.percentile(F.col(val_col), F.lit(0.5)).alias("_med")
+    )
+    dev = df.join(F.broadcast(med), group_cols).select(
+        *group_cols, "_med",
+        F.abs(F.col(val_col) - F.col("_med")).alias("_dev"),
+    )
+    mad = dev.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("_med").alias("median"),
+        F.percentile(F.col("_dev"), F.lit(0.5)).alias("mad"),
+    )
+    return (
+        dev.join(F.broadcast(mad), group_cols)
+        .groupBy(*group_cols, "n", "median", "mad")
+        .agg(
+            F.sum(
+                F.when(F.col("_dev") > F.lit(k) * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers")
+        )
+        .select(*group_cols, "n", "median", "mad", "n_outliers")
+    )

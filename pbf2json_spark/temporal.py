@@ -841,3 +841,60 @@ def activity_profile(
         key_col, "dow", "hour", "n",
         F.expr("n * 1000000 div _tot").alias("share_e6"),
     )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """EXACT rolling distinct actives (the DAU/WAU/MAU family): for every
+    epoch day D in the data's range, the number of distinct users active
+    on at least one of the `window_days` days ending at D. No sketches,
+    no approximation — the trick is that each (user, day) presence fact
+    covers exactly `window_days` window-ends, a BOUNDED fan-out:
+
+        presence (distinct user×day) → explode to the ≤ W window-ends it
+        covers → count distinct users per window-end.
+
+    Shape at 10^12 events: the presence dedup is a combinable distinct on
+    (user, day) — the only pass over raw events; the explode multiplies
+    the AGGREGATED presence frame by ≤ W (7 or 30, never data-sized); the
+    final count-distinct is Spark's standard two-phase aggregate on
+    (day_end, user) pairs. Ids and day integers only in every shuffle.
+    A naive window/self-join formulation would instead range-join events
+    to days — O(n·W) on raw rows with a theta join; this is O(presence·W)
+    on the deduped frame with equi-shuffles only.
+
+    Day buckets come from the NTZ wall-clock epoch (epoch_us div 86400e6,
+    never the session zone — the windowed_events portability rule).
+    Window-ends past the last active day are clamped off against the
+    1-row global max (broadcast). Output: (day_end, active_users), one
+    row per day-end from the first active day through the last,
+    including days whose activity is entirely carried by the trailing
+    window (active that day or not).
+    """
+    # integer div on the long epoch — double division then truncation can
+    # land on k−ε for an exact-midnight k·86400 and bucket a day early
+    presence = (
+        df.select(
+            F.col(user_col).alias("_u"),
+            _ntz_epoch_secs(F.col(ts_col)).alias("_secs"),
+        )
+        .select("_u", F.expr("_secs div 86400").alias("_d"))
+        .distinct()
+    )
+    mx = presence.agg(F.max("_d").alias("_mx"))
+    covered = presence.select(
+        "_u",
+        F.explode(
+            F.sequence(F.col("_d"), F.col("_d") + F.lit(window_days - 1))
+        ).alias("day_end"),
+    )
+    return (
+        covered.crossJoin(F.broadcast(mx))
+        .filter(F.col("day_end") <= F.col("_mx"))
+        .groupBy("day_end")
+        .agg(F.countDistinct("_u").alias("active_users"))
+    )

@@ -1639,6 +1639,29 @@ def main() -> int:
             ("one user-key window then combinable count", has("Window")),
             ("partial aggregation", has("HashAggregate")),
         ]),
+        ("mad_outliers", "MAD robust outliers (wave 26)", [
+            ("per-group stats join back as broadcast", has("Broadcast")),
+            ("no window", lacks("Window")),
+        ]),
+        ("rolling_active", "rolling active users (wave 26)", [
+            ("bounded window-end explode", has("Generate")),
+            ("max-day clamp is a broadcast", has("Broadcast")),
+            ("two-phase count-distinct", has("HashAggregate")),
+            ("no per-row window", lacks("Window")),
+        ]),
+        ("rrf_fuse", "reciprocal-rank fusion (wave 27)", [
+            # the rank windows run over k-row candidate lists (RRF's
+            # input contract), so SinglePartition there is by design
+            ("fused sum is a partial aggregation", has("HashAggregate")),
+            ("top-k never global-sorts", has("TakeOrderedAndProject")),
+        ]),
+        ("bpe_encode", "BPE merge encoding (wave 27)", [
+            ("tokenize/merge are codegen explode + scan-stage replaces",
+             has("Generate")),
+            ("one combinable token count", has("HashAggregate")),
+            ("top-k never global-sorts", has("TakeOrderedAndProject")),
+            ("no window", lacks("Window")),
+        ]),
     ]
     for key, title, props in wave_specs:
         p = plan_text(allq[key](spark, sf_dir))
@@ -1673,6 +1696,27 @@ def main() -> int:
          "text" not in p25, ""),
         ("no row-at-a-time Python", "BatchEvalPython" not in p25, ""),
         ("whole-stage codegen", "codegen id" in p25, ""),
+    ]))
+
+    # DTW pairs (wave 26): the DP kernel is deliberately Python — assert
+    # it crosses as ONE Arrow-batched eval, with relational candidate
+    # generation and array-only shuffle payloads around it.
+    p26 = plan_text(allq["dtw_pairs"](spark, sf_dir))
+    sections.append(("banded DTW pairs (dtw_pairs, wave 26)", p26, [
+        ("DP kernel is Arrow-batched", "ArrowEvalPython" in p26, ""),
+        ("no row-at-a-time Python", "BatchEvalPython" not in p26, ""),
+        ("candidates come from equi-joins", "Join" in p26, ""),
+        ("sequence build is one user-key window", "Window" in p26, ""),
+    ]))
+
+    # map matching (wave 28): Viterbi kernel is deliberately an
+    # applyInPandas group map over the user key.
+    p28 = plan_text(allq["map_match"](spark, sf_dir))
+    sections.append(("Viterbi map-matching (map_match, wave 28)", p28, [
+        ("DP is a grouped Arrow map (FlatMapGroupsInPandas)",
+         "FlatMapGroupsInPandas" in p28, ""),
+        ("no row-at-a-time Python", "BatchEvalPython" not in p28, ""),
+        ("candidates come from the grid-cover equi-join", "Join" in p28, ""),
     ]))
 
     failed = 0
