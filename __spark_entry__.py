@@ -4763,6 +4763,58 @@ _HEADING_SQL = (
 )
 
 
+# ---- wave 29: KS divergence, KWIC concordance ----
+
+
+def _q_ks_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Kolmogorov-Smirnov distance of document length vs the
+    global distribution (stats.ks_divergence) — the ordinal complement
+    of the chi-square mix screen, integer e6."""
+    return stats.ks_divergence(
+        _t(spark, sf_dir, "documents"), ["source"], "n_chars"
+    )
+
+
+_KS_SQL = (
+    "WITH oc AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS o "
+    "FROM documents GROUP BY 1, 2), "
+    "gc AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS g "
+    "FROM documents GROUP BY 1), "
+    "nt AS (SELECT source, CAST(count(*) AS BIGINT) AS n "
+    "FROM documents GROUP BY 1), "
+    "tt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents), "
+    "grid AS (SELECT nt.source, nt.n, gc.v, gc.g FROM nt, gc), "
+    "f AS (SELECT grid.source, grid.n, grid.v, grid.g, "
+    "coalesce(oc.o, 0) AS o FROM grid LEFT JOIN oc "
+    "ON grid.source = oc.source AND grid.v = oc.v), "
+    "c AS (SELECT source, n, sum(o) OVER w AS cg, sum(g) OVER w AS cc "
+    "FROM f WINDOW w AS (PARTITION BY source ORDER BY v "
+    "ROWS UNBOUNDED PRECEDING)) "
+    "SELECT source, n, CAST(max(abs(CAST(cg AS HUGEINT) * nn - "
+    "CAST(cc AS HUGEINT) * n) * 1000000 // "
+    "(CAST(n AS HUGEINT) * nn)) AS BIGINT) AS ks_e6 "
+    "FROM c, tt GROUP BY 1, 2"
+)
+
+
+def _q_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC concordance for 'merge' over documents (corpus.kwic, ±3
+    tokens) — token-position slices, never regex windows, identical
+    list slicing in DuckDB."""
+    return corpus.kwic(_t(spark, sf_dir, "documents"), "merge", width=3)
+
+
+_KWIC_SQL = (
+    "WITH t AS (SELECT doc_id, string_split_regex(trim(text), "
+    r"'\s+') AS ws FROM documents WHERE length(trim(text)) > 0), "
+    "u AS (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i, "
+    "unnest(ws) AS w FROM t) "
+    "SELECT doc_id, CAST(i AS BIGINT) AS pos, "
+    "array_to_string(ws[greatest(1, i - 3):least(len(ws), i + 3)], ' ') "
+    "AS context FROM u WHERE w = 'merge'"
+)
+
+
 # ---- wave 28: HMM map-matching (Viterbi) ----
 
 
@@ -5081,6 +5133,8 @@ def _suite_specs():
                               ("rrf_e6", "rrf_e6", "i")]),
             ("bpe", "bpe_encode", _q_bpe_encode,
              "token", None, [("cnt", "cnt", "i")]),
+            ("kwic", "kwic_merge", _q_kwic,
+             "doc_id", "pos", [("context", "context", "s")]),
         ],
         "dedup_suite": [
             ("exact", "exact_dedup", _q_exact_dedup,
@@ -5455,6 +5509,10 @@ def _suite_specs():
             ("rollact", "rolling_active", _q_rolling_active,
              "day_end", None,
              [("active_users", "active_users", "i")]),
+            # wave 29 folds into the same slot
+            ("ks", "ks_divergence", _q_ks_divergence,
+             "source", None,
+             [("n", "n", "i"), ("ks_e6", "ks_e6", "i")]),
         ],
         "curation_suite": [
             ("contam", "contamination", _q_contamination,
@@ -5775,6 +5833,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _q_bpe_encode,
         # wave 28 (pytest-only, no SQL oracle — Viterbi DP)
         "map_match": _q_map_match,
+        # wave 29
+        "ks_divergence": _q_ks_divergence,
+        "kwic_merge": _q_kwic,
     }
 
 
@@ -6926,6 +6987,9 @@ def oracle_sql() -> dict[str, str]:
     # wave-27 oracles
     sqls["rrf_fuse"] = _rrf_sql()
     sqls["bpe_encode"] = _bpe_sql(_BPE_MERGES, 40)
+    # wave-29 oracles
+    sqls["ks_divergence"] = _KS_SQL
+    sqls["kwic_merge"] = _KWIC_SQL
     # suite oracles composed verbatim from the per-operator strings above —
     # a green suite row certifies every folded operator's values.
     sqls.update(_suite_oracle_sql(sqls))

@@ -870,3 +870,51 @@ def bpe_encode(
     )
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     return counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(top_k)
+
+
+def kwic(
+    df: DataFrame,
+    term: str,
+    width: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keyword-in-context concordance: every occurrence of `term` as a
+    whitespace token, with up to `width` tokens of context either side —
+    the corpus-inspection primitive behind "show me how this term is
+    actually used" (sense disambiguation, boilerplate spotting, prompt
+    leakage review). Exact token-position semantics (no regex windows,
+    which disagree across engines on overlapping matches): positions come
+    from the token array, context is an array slice, both engines slice
+    identically.
+
+    Shape at 10^12 docs: tokenize + posexplode are scan-stage codegen;
+    the term filter drops everything else before any exchange; output
+    rows are one per occurrence. For a selective term this is a
+    zero-shuffle scan, same envelope as term search.
+
+    Output: (id_col, pos, context) — pos is the 1-based token index.
+    """
+    if not term or " " in term:
+        raise ValueError("term must be a non-empty single token")
+    toks = df.select(
+        F.col(id_col), _words(text_col).alias("_ws")
+    ).select(
+        id_col, "_ws",
+        F.posexplode("_ws").alias("_i0", "_w"),
+    ).filter(F.col("_w") == term)
+    return toks.select(
+        id_col,
+        (F.col("_i0") + 1).cast("long").alias("pos"),
+        F.array_join(
+            F.slice(
+                F.col("_ws"),
+                F.greatest(F.lit(1), F.col("_i0") + 1 - width),
+                # slice takes (start, LENGTH); clamp both ends
+                F.least(
+                    F.size("_ws"), F.col("_i0") + 1 + width
+                ) - F.greatest(F.lit(1), F.col("_i0") + 1 - width) + 1,
+            ),
+            " ",
+        ).alias("context"),
+    )

@@ -461,3 +461,69 @@ def mad_outliers(
         )
         .select(*group_cols, "n", "median", "mad", "n_outliers")
     )
+
+
+def ks_divergence(
+    df: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+) -> DataFrame:
+    """Per-group Kolmogorov-Smirnov distance of an INTEGER value
+    distribution against the GLOBAL (all-groups) distribution — the
+    ordinal complement of chi2_divergence (which sees categories, not
+    order): a host whose page lengths are shifted 10% off the corpus
+    norm scores high here even when every individual length value is
+    common. In e6 fixed point,
+
+        ks_e6 = max_v |cdfg(v)·1e6 − cdf(v)·1e6|
+              = max_v |Cg(v)·N − C(v)·n| · 1e6 div (n·N)
+
+    with Cg/C cumulative counts at each distinct GLOBAL value v (the sup
+    over a step function is attained at a jump, and every jump of either
+    cdf is at a global distinct value — evaluating on the global value
+    grid is exact, not an approximation). One truncating div at the max
+    (integer products first), identical in DuckDB.
+
+    Shape at 10^12 rows: ONE combinable (group, value) count + one global
+    value count; the evaluation grid is groups × DISTINCT values
+    (vocabulary-sized — lengths, status codes, bucketed sizes), built by
+    a broadcast of the global value histogram; cumsums are windows over
+    the AGGREGATED grid ordered by value. Never a per-row window.
+
+    Output: (*group_cols, n, ks_e6) — BIGINT.
+    """
+    oc = df.groupBy(*group_cols, val_col).agg(
+        F.count(F.lit(1)).alias("_o")
+    )
+    gc = df.groupBy(val_col).agg(F.count(F.lit(1)).alias("_g"))
+    nt = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    grid = nt.crossJoin(F.broadcast(gc))
+    full = grid.join(oc, [*group_cols, val_col], "left").select(
+        *group_cols, "n", F.col(val_col).alias("_v"), "_g",
+        F.coalesce("_o", F.lit(0)).cast("long").alias("_o"),
+    )
+    wg = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = df.agg(F.count(F.lit(1)).alias("_nn"))
+    cums = full.select(
+        *group_cols, "n",
+        F.sum("_o").over(wg).alias("_cg"),
+        F.sum("_g").over(wg).alias("_c"),
+    )
+    return (
+        cums.crossJoin(F.broadcast(tot))
+        .select(
+            *group_cols, "n",
+            F.expr(
+                "abs(CAST(_cg AS DECIMAL(38,0)) * _nn - "
+                "CAST(_c AS DECIMAL(38,0)) * n) * 1000000 "
+                "div (CAST(n AS DECIMAL(38,0)) * _nn)"
+            ).cast("long").alias("_d"),
+        )
+        .groupBy(*group_cols, "n")
+        .agg(F.max("_d").alias("ks_e6"))
+        .select(*group_cols, "n", "ks_e6")
+    )

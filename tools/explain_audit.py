@@ -1655,6 +1655,16 @@ def main() -> int:
             ("fused sum is a partial aggregation", has("HashAggregate")),
             ("top-k never global-sorts", has("TakeOrderedAndProject")),
         ]),
+        ("ks_divergence", "KS divergence (wave 29)", [
+            ("value grid joins as broadcast", has("Broadcast")),
+            ("cumsum window over the AGGREGATED grid", has("Window")),
+            ("partial aggregation", has("HashAggregate")),
+        ]),
+        ("kwic_merge", "KWIC concordance (wave 29)", [
+            ("tokenize is codegen explode", has("Generate")),
+            ("no shuffle exchange at all", lacks("Exchange")),
+            ("no window", lacks("Window")),
+        ]),
         ("bpe_encode", "BPE merge encoding (wave 27)", [
             ("tokenize/merge are codegen explode + scan-stage replaces",
              has("Generate")),
