@@ -4763,6 +4763,23 @@ _HEADING_SQL = (
 )
 
 
+# ---- wave 30: product quantization ADC top-k ----
+
+
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (ann.pq_train/pq_topk, m=8 over the
+    64-dim embeddings): rows-only by design — the codebooks come from
+    numpy Lloyd's, not SQL-expressible; the saturated-codebook
+    exact-equality case and a recall floor are pytest (test_wave30)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    books = ann.pq_train(emb, m=8, ksub=16)
+    out = ann.pq_topk(emb, qs, books, k=10, query_id="qid")
+    return out.select("qid", "vec_id", F.col("rank").cast("long").alias("rnk"))
+
+
 # ---- wave 29: KS divergence, KWIC concordance ----
 
 
@@ -5836,6 +5853,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 29
         "ks_divergence": _q_ks_divergence,
         "kwic_merge": _q_kwic,
+        # wave 30 (rows-only by design — numpy-trained codebooks)
+        "pq_topk": _q_pq_topk,
     }
 
 

@@ -283,3 +283,155 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )
+
+
+def pq_train(
+    points: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    n_iter: int = 10,
+    train_sample: int = 4096,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks: split the (unit-normalized) vector
+    into `m` contiguous subspaces and k-means each to `ksub` centroids —
+    the memory side of the classic IVF+PQ index (IVF prunes WHICH vectors
+    to score, PQ shrinks WHAT is stored per vector: m bytes of codes
+    instead of 4·d floats — at 10^12 vectors the difference between an
+    index that fits executor memory and one that doesn't).
+
+    Training mirrors ivf_cosine_topk: a bounded deterministic sample
+    (orderBy(id).limit — TakeOrdered, partition-layout independent) k-means
+    on the driver per subspace; metadata-scale regardless of table size.
+    Returns (m, ksub, d//m) float64 — d must divide evenly by m.
+    """
+    sample_rows = points.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).orderBy(id_col).limit(train_sample).collect()
+    if not sample_rows:
+        raise ValueError("pq_train: points frame is empty")
+    mat = np.asarray([r["_v"] for r in sample_rows], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for s in range(m):
+        sub = mat[:, s * dsub:(s + 1) * dsub]
+        k_eff = min(ksub, len(sub))
+        cents = sub[rng.choice(len(sub), size=k_eff, replace=False)].copy()
+        for _ in range(n_iter):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k_eff):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(axis=0)
+        if k_eff < ksub:                 # degenerate tiny corpus: pad
+            cents = np.vstack([cents] + [cents[:1]] * (ksub - k_eff))
+        books[s] = cents
+    return books
+
+
+def pq_encode(
+    points: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to `m` small codes (nearest sub-centroid per
+    subspace) — one Arrow-batched numpy pass; the codes array (m ints,
+    m bytes in a real uint8 layout) is all that an ADC scorer needs.
+    Output: (id_col, codes array<int>)."""
+    books = codebooks
+
+    @F.pandas_udf("array<int>")
+    def enc(vec: pd.Series) -> pd.Series:
+        mat = np.asarray(vec.tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        m, ksub, dsub = books.shape
+        out = np.empty((len(mat), m), dtype=np.int32)
+        for s in range(m):
+            sub = mat[:, s * dsub:(s + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            out[:, s] = np.argmin(d2, axis=1)
+        return pd.Series(list(out))
+
+    return points.select(
+        F.col(id_col), enc(F.col(vec_col).cast("array<double>")).alias("codes")
+    )
+
+
+def pq_topk(
+    points: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k over PQ codes: per
+    query, a lookup table LUT[s][c] = dot(q_s, codebook[s][c]) scores any
+    code vector with m table reads + a sum — the query never touches the
+    raw vectors. Approximates cosine of unit-normalized inputs; recall
+    rises with m and ksub (pytest measures it vs exact top-k).
+
+    Scale shape: the LUT per query is m·ksub doubles (driver/broadcast
+    scale); scoring is one Arrow-batched numpy gather over the CODES
+    table — the raw embedding column is read once at encode time and
+    never shuffled. This is FLAT PQ (every code row scored, like every
+    real PQ scan); at 10^12 vectors compose with ivf_cosine_topk's cell
+    probe to bound the candidate set first. The final top-k is the
+    standard per-query ranking window over (query, id, score).
+
+    Output: (query_id, id_col, adc_score, rank) — rank ≤ k, ties by id.
+    """
+    codes = pq_encode(points, codebooks, id_col=id_col, vec_col=vec_col)
+    books = codebooks
+    qrows = queries.select(
+        F.col(query_id), F.col(vec_col).cast("array<double>").alias("_qv")
+    ).collect()
+    if not qrows:
+        raise ValueError("pq_topk: queries frame is empty")
+    m, ksub, dsub = books.shape
+    qids = [r[query_id] for r in qrows]
+    qmat = np.asarray([r["_qv"] for r in qrows], dtype=np.float64)
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    # LUT[qi, s, c] = dot(q_s, books[s, c])
+    lut = np.einsum(
+        "qsd,scd->qsc", qmat.reshape(len(qmat), m, dsub), books
+    )
+
+    @F.pandas_udf("array<double>")
+    def adc(codes_s: pd.Series) -> pd.Series:
+        cm = np.asarray(codes_s.tolist(), dtype=np.int64)      # (n, m)
+        n = len(cm)
+        scores = np.zeros((n, len(qids)), dtype=np.float64)
+        for s in range(m):
+            # gather LUT[:, s, code] for every row — (n, nq)
+            scores += lut[:, s, :][:, cm[:, s]].T
+        return pd.Series(list(scores))
+
+    scored = codes.select(
+        F.col(id_col), F.posexplode(adc(F.col("codes"))).alias("_qi", "adc_score")
+    )
+    qmap = codes.sparkSession.createDataFrame(
+        list(enumerate(qids)), f"_qi int, {query_id} long"
+    )
+    ranked = (
+        scored.join(F.broadcast(qmap), "_qi")
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy(query_id)
+                .orderBy(F.desc("adc_score"), F.col(id_col))
+            ),
+        )
+        .filter(F.col("rank") <= k)
+    )
+    return ranked.select(query_id, id_col, "adc_score", "rank")

@@ -15,8 +15,10 @@ Spark guarantee that a streaming query is the incrementalized batch query.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pbf2json_spark import cells
 from pbf2json_spark.pages import GEO_RE
@@ -279,4 +281,71 @@ def streaming_attribution(
         (
             F.unix_micros("click_ts") - F.unix_micros("imp_ts")
         ).alias("lag_us"),
+    )
+
+
+_RATE_SCHEMA = T.StructType([
+    T.StructField("key", T.StringType()),
+    T.StructField("batch_count", T.LongType()),
+    T.StructField("hist_batches", T.LongType()),
+    T.StructField("hist_total", T.LongType()),
+    T.StructField("flagged", T.BooleanType()),
+])
+
+
+def rate_anomaly(
+    events: DataFrame,
+    key_col: str = "host",
+    min_history: int = 3,
+    factor: int = 5,
+) -> DataFrame:
+    """Streaming per-key rate-anomaly screen: for every micro-batch, flag
+    keys whose event count exceeds `factor`× their own HISTORICAL
+    per-batch mean — the crawler-trap / DDoS / scraper-burst alarm,
+    incremental and stateful (the batch operators see the whole history;
+    this sees one micro-batch plus ~24 B of state per key).
+
+    State per key = (n_batches, total_events) — two longs; the flag test
+    is pure integer cross-multiplication (count·n > factor·total), so
+    identical on any engine/partitioning. Keys with fewer than
+    `min_history` prior batches never flag (cold start). History updates
+    AFTER the test, so a flagged burst still enters the running mean (a
+    sustained new level stops flagging once it becomes the norm —
+    deliberate, documented).
+
+    Shape on an unbounded stream: ONE shuffle on the key into
+    applyInPandasWithState; per-batch per-key output row. No TTL by
+    default (hosts are a bounded keyspace); wrap keys with a coarse
+    time-bucket upstream if unbounded.
+
+    Output per micro-batch: (key, batch_count, hist_batches, hist_total,
+    flagged).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _update(key, pdf_iter, state):
+        n = 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        if n == 0:
+            return
+        if state.exists:
+            hb, ht = state.get
+        else:
+            hb, ht = 0, 0
+        flagged = bool(hb >= min_history and n * hb > factor * ht)
+        state.update((hb + 1, ht + n))
+        yield pd.DataFrame({
+            "key": [key[0]], "batch_count": [n],
+            "hist_batches": [hb], "hist_total": [ht],
+            "flagged": [flagged],
+        })
+
+    return (
+        events.select(F.col(key_col).cast("string").alias("key"))
+        .groupBy("key")
+        .applyInPandasWithState(
+            _update, _RATE_SCHEMA, "hist_batches long, hist_total long",
+            "append", GroupStateTimeout.NoTimeout,
+        )
     )

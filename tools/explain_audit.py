@@ -1719,6 +1719,16 @@ def main() -> int:
         ("sequence build is one user-key window", "Window" in p26, ""),
     ]))
 
+    # PQ ADC top-k (wave 30): encode + LUT scoring are deliberately
+    # Arrow-batched numpy; raw vectors never pass the ranking exchange.
+    p30 = plan_text(allq["pq_topk"](spark, sf_dir))
+    sections.append(("PQ ADC top-k (pq_topk, wave 30)", p30, [
+        ("encode/score are Arrow-batched", "ArrowEvalPython" in p30, ""),
+        ("no row-at-a-time Python", "BatchEvalPython" not in p30, ""),
+        ("per-query ranking window", "Window" in p30, ""),
+        ("query-id map joins as broadcast", "Broadcast" in p30, ""),
+    ]))
+
     # map matching (wave 28): Viterbi kernel is deliberately an
     # applyInPandas group map over the user key.
     p28 = plan_text(allq["map_match"](spark, sf_dir))
