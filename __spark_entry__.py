@@ -4763,6 +4763,60 @@ _HEADING_SQL = (
 )
 
 
+# ---- wave 31: personalized PageRank, convex hulls ----
+
+
+_PPR_SEEDS = (0, 17)
+
+
+def _q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from seeds {0, 17} over the synthetic link
+    graph (graph.personalized_pagerank_int, 3 iterations) — teleport
+    returns to the seeds; integer recurrence, exact CTE oracle."""
+    seeds = spark.createDataFrame([(s,) for s in _PPR_SEEDS], "node long")
+    return graph.personalized_pagerank_int(
+        _link_edges(spark, sf_dir), seeds, n_iter=3
+    )
+
+
+def _ppr_sql(n_iter: int, damping_pct: int = 85) -> str:
+    """DuckDB mirror of graph.personalized_pagerank_int — one CTE per
+    iteration, seed-gated base mass, identical integer recurrence."""
+    scale = graph.SCALE
+    base = (100 - damping_pct) * scale // 100
+    seedset = ", ".join(str(s) for s in _PPR_SEEDS)
+    parts = [
+        f"e AS ({_EDGES_SQL})",
+        "nodes AS (SELECT DISTINCT src AS node FROM e "
+        "UNION SELECT DISTINCT dst FROM e)",
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src)",
+        f"r0 AS (SELECT node, CAST(CASE WHEN node IN ({seedset}) "
+        f"THEN {scale} ELSE 0 END AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"r{i + 1} AS (SELECT n.node, "
+            f"CAST(CASE WHEN n.node IN ({seedset}) THEN {base} ELSE 0 END "
+            f"+ {damping_pct} * coalesce(s.m, 0) // 100 AS BIGINT) AS r "
+            f"FROM nodes n LEFT JOIN (SELECT e.dst AS node, sum(r.r // deg.d) AS m "
+            f"FROM e JOIN r{i} r ON e.src = r.node "
+            "JOIN deg ON e.src = deg.src GROUP BY e.dst) s ON n.node = s.node)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node, r AS rank_e9 FROM r{n_iter}"
+    )
+
+
+def _q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory footprint (spatial.convex_hull) — monotone
+    chain over e7-quantized integer coords; sequential scan ⇒ NO SQL
+    oracle by design (brute gift-wrapping pytest, test_wave31)."""
+    return spatial.convex_hull(
+        _traj_events(spark, sf_dir), entity_col="user_id"
+    )
+
+
 # ---- wave 30: product quantization ADC top-k ----
 
 
@@ -5229,6 +5283,9 @@ def _suite_specs():
             # wave 25 folds into the same slot
             ("bfs", "bfs_hops", _q_bfs_hops,
              "node", None, [("hop", "hop", "i")]),
+            # wave 31 folds into the same slot
+            ("ppr", "ppr_rank", _q_ppr,
+             "node", None, [("rank_e9", "rank_e9", "i")]),
         ],
         "wave5_suite": [
             ("wsample", "weighted_sample", _q_weighted_sample,
@@ -5855,6 +5912,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kwic_merge": _q_kwic,
         # wave 30 (rows-only by design — numpy-trained codebooks)
         "pq_topk": _q_pq_topk,
+        # wave 31 (convex_hull: pytest-only, sequential hull scan)
+        "ppr_rank": _q_ppr,
+        "convex_hull": _q_convex_hull,
     }
 
 
@@ -7009,6 +7069,8 @@ def oracle_sql() -> dict[str, str]:
     # wave-29 oracles
     sqls["ks_divergence"] = _KS_SQL
     sqls["kwic_merge"] = _KWIC_SQL
+    # wave-31 oracle
+    sqls["ppr_rank"] = _ppr_sql(3)
     # suite oracles composed verbatim from the per-operator strings above —
     # a green suite row certifies every folded operator's values.
     sqls.update(_suite_oracle_sql(sqls))

@@ -957,3 +957,78 @@ def bfs_hops(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return visited
+
+
+def personalized_pagerank_int(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Integer-scaled PERSONALIZED PageRank: the teleport mass returns to
+    the seed set instead of spreading uniformly — the topic-/trust-
+    conditioned centrality behind "rank pages by proximity to these
+    vetted hubs" (TrustRank's propagation core, with an arbitrary seed
+    frame instead of a trust oracle):
+
+        rank⁰(v)   = SCALE if v ∈ seeds else 0
+        rankᵏ⁺¹(v) = [v ∈ seeds]·(100−d)·SCALE div 100
+                     + d · Σ_{u→v} (rankᵏ(u) div out(u)) div 100
+
+    All int64 div/mul/sum — order-independent and engine-portable, so
+    the DuckDB oracle (one CTE per iteration) is exact. Same dangling
+    and overflow conventions as pagerank_int (total mass here is
+    n_seeds·SCALE, so the headroom is even larger).
+
+    Shape: identical to pagerank_int — edges repartitioned by src ONCE
+    and persisted, each round one hash join + one combinable sum + one
+    left join to the node set; localCheckpoint bounds lineage. Nodes
+    unreachable from the seeds hold rank 0 but stay in the output (the
+    node set is the graph's, not the frontier's).
+
+    Output: (node, rank_e9:long).
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct in (0, 100)")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    sd = seeds.select(F.col("node").cast("long").alias("node")).distinct()
+    is_seed = nodes.join(sd, "node", "left_semi").select(
+        "node", F.lit(1).alias("_s")
+    )
+    marked = nodes.join(is_seed, "node", "left").select(
+        "node", F.coalesce("_s", F.lit(0)).alias("_s")
+    ).localCheckpoint(eager=False)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    ed = e.join(deg, "src").repartition("src").persist()
+    base = (100 - damping_pct) * SCALE // 100
+    ranks = marked.select(
+        "node", (F.col("_s") * SCALE).cast("long").alias("rank_e9")
+    )
+    for i in range(n_iter):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("rank_e9 div _deg").alias("_c"))
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            marked.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.col("_s") * F.lit(base)
+                    + F.expr(f"{damping_pct} * coalesce(_in, 0L) div 100")
+                ).cast("long").alias("rank_e9"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint()
+    return ranks

@@ -2487,3 +2487,90 @@ def map_match(
         )
 
     return top.groupBy("user_id").applyInPandas(_viterbi, _MATCH_SCHEMA)
+
+
+_HULL_SCHEMA = T.StructType([
+    T.StructField("entity_id", T.LongType()),
+    T.StructField("n_points", T.LongType()),
+    T.StructField("hull_size", T.LongType()),
+    T.StructField("hull_lat", T.ArrayType(T.DoubleType())),
+    T.StructField("hull_lon", T.ArrayType(T.DoubleType())),
+    # exact Python-int shoelace; a world-spanning hull's doubled area in
+    # e14 units tops int64 (±1.8e9² per cross term × vertices), so the
+    # column is DECIMAL(38,0)
+    T.StructField("area2_e14", T.DecimalType(38, 0)),
+])
+
+
+def convex_hull(
+    points: DataFrame,
+    entity_col: str = "entity_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Per-entity convex hull (Andrew's monotone chain) + DOUBLED shoelace
+    area — the footprint extractor ("the region this user/device/fleet
+    actually covers", the polygon a scatter of POI points implies).
+
+    Exactness: coordinates quantize to e7 integers first (≈1 cm, the OSM
+    convention), so every cross product and the doubled shoelace area are
+    INTEGER arithmetic — the hull (including collinear-point drops and
+    orientation) and area2_e14 = |Σ cross| are bit-identical on any
+    partitioning. Vertices return in counter-clockwise order starting
+    from the lexicographically smallest point, as the quantized coords
+    divided back by 1e7.
+
+    A sequential scan over a SORTED point list is not relational —
+    applyInPandas over the entity key (the sessionize envelope); the
+    kernel is O(n log n) per entity. Output one row per entity:
+    (entity_id, n_points, hull_size, hull_lat, hull_lon, area2_e14).
+    Degenerate entities (1 point, or all-collinear) return hulls of size
+    1–2 and area 0.
+    """
+    q = 10_000_000
+
+    def _hull(pdf: pd.DataFrame) -> pd.DataFrame:
+        eid = int(pdf["_e"].iloc[0])
+        pts = sorted({
+            (int(round(lo * q)), int(round(la * q)))
+            for lo, la in zip(pdf["_lon"], pdf["_lat"])
+        })
+        n_raw = len(pdf)
+
+        def cross(o, a, b):
+            return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+        if len(pts) <= 2:
+            hull = pts
+        else:
+            lower: list[tuple[int, int]] = []
+            for p in pts:
+                while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+                    lower.pop()
+                lower.append(p)
+            upper: list[tuple[int, int]] = []
+            for p in reversed(pts):
+                while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+                    upper.pop()
+                upper.append(p)
+            hull = lower[:-1] + upper[:-1]
+        import decimal
+
+        area2 = 0
+        for (x1, y1), (x2, y2) in zip(hull, hull[1:] + hull[:1]):
+            area2 += x1 * y2 - x2 * y1
+        area2 = decimal.Decimal(abs(area2))
+        return pd.DataFrame({
+            "entity_id": [eid],
+            "n_points": [n_raw],
+            "hull_size": [len(hull)],
+            "hull_lat": [[y / q for _x, y in hull]],
+            "hull_lon": [[x / q for x, _y in hull]],
+            "area2_e14": [area2],
+        })
+
+    p = points.select(
+        F.col(entity_col).alias("_e"),
+        F.col(lat_col).alias("_lat"), F.col(lon_col).alias("_lon"),
+    )
+    return p.groupBy("_e").applyInPandas(_hull, _HULL_SCHEMA)

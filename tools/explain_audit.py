@@ -1655,6 +1655,11 @@ def main() -> int:
             ("fused sum is a partial aggregation", has("HashAggregate")),
             ("top-k never global-sorts", has("TakeOrderedAndProject")),
         ]),
+        ("ppr_rank", "personalized PageRank (wave 31)", [
+            ("per-round contribution join", has("Join")),
+            ("rounds pinned (ExistingRDD) or partial aggs",
+             lambda p: "ExistingRDD" in p or "HashAggregate" in p),
+        ]),
         ("ks_divergence", "KS divergence (wave 29)", [
             ("value grid joins as broadcast", has("Broadcast")),
             ("cumsum window over the AGGREGATED grid", has("Window")),
