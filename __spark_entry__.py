@@ -4763,6 +4763,97 @@ _HEADING_SQL = (
 )
 
 
+# ---- wave 32: Theil-Sen robust slope, URL risk screen ----
+
+
+def _q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Theil-Sen slope of daily volume (stats.theil_sen):
+    x = epoch day, y = daily count — the robust magnitude next to
+    daily_trend's OLS and mann_kendall's direction test."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", _ntz_epoch_us("ts").alias("_us")
+    ).select("event_type", F.expr("_us div 86400000000").alias("d"))
+    daily = e.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("y"))
+    return stats.theil_sen(daily, ["event_type"], "d", "y")
+
+
+_THEIL_SQL = (
+    "WITH e AS (SELECT event_type, "
+    "CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d FROM events), "
+    "pts AS (SELECT event_type, d AS x, CAST(count(*) AS BIGINT) AS y "
+    "FROM e GROUP BY 1, 2), "
+    "n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs "
+    "FROM pts GROUP BY 1), "
+    "pr AS (SELECT a.event_type, "
+    "CAST((CAST(b.y AS HUGEINT) - a.y) * 1000000 // "
+    "(CAST(b.x AS HUGEINT) - a.x) AS BIGINT) AS s "
+    "FROM pts a JOIN pts b ON a.event_type = b.event_type AND a.x < b.x), "
+    "m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs, "
+    "quantile_cont(s, 0.5) AS ts_slope_e6 FROM pr GROUP BY 1) "
+    "SELECT n.event_type, n.n_obs, coalesce(m.n_pairs, 0) AS n_pairs, "
+    "m.ts_slope_e6 FROM n LEFT JOIN m ON n.event_type = m.event_type"
+)
+
+
+# Deterministic risky-URL variants keyed by doc_id — the synthetic corpus
+# has no phishing-shaped urls, so scoring it raw would be a vacuous gate
+# row (the benford lesson); both engines build the same variants.
+_RISK_URL_CASE = (
+    "CASE doc_id % 7 "
+    "WHEN 0 THEN concat('https://xn--x', CAST(doc_id AS STRING), '.com/a') "
+    "WHEN 1 THEN concat('http://10.1.2.3/p', CAST(doc_id AS STRING)) "
+    "WHEN 2 THEN concat('https://a.b.c.d.e', CAST(doc_id AS STRING), '.com/x') "
+    "WHEN 3 THEN concat('https://h12345678', CAST(doc_id AS STRING), '.com/x') "
+    "WHEN 4 THEN concat('https://u@h', CAST(doc_id AS STRING), '.com/x') "
+    "WHEN 5 THEN concat('https://e', CAST(doc_id AS STRING), '.com/f.pdf.exe') "
+    "ELSE concat('https://e', CAST(doc_id AS STRING), '.com/ok') END"
+)
+
+
+def _q_url_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL risk screen (weburl.url_risk_score) over deterministic
+    doc_id-keyed risky variants — each rule fires on exactly one
+    variant class; the oracle repeats the CASE ladder."""
+    urls = _t(spark, sf_dir, "documents").select(
+        F.expr(_RISK_URL_CASE).alias("url")
+    )
+    return weburl.url_risk_score(urls)
+
+
+def _url_risk_sql() -> str:
+    from pbf2json_spark.weburl import _RISK_RULES
+
+    case = _RISK_URL_CASE.replace(" AS STRING", " AS VARCHAR")
+    host = (
+        "regexp_replace(regexp_replace(lower(regexp_extract(url, "
+        r"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':[0-9]+$', ''), "
+        r"'^www\.', '')"
+    )
+    flags = {
+        "punycode": f"regexp_matches({host}, '(^|\\.)xn--')",
+        "ip_host": f"regexp_matches({host}, '^[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}$')",
+        "many_subdomains": f"len(string_split_regex({host}, '\\.')) >= 5",
+        "long_digit_run": f"regexp_matches({host}, '[0-9]{{8}}')",
+        "at_sign": "contains(url, '@')",
+        "long_url": "length(url) > 200",
+        "double_ext": (
+            "regexp_matches(url, "
+            r"'\.(pdf|doc|docx|jpg|png|zip)\.(exe|scr|bat|js)([?#]|$)')"
+        ),
+    }
+    cols = ["url"]
+    score = []
+    for name, w in _RISK_RULES:
+        cols.append(f"{flags[name]} AS {name}")
+        score.append(f"CASE WHEN {flags[name]} THEN {w} ELSE 0 END")
+    return (
+        f"WITH u AS (SELECT {case} AS url FROM documents) "
+        "SELECT " + ", ".join(cols)
+        + ", CAST(" + " + ".join(score) + " AS BIGINT) AS risk_score_e2 "
+        "FROM u"
+    )
+
+
 # ---- wave 31: personalized PageRank, convex hulls ----
 
 
@@ -5216,6 +5307,15 @@ def _suite_specs():
         "weburl_suite": [
             ("latest", "url_latest_dedup", _q_url_dedup,
              "norm_url", None, [("url", "url", "s"), ("warc_ts", "warc_ts", "i")]),
+            # wave 32 folds into the same slot
+            ("risk", "url_risk", _q_url_risk,
+             "url", None,
+             [("punycode", "punycode", "b"), ("ip_host", "ip_host", "b"),
+              ("many_subdomains", "many_subdomains", "b"),
+              ("long_digit_run", "long_digit_run", "b"),
+              ("at_sign", "at_sign", "b"), ("long_url", "long_url", "b"),
+              ("double_ext", "double_ext", "b"),
+              ("risk_score_e2", "risk_score_e2", "i")]),
             ("host", "host_stats", _q_host_stats,
              "host", None, [("captures", "captures", "i"),
                             ("distinct_urls", "distinct_urls", "i"),
@@ -5587,6 +5687,11 @@ def _suite_specs():
             ("ks", "ks_divergence", _q_ks_divergence,
              "source", None,
              [("n", "n", "i"), ("ks_e6", "ks_e6", "i")]),
+            # wave 32 folds into the same slot
+            ("theil", "theil_sen", _q_theil_sen,
+             "event_type", None,
+             [("n_obs", "n_obs", "i"), ("n_pairs", "n_pairs", "i"),
+              ("ts_slope_e6", "ts_slope_e6", "d")]),
         ],
         "curation_suite": [
             ("contam", "contamination", _q_contamination,
@@ -5915,6 +6020,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 31 (convex_hull: pytest-only, sequential hull scan)
         "ppr_rank": _q_ppr,
         "convex_hull": _q_convex_hull,
+        # wave 32
+        "theil_sen": _q_theil_sen,
+        "url_risk": _q_url_risk,
     }
 
 
@@ -7071,6 +7179,9 @@ def oracle_sql() -> dict[str, str]:
     sqls["kwic_merge"] = _KWIC_SQL
     # wave-31 oracle
     sqls["ppr_rank"] = _ppr_sql(3)
+    # wave-32 oracles
+    sqls["theil_sen"] = _THEIL_SQL
+    sqls["url_risk"] = _url_risk_sql()
     # suite oracles composed verbatim from the per-operator strings above —
     # a green suite row certifies every folded operator's values.
     sqls.update(_suite_oracle_sql(sqls))

@@ -527,3 +527,63 @@ def ks_divergence(
         .agg(F.max("_d").alias("ks_e6"))
         .select(*group_cols, "n", "ks_e6")
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Theil-Sen robust slope: the MEDIAN of all pairwise
+    slopes (yj−yi)/(xj−xi) over xi < xj — the robust-regression member
+    of the trend family (linear_trend = OLS, mann_kendall = direction
+    test; Theil-Sen gives the MAGNITUDE a few outlier days cannot drag,
+    up to ~29% contamination).
+
+    Portability: each pairwise slope quantizes to
+    (yj−yi)·1e6 div (xj−xi) — integer truncating division, identical in
+    both engines for either sign — and the median of those integers is
+    the exact interpolated percentile (dyadic rational, IEEE-exact; the
+    host_median_len precedent). The e6 quantization before the median is
+    part of the operator's CONTRACT (slopes are reported in e6 anyway),
+    which is what makes the result bit-portable rather than
+    rational-arithmetic-exact.
+
+    Shape at 10^12 rows: feed AGGREGATED series (e.g. daily counts per
+    key — the same envelope as mann_kendall): the pair join is quadratic
+    only in each group's number of OBSERVATIONS (days, not events), one
+    equi-join on the group key; the median is one exact percentile over
+    the per-group pair list. Ties in x (duplicate observations) are
+    excluded pairs, as in the classic estimator.
+
+    Output: (*group_cols, n_obs, n_pairs, ts_slope_e6:double).
+    """
+    a = df.select(
+        *group_cols,
+        F.col(x_col).cast("long").alias("_xa"),
+        F.col(y_col).cast("long").alias("_ya"),
+    )
+    b = df.select(
+        *group_cols,
+        F.col(x_col).cast("long").alias("_xb"),
+        F.col(y_col).cast("long").alias("_yb"),
+    )
+    pairs = a.join(b, group_cols).filter(F.col("_xa") < F.col("_xb"))
+    slopes = pairs.select(
+        *group_cols,
+        F.expr(
+            "CAST((CAST(_yb AS DECIMAL(38,0)) - _ya) * 1000000 "
+            "div (CAST(_xb AS DECIMAL(38,0)) - _xa) AS BIGINT)"
+        ).alias("_s"),
+    )
+    nobs = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_obs"))
+    med = slopes.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.percentile(F.col("_s"), F.lit(0.5)).alias("ts_slope_e6"),
+    )
+    return nobs.join(med, group_cols, "left").select(
+        *group_cols, "n_obs",
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        "ts_slope_e6",
+    )

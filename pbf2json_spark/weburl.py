@@ -709,3 +709,54 @@ def pagination_groups(
         (F.col("max_page") - F.col("min_page") + 1 == F.col("n_pages"))
         .alias("contiguous"),
     )
+
+
+# URL risk heuristics — each one a pure Column predicate over the parsed
+# host/path. Weights are e2 integers so the score is an exact int sum.
+_RISK_RULES: list[tuple[str, int]] = [
+    ("punycode", 300),        # xn-- label: homograph vector
+    ("ip_host", 400),         # raw IPv4 host
+    ("many_subdomains", 200), # >= 5 dot-separated host labels
+    ("long_digit_run", 150),  # >= 8 consecutive digits in the host
+    ("at_sign", 350),         # '@' in the URL: userinfo spoof
+    ("long_url", 100),        # > 200 chars
+    ("double_ext", 250),      # path like .pdf.exe
+]
+
+
+def url_risk_score(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Heuristic URL risk screen — the crawl-frontier prefilter that
+    flags phishing-shaped URLs before fetch budget is spent: punycode
+    (homograph) labels, raw-IP hosts, subdomain stuffing, long digit
+    runs, userinfo '@' spoofs, oversize URLs, and double file
+    extensions. Every signal is one JVM regexp/length predicate
+    (scan-stage, zero shuffle, no UDF), the score an exact integer sum
+    of e2 weights — bit-identical in DuckDB, so the oracle is the same
+    CASE ladder.
+
+    Deliberately a SCREEN, not a classifier: signals are transparent,
+    auditable, and cheap at 10^12 URLs; feed the flagged slice to a
+    model downstream. Output: input columns + one BOOLEAN per rule +
+    risk_score_e2 (BIGINT).
+    """
+    u = F.col(url_col)
+    host = host_of(u)
+    flags = {
+        "punycode": host.rlike(r"(^|\.)xn--"),
+        "ip_host": host.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$"),
+        "many_subdomains": (
+            F.size(F.split(host, r"\.")) >= 5
+        ),
+        "long_digit_run": host.rlike(r"[0-9]{8}"),
+        "at_sign": u.contains("@"),
+        "long_url": F.length(u) > 200,
+        "double_ext": u.rlike(
+            r"\.(pdf|doc|docx|jpg|png|zip)\.(exe|scr|bat|js)([?#]|$)"
+        ),
+    }
+    out = df
+    score = F.lit(0).cast("long")
+    for name, weight in _RISK_RULES:
+        out = out.withColumn(name, flags[name])
+        score = score + F.when(flags[name], weight).otherwise(0)
+    return out.withColumn("risk_score_e2", score.cast("long"))

@@ -1655,6 +1655,14 @@ def main() -> int:
             ("fused sum is a partial aggregation", has("HashAggregate")),
             ("top-k never global-sorts", has("TakeOrderedAndProject")),
         ]),
+        ("theil_sen", "Theil-Sen robust slope (wave 32)", [
+            ("pair join over the AGGREGATED series", has("Join")),
+            ("partial aggregation", has("HashAggregate")),
+        ]),
+        ("url_risk", "URL risk screen (wave 32)", [
+            ("pure scan-stage predicates (no shuffle)", lacks("Exchange")),
+            ("no window", lacks("Window")),
+        ]),
         ("ppr_rank", "personalized PageRank (wave 31)", [
             ("per-round contribution join", has("Join")),
             ("rounds pinned (ExistingRDD) or partial aggs",
