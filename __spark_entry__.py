@@ -4763,6 +4763,21 @@ _HEADING_SQL = (
 )
 
 
+# ---- wave 33: isotonic regression (PAV) ----
+
+
+def _q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type isotonic fit of daily volume vs day index
+    (stats.isotonic_fit) — monotone calibration envelope; PAV's merge
+    loop is sequential ⇒ NO SQL oracle by design (brute PAV + optimality
+    pytest, test_wave33)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", _ntz_epoch_us("ts").alias("_us")
+    ).select("event_type", F.expr("_us div 86400000000").alias("d"))
+    daily = e.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("y"))
+    return stats.isotonic_fit(daily, ["event_type"], "d", "y")
+
+
 # ---- wave 32: Theil-Sen robust slope, URL risk screen ----
 
 
@@ -6023,6 +6038,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 32
         "theil_sen": _q_theil_sen,
         "url_risk": _q_url_risk,
+        # wave 33 (pytest-only, sequential PAV)
+        "isotonic_daily": _q_isotonic,
     }
 
 

@@ -587,3 +587,82 @@ def theil_sen(
         F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
         "ts_slope_e6",
     )
+
+
+def isotonic_fit(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group isotonic (monotone non-decreasing) regression by Pool
+    Adjacent Violators — the shape-constrained calibration fit (score →
+    observed rate curves must not wiggle downward; dose-response and
+    rank-calibration curves likewise). Returns each input point with its
+    fitted level.
+
+    Exactness: PAV pools are averages of integer y's — kept as exact
+    (sum, count) INTEGER pairs through every merge and compared by
+    cross-multiplication, so pooling decisions never touch a float; the
+    emitted level is one final correctly-rounded division per pool.
+    Order within a group follows ascending x (ties on x pre-averaged
+    into one point, the standard primal treatment, also in exact int
+    pairs; the pooled fit repeats per input row).
+
+    PAV's merge loop is sequential — not relational — so the kernel is
+    one applyInPandas per group (the sessionize envelope, O(n) stack
+    passes). No SQL oracle by design; correctness is pytest vs a brute
+    PAV and the quadratic-program optimality property (any monotone
+    sequence has ≥ the fitted squared error).
+
+    Output: (*group_cols, x, y_mean, fitted) — one row per DISTINCT x.
+    """
+    import pandas as pd
+    import pyspark.sql.types as _T
+
+    schema = _T.StructType(
+        [f for f in df.select(*group_cols).schema.fields]
+        + [
+            _T.StructField("x", _T.LongType()),
+            _T.StructField("y_mean", _T.DoubleType()),
+            _T.StructField("fitted", _T.DoubleType()),
+        ]
+    )
+    gc = list(group_cols)
+
+    def _pav(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = pdf.iloc[0][gc]
+        pts: dict[int, tuple[int, int]] = {}
+        for x, y in zip(pdf["_x"], pdf["_y"]):
+            s, c = pts.get(int(x), (0, 0))
+            pts[int(x)] = (s + int(y), c + 1)
+        xs = sorted(pts)
+        # stack of pools: (start_idx, sum, cnt)
+        stack: list[list[int]] = []
+        for i, x in enumerate(xs):
+            s, c = pts[x]
+            stack.append([i, s, c])
+            # merge while the last pool's mean < the previous pool's mean
+            while len(stack) >= 2 and (
+                stack[-1][1] * stack[-2][2] < stack[-2][1] * stack[-1][2]
+            ):
+                _i, s2, c2 = stack.pop()
+                stack[-1][1] += s2
+                stack[-1][2] += c2
+        fitted = [0.0] * len(xs)
+        for j, (start, s, c) in enumerate(stack):
+            end = stack[j + 1][0] if j + 1 < len(stack) else len(xs)
+            for i in range(start, end):
+                fitted[i] = s / c
+        rows = []
+        for i, x in enumerate(xs):
+            s, c = pts[x]
+            rows.append([*keys, x, s / c, fitted[i]])
+        return pd.DataFrame(rows, columns=[*gc, "x", "y_mean", "fitted"])
+
+    p = df.select(
+        *gc,
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    return p.groupBy(*gc).applyInPandas(_pav, schema)
