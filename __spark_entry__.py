@@ -4763,6 +4763,84 @@ _HEADING_SQL = (
 )
 
 
+# ---- wave 34: 2-D Pareto skyline, Hilbert curve encoding ----
+
+
+def _q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Pareto frontier of documents — maximize whitespace
+    tokens, minimize n_chars ("most tokens for the fewest bytes" picks).
+    stats.skyline_2d collapses the O(n²) dominance self-join into two
+    window minima per group (one sort, integer-exact RANGE frames); the
+    oracle runs the IDENTICAL windows in DuckDB."""
+    d = textops.token_count(_t(spark, sf_dir, "documents"))
+    sky = stats.skyline_2d(
+        d.select("doc_id", "lang", "ws_tokens", "n_chars"),
+        ["lang"], "ws_tokens", "n_chars",
+    )
+    return sky.select("lang", "doc_id", "ws_tokens", "n_chars")
+
+
+_SKYLINE_SQL = (
+    "WITH t AS (SELECT doc_id, lang, "
+    "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+    r"ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ws_tokens, "
+    "n_chars FROM documents), "
+    "m AS (SELECT *, "
+    "min(n_chars) OVER (PARTITION BY lang ORDER BY ws_tokens "
+    "RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS m_gt, "
+    "min(n_chars) OVER (PARTITION BY lang, ws_tokens) AS m_eq FROM t) "
+    "SELECT lang, doc_id, ws_tokens, n_chars FROM m "
+    "WHERE (m_gt IS NULL OR m_gt > n_chars) AND m_eq >= n_chars"
+)
+
+
+def _q_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert distance of deterministic integer grid coords keyed off
+    p_partkey at res 8 — certifies layout.hilbert_df's Column bit walk
+    against the same walk unrolled as one DuckDB subquery per bit level
+    (_hilbert_sql). Integer ops only ⇒ bit-exact."""
+    from pbf2json_spark import layout
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_partkey") * 37 % 256).cast("long").alias("gx"),
+        (F.col("p_partkey") * 91 % 256).cast("long").alias("gy"),
+    )
+    return layout.hilbert_df(p, "gx", "gy", 8).select(
+        "p_partkey", "gx", "gy", "hilbert_d"
+    )
+
+
+def _hilbert_sql(res: int = 8) -> str:
+    """The Wikipedia xy2d walk emitted as a chain of nested subqueries —
+    one per bit level, each referencing only the previous level's columns
+    (linear text size; DuckDB's inliner sees ~3^res growth, fine at 8)."""
+    n = 1 << res
+    q = (
+        "SELECT p_partkey, "
+        "CAST(p_partkey * 37 % 256 AS BIGINT) AS gx, "
+        "CAST(p_partkey * 91 % 256 AS BIGINT) AS gy, "
+        "CAST(p_partkey * 37 % 256 AS BIGINT) AS hx, "
+        "CAST(p_partkey * 91 % 256 AS BIGINT) AS hy, "
+        "CAST(0 AS BIGINT) AS d FROM part"
+    )
+    s = 1 << (res - 1)
+    while s > 0:
+        q = (
+            "SELECT p_partkey, gx, gy, "
+            f"CAST(CASE WHEN (hy & {s}) > 0 THEN hx "
+            f"WHEN (hx & {s}) > 0 THEN {n - 1} - hy ELSE hy END AS BIGINT) AS hx, "
+            f"CAST(CASE WHEN (hy & {s}) > 0 THEN hy "
+            f"WHEN (hx & {s}) > 0 THEN {n - 1} - hx ELSE hx END AS BIGINT) AS hy, "
+            f"CAST(d + {s * s} * xor("
+            f"CASE WHEN (hx & {s}) > 0 THEN 3 ELSE 0 END, "
+            f"CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d "
+            f"FROM ({q})"
+        )
+        s >>= 1
+    return f"SELECT p_partkey, gx, gy, d AS hilbert_d FROM ({q})"
+
+
 # ---- wave 33: isotonic regression (PAV) ----
 
 
@@ -6040,6 +6118,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_risk": _q_url_risk,
         # wave 33 (pytest-only, sequential PAV)
         "isotonic_daily": _q_isotonic,
+        # wave 34
+        "skyline_docs": _q_skyline,
+        "hilbert_assign": _q_hilbert,
     }
 
 
@@ -7199,6 +7280,9 @@ def oracle_sql() -> dict[str, str]:
     # wave-32 oracles
     sqls["theil_sen"] = _THEIL_SQL
     sqls["url_risk"] = _url_risk_sql()
+    # wave-34 oracles
+    sqls["skyline_docs"] = _SKYLINE_SQL
+    sqls["hilbert_assign"] = _hilbert_sql(8)
     # suite oracles composed verbatim from the per-operator strings above —
     # a green suite row certifies every folded operator's values.
     sqls.update(_suite_oracle_sql(sqls))

@@ -666,3 +666,52 @@ def isotonic_fit(
         F.col(y_col).cast("long").alias("_y"),
     )
     return p.groupBy(*gc).applyInPandas(_pav, schema)
+
+
+def skyline_2d(
+    df: DataFrame,
+    group_cols: list[str],
+    max_col: str,
+    min_col: str,
+) -> DataFrame:
+    """Per-group 2-D Pareto skyline: keep every row NOT dominated by
+    another row of the same group, where s dominates r iff
+    s.max_col >= r.max_col AND s.min_col <= r.min_col with at least one
+    strict. The multi-criteria frontier ("most tokens for the fewest
+    bytes" document picks; "closest AND freshest" capture picks) — the
+    reference's trim/priority picks are 1-D versions of this
+    (entranceLookup's priority chain, pbf2json.go:744-776).
+
+    Shape: the naive formulation is an O(n²) self-join; for TWO integer
+    criteria the frontier test collapses to two window minima —
+      m_gt  = min(min_col) over rows with max_col  > current  (RANGE 1
+              FOLLOWING .. UNBOUNDED, ascending max_col — integer-exact)
+      m_eq  = min(min_col) over rows with max_col == current
+    and r survives iff (m_gt IS NULL OR m_gt > r.min_col) AND
+    (m_eq >= r.min_col). One sort per group (a single RangePartition +
+    running-min pass, no join, no explode), identical RANGE frames exist
+    in DuckDB — the oracle is value-exact. Duplicated (max,min) points
+    are mutually non-dominating and all survive, matching the strict-
+    dominance definition.
+
+    Both criteria must be integral (the RANGE 1 FOLLOWING trick equates
+    "strictly greater" with ">= +1"); cast upstream for fixed-point
+    floats. Output: the surviving input rows, all columns preserved.
+    """
+    gc = list(group_cols)
+    w_gt = (
+        Window.partitionBy(*gc)
+        .orderBy(F.col(max_col).asc())
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    w_eq = Window.partitionBy(*gc, max_col)
+    out = (
+        df.withColumn("_m_gt", F.min(min_col).over(w_gt))
+        .withColumn("_m_eq", F.min(min_col).over(w_eq))
+        .filter(
+            (F.col("_m_gt").isNull() | (F.col("_m_gt") > F.col(min_col)))
+            & (F.col("_m_eq") >= F.col(min_col))
+        )
+        .drop("_m_gt", "_m_eq")
+    )
+    return out
