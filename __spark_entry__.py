@@ -4763,6 +4763,72 @@ _HEADING_SQL = (
 )
 
 
+# ---- wave 35: sorted-neighborhood dedup, rendezvous hashing, cube rollup ----
+
+
+def _q_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup candidates over document title keys
+    (dedup.sorted_neighborhood_pairs): distributed global row-number via
+    first-char buckets + driver prefix sum, integer equi-join on rank
+    gaps ≤ 4, Levenshtein ≤ 6 — vs the oracle's single global
+    row_number() window (identical (key, id) total order, identical
+    classic-DP levenshtein)."""
+    return dedup.sorted_neighborhood_pairs(
+        _t(spark, sf_dir, "documents"), window=4, max_dist=6
+    )
+
+
+_SNM_SQL = (
+    "WITH t AS (SELECT doc_id AS id, "
+    "regexp_replace(lower(substr(coalesce(text, ''), 1, 24)), "
+    "'[^a-z0-9 ]', '', 'g') AS key FROM documents), "
+    "r AS (SELECT id, key, row_number() OVER (ORDER BY key, id) AS rn FROM t) "
+    "SELECT a.id AS id_a, b.id AS id_b, a.key AS key_a, b.key AS key_b, "
+    "CAST(b.rn - a.rn AS BIGINT) AS gap, "
+    "CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist "
+    "FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
+    "WHERE levenshtein(a.key, b.key) <= 6"
+)
+
+
+_RDV_URL = "'https://h' || CAST(doc_id % 97 AS {s}) || '.example.com/p/' || CAST(doc_id AS {s})"
+
+
+def _q_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash shard assignment of deterministic doc_id-keyed
+    urls across 8 shards (weburl.rendezvous_assign) — portable md5
+    scores, array_max over (score, shard) structs vs DuckDB list_max."""
+    urls = _t(spark, sf_dir, "documents").select(
+        F.expr(_RDV_URL.format(s="STRING")).alias("url")
+    )
+    return weburl.rendezvous_assign(urls, n_shards=8)
+
+
+def _rendezvous_sql(n_shards: int = 8) -> str:
+    items = ", ".join(
+        "{'s': ('0x' || substr(md5(url || ':" + str(i) + "'), 1, 15))::BIGINT, "
+        f"'shard': CAST({i} AS BIGINT)}}"
+        for i in range(n_shards)
+    )
+    url = _RDV_URL.format(s="VARCHAR")
+    return (
+        f"WITH u AS (SELECT {url} AS url FROM documents), "
+        f"g AS (SELECT url, list_max([{items}]) AS b FROM u) "
+        "SELECT url, b.shard AS shard, b.s AS shard_score FROM g"
+    )
+
+
+def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event counts over the full (event_type, day) grouping-sets lattice
+    in one pass (stats.cube_counts — single Expand + one exchange, not
+    2^d scans) vs DuckDB GROUP BY CUBE; per-dim GROUPING flags pin the
+    rolled-up rows across both engines' grouping-id conventions."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", _ntz_epoch_us("ts").alias("_us")
+    ).select("event_type", F.expr("_us div 86400000000").alias("day"))
+    return stats.cube_counts(e, ["event_type", "day"])
+
+
 # ---- wave 34: 2-D Pareto skyline, Hilbert curve encoding ----
 
 
@@ -6121,6 +6187,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 34
         "skyline_docs": _q_skyline,
         "hilbert_assign": _q_hilbert,
+        # wave 35
+        "snm_pairs": _q_snm_pairs,
+        "rendezvous_shards": _q_rendezvous,
+        "cube_rollup": _q_cube,
     }
 
 
@@ -7283,6 +7353,18 @@ def oracle_sql() -> dict[str, str]:
     # wave-34 oracles
     sqls["skyline_docs"] = _SKYLINE_SQL
     sqls["hilbert_assign"] = _hilbert_sql(8)
+    # wave-35 oracles
+    sqls["snm_pairs"] = _SNM_SQL
+    sqls["rendezvous_shards"] = _rendezvous_sql(8)
+    sqls["cube_rollup"] = (
+        "WITH e AS (SELECT event_type, "
+        "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events) "
+        "SELECT event_type, day, "
+        "CAST(GROUPING(event_type) AS BIGINT) AS g_event_type, "
+        "CAST(GROUPING(day) AS BIGINT) AS g_day, "
+        "CAST(count(*) AS BIGINT) AS n "
+        "FROM e GROUP BY CUBE (event_type, day)"
+    )
     # suite oracles composed verbatim from the per-operator strings above —
     # a green suite row certifies every folded operator's values.
     sqls.update(_suite_oracle_sql(sqls))

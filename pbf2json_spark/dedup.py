@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # --- exact ------------------------------------------------------------------------
 
@@ -586,5 +587,80 @@ def edit_near_dup(
             F.when(F.col("_l") < F.col("_r"), F.col("_lr"))
             .otherwise(F.col("_ll")).alias("len_b"),
             "dist",
+        )
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+    max_dist: int = 3,
+    title_len: int = 24,
+) -> DataFrame:
+    """Sorted-neighborhood (SNM) near-duplicate candidates: sort all
+    normalized title keys once, compare each row against its next
+    `window` successors in the GLOBAL sort order, keep Levenshtein
+    ≤ max_dist. The third blocking strategy next to the band family
+    (edit_near_dup's length buckets) and the sketch family (MinHash /
+    SimHash): SNM finds typo-near keys that banding splits when the typo
+    lands in the blocking field itself — the classic entity-resolution
+    sliding window (Hernandez & Stolfo's merge/purge).
+
+    Scale shape — NO single-partition window: a global row number over a
+    string key is assembled the pack_sequences way,
+      1. bucket = first key char (a pure, MONOTONE function of the key,
+         so per-bucket order concatenates to the global order; ≤ 37
+         buckets over the [a-z0-9 ] normalization — alphabet skew is the
+         standard SNM caveat and stays bounded by corpus letter
+         frequencies),
+      2. row_number per bucket (parallel window),
+      3. bucket totals (≤ 37 rows, metadata-scale collect) prefix-summed
+         on the driver and broadcast back as base offsets,
+    then candidates meet in one integer equi-join: the left side explodes
+    to rn+1 .. rn+window (payload = id + ≤ title_len-byte key), never an
+    all-pairs theta join. Spark's and DuckDB's `levenshtein` are both the
+    classic character DP on the ASCII-normalized key — bit-equal.
+
+    Output: (id_a, id_b, key_a, key_b, gap, dist) with id_a preceding
+    id_b in (key, id) order and 1 ≤ gap ≤ window.
+    """
+    t = df.select(
+        F.col(id_col).alias("_id"),
+        F.regexp_replace(
+            F.lower(F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, title_len)),
+            "[^a-z0-9 ]",
+            "",
+        ).alias("_key"),
+    ).withColumn("_bk", F.substring("_key", 1, 1))
+    w_in = Window.partitionBy("_bk").orderBy("_key", "_id")
+    r = t.withColumn("_lrn", F.row_number().over(w_in).cast("long"))
+    totals = r.groupBy("_bk").agg(F.count(F.lit(1)).alias("_n")).collect()
+    base_rows, acc = [], 0
+    for row in sorted(totals, key=lambda x: x["_bk"]):
+        base_rows.append((row["_bk"], acc))
+        acc += row["_n"]
+    spark = df.sparkSession
+    base = spark.createDataFrame(base_rows or [("", 0)], "_bk string, _base long")
+    g = r.join(F.broadcast(base), "_bk").select(
+        "_id", "_key", (F.col("_base") + F.col("_lrn")).alias("_rn")
+    )
+    offs = F.explode(F.array(*[F.lit(i) for i in range(1, window + 1)]))
+    left = g.select(
+        F.col("_id").alias("id_a"), F.col("_key").alias("key_a"),
+        F.col("_rn"), offs.alias("_gap"),
+    ).withColumn("_rn2", F.col("_rn") + F.col("_gap"))
+    right = g.select(
+        F.col("_id").alias("id_b"), F.col("_key").alias("key_b"),
+        F.col("_rn").alias("_rn2"),
+    )
+    return (
+        left.join(right, "_rn2")
+        .withColumn("dist", F.levenshtein("key_a", "key_b").cast("long"))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            "id_a", "id_b", "key_a", "key_b",
+            F.col("_gap").cast("long").alias("gap"), "dist",
         )
     )

@@ -715,3 +715,29 @@ def skyline_2d(
         .drop("_m_gt", "_m_eq")
     )
     return out
+
+
+def cube_counts(
+    df: DataFrame,
+    dims: list[str],
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Multi-granularity rollup over every subset of `dims` in ONE pass —
+    Spark's native `cube` grouping sets (the OLAP totals/subtotals lattice:
+    per (type, day), per type, per day, grand total). Catalyst expands the
+    lattice with a single Expand + one aggregate exchange instead of 2^d
+    separate scans — the plan you want at 100 TB.
+
+    Each dim gets an explicit `g_<dim>` flag (0 = grouped, 1 = rolled up)
+    computed as F.grouping(dim) — NULL dim VALUES in the data stay
+    distinguishable from the rolled-up NULLs, and the explicit per-dim
+    flags sidestep the engines' differing grouping_id() bit conventions
+    (the oracle computes the same GROUPING(d) per dim).
+
+    Output: (*dims, g_<dim>..., n [, w_sum]).
+    """
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if weight_col is not None:
+        aggs.append(F.sum(weight_col).alias("w_sum"))
+    flags = [F.grouping(d).cast("long").alias(f"g_{d}") for d in dims]
+    return df.cube(*dims).agg(*flags, *aggs)

@@ -760,3 +760,53 @@ def url_risk_score(df: DataFrame, url_col: str = "url") -> DataFrame:
         out = out.withColumn(name, flags[name])
         score = score + F.when(flags[name], weight).otherwise(0)
     return out.withColumn("risk_score_e2", score.cast("long"))
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    key_col: str = "url",
+    n_shards: int = 8,
+    out: str = "shard",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing: assign each key to
+    argmax over shards of md5(key ':' shard) — the standard stable
+    sharding scheme for crawl frontiers and feature stores. Unlike
+    `hash(key) % N`, growing N to N+1 moves only ~1/(N+1) of the keys
+    (every key keeps its shard unless the NEW shard wins its rendezvous),
+    so a resize doesn't re-shuffle the world; unlike a ring, no virtual-
+    node table needs distributing — the assignment is a pure row-local
+    function, zero shuffle, scan-stage at any scale.
+
+    Portability: scores are the first 15 md5 hex chars as int64 (60
+    bits, positive) — the repo's established portable-hash idiom — and
+    the argmax is an array_max over (score, shard) structs, so ties
+    (2^-60 events) break to the larger shard id identically in the
+    DuckDB oracle's list_max.
+
+    Output: input columns + `out` (winning shard, long) + `out`_score.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    scores = [
+        F.struct(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col(key_col), F.lit(f":{i}")).cast("binary")
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("s"),
+            F.lit(i).cast("long").alias("shard"),
+        )
+        for i in range(n_shards)
+    ]
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(out, best.getField("shard")).withColumn(
+        f"{out}_score", best.getField("s")
+    )
