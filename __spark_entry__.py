@@ -4763,6 +4763,135 @@ _HEADING_SQL = (
 )
 
 
+# ---- wave 36: polygon validity QA, portable Bloom filter ----
+
+
+def _q_ring_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric QA (geo.ring_validity) over nation-keyed rings in three
+    deliberate shapes — bowtie (1 proper crossing, symmetric shoelace ⇒
+    degenerate), valid CCW rectangle, unclosed CW triangle. Coordinates
+    are small integer-valued doubles, so every cross product is exact and
+    the oracle's identical expression tree matches bit-for-bit."""
+    from pbf2json_spark import geo
+
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    la0 = ((k % 16) * F.lit(10.0) - F.lit(80.0))
+    lo0 = ((k * 37 % 64) * F.lit(5.0) - F.lit(160.0))
+
+    def pt(la, lo):
+        return F.struct(la.alias("lat"), lo.alias("lon"))
+
+    bowtie = F.array(
+        pt(la0, lo0), pt(la0 + 2.0, lo0 + 2.0), pt(la0 + 2.0, lo0),
+        pt(la0, lo0 + 2.0), pt(la0, lo0),
+    )
+    rect = F.array(
+        pt(la0, lo0), pt(la0, lo0 + 4.0), pt(la0 + 3.0, lo0 + 4.0),
+        pt(la0 + 3.0, lo0), pt(la0, lo0),
+    )
+    open_tri = F.array(pt(la0, lo0), pt(la0 + 3.0, lo0), pt(la0, lo0 + 4.0))
+    rings = n.select(
+        k.cast("long").alias("polygon_id"),
+        F.when(k % 3 == 0, bowtie).when(k % 3 == 1, rect).otherwise(open_tri).alias("ring"),
+    )
+    return geo.ring_validity(rings)
+
+
+def _ring_validity_sql() -> str:
+    def x(ox, oy, ax, ay, bx, by):
+        return f"(({ax}) - ({ox})) * (({by}) - ({oy})) - (({bx}) - ({ox})) * (({ay}) - ({oy}))"
+
+    d1 = x("s1.a.lon", "s1.a.lat", "s1.b.lon", "s1.b.lat", "s2.a.lon", "s2.a.lat")
+    d2 = x("s1.a.lon", "s1.a.lat", "s1.b.lon", "s1.b.lat", "s2.b.lon", "s2.b.lat")
+    d3 = x("s2.a.lon", "s2.a.lat", "s2.b.lon", "s2.b.lat", "s1.a.lon", "s1.a.lat")
+    d4 = x("s2.a.lon", "s2.a.lat", "s2.b.lon", "s2.b.lat", "s1.b.lon", "s1.b.lat")
+
+    def p(la, lo):
+        return f"{{'lat': {la}, 'lon': {lo}}}"
+
+    bowtie = ", ".join([
+        p("la0", "lo0"), p("la0 + 2.0", "lo0 + 2.0"), p("la0 + 2.0", "lo0"),
+        p("la0", "lo0 + 2.0"), p("la0", "lo0"),
+    ])
+    rect = ", ".join([
+        p("la0", "lo0"), p("la0", "lo0 + 4.0"), p("la0 + 3.0", "lo0 + 4.0"),
+        p("la0 + 3.0", "lo0"), p("la0", "lo0"),
+    ])
+    tri = ", ".join([p("la0", "lo0"), p("la0 + 3.0", "lo0"), p("la0", "lo0 + 4.0")])
+    return (
+        "WITH b AS (SELECT CAST(n_nationkey AS BIGINT) AS polygon_id, "
+        "n_nationkey % 3 AS kind, "
+        "(n_nationkey % 16) * CAST(10.0 AS DOUBLE) - CAST(80.0 AS DOUBLE) AS la0, "
+        "(n_nationkey * 37 % 64) * CAST(5.0 AS DOUBLE) - CAST(160.0 AS DOUBLE) AS lo0 "
+        "FROM nation), "
+        f"r AS (SELECT polygon_id, CASE kind WHEN 0 THEN [{bowtie}] "
+        f"WHEN 1 THEN [{rect}] ELSE [{tri}] END AS ring FROM b), "
+        "m AS (SELECT polygon_id, ring, CAST(len(ring) AS BIGINT) AS n_points, "
+        "(len(ring) >= 2 AND ring[1].lat = ring[len(ring)].lat "
+        "AND ring[1].lon = ring[len(ring)].lon) AS closed, "
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(1, len(ring)), i -> "
+        "ring[i].lon * ring[i+1].lat - ring[i+1].lon * ring[i].lat)), "
+        "(acc, t) -> acc + t) AS signed2 FROM r), "
+        "seg AS (SELECT polygon_id, unnest(range(1, len(ring))) AS i, "
+        "len(ring) - 1 AS nseg, ring FROM m), "
+        "ss AS (SELECT polygon_id, i, nseg, ring[i] AS a, ring[i+1] AS b FROM seg), "
+        "cx AS (SELECT s1.polygon_id, CAST(count(*) AS BIGINT) AS n_crossings "
+        "FROM ss s1 JOIN ss s2 ON s1.polygon_id = s2.polygon_id "
+        "AND s2.i > s1.i + 1 AND NOT (s1.i = 1 AND s2.i = s1.nseg) "
+        f"WHERE ({d1}) * ({d2}) < 0 AND ({d3}) * ({d4}) < 0 GROUP BY 1) "
+        "SELECT m.polygon_id, n_points, closed, signed2, "
+        "CASE WHEN signed2 > 0 THEN 'ccw' WHEN signed2 < 0 THEN 'cw' "
+        "ELSE 'degenerate' END AS orientation, "
+        "COALESCE(cx.n_crossings, 0) AS n_crossings, "
+        "(closed AND COALESCE(cx.n_crossings, 0) = 0 AND signed2 <> 0.0) AS is_valid "
+        "FROM m LEFT JOIN cx ON m.polygon_id = cx.polygon_id"
+    )
+
+
+def _q_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom filter round trip (sketch.bloom_build/bloom_probe):
+    build over the doc_id%3==0 key stratum, probe all 700 derived keys —
+    the fast-NEGATIVE membership screen for incremental-ingest dedup.
+    md5 double-hash positions + bit_or words are recomputed bit-for-bit
+    in DuckDB."""
+    from pbf2json_spark import sketch as sketch_mod
+
+    d = _t(spark, sf_dir, "documents")
+    key = F.concat(F.lit("k"), (F.col("doc_id") % 700).cast("string")).alias("key")
+    ref = d.filter(F.col("doc_id") % 3 == 0).select(key)
+    flt = sketch_mod.bloom_build(ref, "key", m_bits=4096, k=3)
+    probe = d.select(key).distinct()
+    return sketch_mod.bloom_probe(probe, flt, "key", m_bits=4096, k=3)
+
+
+def _bloom_sql(m_bits: int = 4096, k: int = 3) -> str:
+    h = lambda s: f"('0x' || substr(md5(key || ':{s}'), 1, 15))::BIGINT"
+    return (
+        "WITH refk AS (SELECT DISTINCT 'k' || CAST(doc_id % 700 AS VARCHAR) AS key "
+        "FROM documents WHERE doc_id % 3 = 0), "
+        f"rp AS (SELECT key, {h(0)} AS h1, {h(1)} AS h2 FROM refk), "
+        f"rb AS (SELECT ((h1 + j * h2) % {m_bits}) AS b "
+        f"FROM rp, (SELECT unnest(range(0, {k})) AS j)), "
+        # bit 63: DuckDB range-checks 1<<63, Java wraps to min-long — emit
+        # the min-long literal explicitly so both engines agree
+        "w AS (SELECT b // 64 AS word_idx, bit_or(CASE WHEN b % 64 = 63 "
+        "THEN (-9223372036854775807 - 1)::BIGINT "
+        "ELSE 1::BIGINT << CAST(b % 64 AS INT) END) AS word "
+        "FROM rb GROUP BY 1), "
+        "pk AS (SELECT DISTINCT 'k' || CAST(doc_id % 700 AS VARCHAR) AS key FROM documents), "
+        f"pp AS (SELECT key, {h(0)} AS h1, {h(1)} AS h2 FROM pk), "
+        f"pb AS (SELECT key, ((h1 + j * h2) % {m_bits}) AS b "
+        f"FROM pp, (SELECT unnest(range(0, {k})) AS j)), "
+        "pj AS (SELECT key, (COALESCE(w.word, 0) & (CASE WHEN b % 64 = 63 "
+        "THEN (-9223372036854775807 - 1)::BIGINT "
+        "ELSE 1::BIGINT << CAST(b % 64 AS INT) END)) <> 0 AS hit "
+        "FROM pb LEFT JOIN w ON pb.b // 64 = w.word_idx) "
+        "SELECT key, bool_and(hit) AS maybe_present FROM pj GROUP BY key"
+    )
+
+
 # ---- wave 35: sorted-neighborhood dedup, rendezvous hashing, cube rollup ----
 
 
@@ -6191,6 +6320,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_pairs": _q_snm_pairs,
         "rendezvous_shards": _q_rendezvous,
         "cube_rollup": _q_cube,
+        # wave 36
+        "ring_validity": _q_ring_validity,
+        "bloom_membership": _q_bloom,
     }
 
 
@@ -7353,6 +7485,9 @@ def oracle_sql() -> dict[str, str]:
     # wave-34 oracles
     sqls["skyline_docs"] = _SKYLINE_SQL
     sqls["hilbert_assign"] = _hilbert_sql(8)
+    # wave-36 oracles
+    sqls["ring_validity"] = _ring_validity_sql()
+    sqls["bloom_membership"] = _bloom_sql(4096, 3)
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

@@ -269,3 +269,103 @@ def dp_keep_mask(lat: np.ndarray, lon: np.ndarray, eps: float) -> np.ndarray:
             stack.append((i, split))
             stack.append((split, j))
     return keep
+
+
+def ring_validity(df, id_col: str = "polygon_id", ring_col: str = "ring"):
+    """Geometric QA for polygon rings (array<struct<lat,lon>>, duplicated
+    closing point — the repo's ring convention): closure, winding
+    orientation, and EXACT proper-self-intersection detection — the screen
+    an ingest pipeline runs before trusting third-party polygons with PIP
+    joins or area rollups (the reference implicitly assumes closed,
+    simple ways when it computes polygon centroids, pbf2json.go:838-868;
+    this operator makes that assumption checkable).
+
+    Per ring:
+      n_points        vertex count (incl. the closing duplicate)
+      closed          first vertex == last vertex (exact compare)
+      signed2         the SIGNED shoelace fold ×2 (x=lon, y=lat; > 0 ⟺
+                      CCW); sub/mul only in fixed left-to-right fold
+                      order — the oracle matches bit-for-bit
+      orientation     'ccw' / 'cw' / 'degenerate' (signed2 == 0 — zero
+                      area OR a symmetric bowtie)
+      n_crossings     # of NON-ADJACENT segment pairs that properly cross
+                      (orientation-product test, strict interior
+                      crossing; shared endpoints of adjacent and
+                      wrap-adjacent segments excluded)
+      is_valid        closed AND n_crossings == 0 AND signed2 != 0
+
+    Shape: metrics are one pure-Column pass; crossings are a per-ring
+    self-equi-join on the id (segments exploded once, pairs bounded by
+    ring length² WITHIN a ring — the same bound any exact simplicity
+    test pays; ring length is small for real parcels/buildings, and a
+    hot mega-ring salts like any hot equi-key). Products of coordinate
+    differences only — exact whenever inputs are grid-quantized.
+    """
+    from pyspark.sql import functions as F
+
+    ring = F.col(ring_col)
+    n = F.greatest(F.size(ring) - 1, F.lit(0))
+    a = F.slice(ring, 1, n)
+    b = F.slice(ring, 2, n)
+    terms = F.zip_with(
+        a, b, lambda p, q: p["lon"] * q["lat"] - q["lon"] * p["lat"]
+    )
+    signed2 = F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
+    first, last = F.element_at(ring, 1), F.element_at(ring, -1)
+    base = df.select(
+        F.col(id_col).alias("polygon_id"),
+        F.size(ring).cast("long").alias("n_points"),
+        (
+            (F.size(ring) >= 2)
+            & (first["lat"] == last["lat"])
+            & (first["lon"] == last["lon"])
+        ).alias("closed"),
+        signed2.alias("signed2"),
+        F.when(signed2 > 0, F.lit("ccw"))
+        .when(signed2 < 0, F.lit("cw"))
+        .otherwise(F.lit("degenerate"))
+        .alias("orientation"),
+        F.zip_with(a, b, lambda p, q: F.struct(p.alias("p"), q.alias("q"))).alias("_segs"),
+    )
+    segs = base.select(
+        "polygon_id",
+        F.size("_segs").cast("long").alias("_m"),
+        F.posexplode("_segs").alias("_i", "_s"),
+    ).select(
+        "polygon_id", "_m", "_i",
+        F.col("_s.p.lat").alias("_alat"), F.col("_s.p.lon").alias("_alon"),
+        F.col("_s.q.lat").alias("_blat"), F.col("_s.q.lon").alias("_blon"),
+    )
+    s1, s2 = segs.alias("s1"), segs.alias("s2")
+    c = F.col
+
+    def cross(ox, oy, ax_, ay_, bx, by):
+        return (ax_ - ox) * (by - oy) - (bx - ox) * (ay_ - oy)
+
+    d1 = cross(c("s1._alon"), c("s1._alat"), c("s1._blon"), c("s1._blat"),
+               c("s2._alon"), c("s2._alat"))
+    d2 = cross(c("s1._alon"), c("s1._alat"), c("s1._blon"), c("s1._blat"),
+               c("s2._blon"), c("s2._blat"))
+    d3 = cross(c("s2._alon"), c("s2._alat"), c("s2._blon"), c("s2._blat"),
+               c("s1._alon"), c("s1._alat"))
+    d4 = cross(c("s2._alon"), c("s2._alat"), c("s2._blon"), c("s2._blat"),
+               c("s1._blon"), c("s1._blat"))
+    crossings = (
+        s1.join(
+            s2,
+            (c("s1.polygon_id") == c("s2.polygon_id"))
+            & (c("s2._i") > c("s1._i") + 1)
+            & ~((c("s1._i") == 0) & (c("s2._i") == c("s1._m") - 1)),
+        )
+        .filter((d1 * d2 < 0) & (d3 * d4 < 0))
+        .groupBy(c("s1.polygon_id").alias("polygon_id"))
+        .agg(F.count(F.lit(1)).alias("n_crossings"))
+    )
+    out = base.drop("_segs").join(crossings, "polygon_id", "left").select(
+        "polygon_id", "n_points", "closed", "signed2", "orientation",
+        F.coalesce("n_crossings", F.lit(0)).cast("long").alias("n_crossings"),
+    )
+    return out.withColumn(
+        "is_valid",
+        F.col("closed") & (F.col("n_crossings") == 0) & (F.col("signed2") != 0.0),
+    )

@@ -242,3 +242,100 @@ def kmv_estimate(
         / F.col("kth_hash").cast("double")
     )
     return agg.withColumn("est_distinct", est)
+
+
+# --- Bloom filter (portable, mergeable) ----------------------------------------
+
+
+def bloom_positions(key: Column, m_bits: int, k: int, seed: int = 0) -> Column:
+    """The k bit positions of `key` in an m_bits Bloom filter as an
+    array<long> — double hashing (Kirsch–Mitzenmacher: pos_i = (h1 +
+    i·h2) mod m), both hashes from the portable 60-bit md5 idiom
+    (kmv_hash seeds `seed` and `seed+1`), so any engine that can md5
+    computes the identical positions."""
+    if not 1 <= k <= 7:
+        # h1 + (k-1)*h2 with 60-bit hashes: k <= 7 keeps the sum < 2^63
+        # (no int64 overflow in EITHER engine); larger k wants re-seeding
+        raise ValueError("k must be in [1, 7]")
+    h1, h2 = kmv_hash(key, seed), kmv_hash(key, seed + 1)
+    return F.array(
+        *[((h1 + F.lit(i) * h2) % m_bits).alias(f"p{i}") for i in range(k)]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-group Bloom filter as (word_idx, word) rows: bit b lives in
+    64-bit word b div 64 at bit b mod 64, OR-merged with one
+    map-side-combinable bit_or aggregate. The fast-NEGATIVE membership
+    primitive the incremental-ingest path wants at 100 TB: yesterday's
+    10^12-key corpus compresses to m_bits/8 bytes (vs the full
+    fingerprint table), today's delta probes it scan-side, and only the
+    maybe-present minority pays the exact anti-join. False-positive rate
+    ≈ (1 - e^(-k·n/m))^k; false negatives impossible (probe law tested).
+
+    Merging dumps = UNION ALL + the same bit_or groupBy — the sketch is
+    a monoid, like cms_merge/kmv_merge. Only occupied words are stored
+    (missing word ⟺ all-zero), so a sparse filter stays small.
+
+    Output: group_cols + (word_idx long, word long).
+    """
+    if m_bits % 64 != 0:
+        raise ValueError("m_bits must be a multiple of 64")
+    gs = list(group_cols or [])
+    pos = df.select(
+        *[F.col(c) for c in gs],
+        F.explode(bloom_positions(F.col(key_col), m_bits, k, seed)).alias("_b"),
+    )
+    words = pos.select(
+        *gs,
+        (F.col("_b") / 64).cast("long").alias("word_idx"),
+        (F.col("_b") % 64).cast("int").alias("_bit"),
+    ).withColumn("_w", F.expr("shiftleft(CAST(1 AS BIGINT), _bit)"))
+    return words.groupBy(*gs, "word_idx").agg(F.bit_or("_w").alias("word"))
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """Probe keys against a bloom_build output: `maybe_present` is true
+    iff ALL k bits are set. One explode + one equi-join on (group,
+    word_idx) + one all-bits groupBy — the probe payload is (key, k
+    word indexes), never the filter itself; a missing word row means the
+    bit is 0 (the anti-fill default)."""
+    gs = list(group_cols or [])
+    pos = df.select(
+        *[F.col(c) for c in gs],
+        F.col(key_col).alias("_key"),
+        F.posexplode(bloom_positions(F.col(key_col), m_bits, k, seed)).alias(
+            "_j", "_b"
+        ),
+    ).select(
+        *gs, "_key", "_j",
+        (F.col("_b") / 64).cast("long").alias("word_idx"),
+        (F.col("_b") % 64).cast("int").alias("_bit"),
+    )
+    j = pos.join(bloom, [*gs, "word_idx"], "left")
+    hit = (
+        F.coalesce(F.col("word"), F.lit(0).cast("long")).bitwiseAND(
+            F.expr("shiftleft(CAST(1 AS BIGINT), _bit)")
+        )
+        != 0
+    )
+    return (
+        j.withColumn("_hit", hit.cast("int"))
+        .groupBy(*gs, F.col("_key").alias(key_col))
+        .agg((F.min("_hit") == 1).alias("maybe_present"))
+    )
