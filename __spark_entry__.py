@@ -4763,6 +4763,60 @@ _HEADING_SQL = (
 )
 
 
+# ---- wave 37: exact DBSCAN, distributed BPE training ----
+
+
+def _q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DBSCAN (spatial.dbscan) over customer points, eps=6°,
+    min_pts=5 — full core/border/noise semantics with deterministic
+    min-label clusters; the oracle recomputes neighborhoods by brute
+    cross join and the components by recursive CTE (the dedup_groups
+    pattern)."""
+    return spatial.dbscan(
+        _points_customer(spark, sf_dir), eps_deg=6.0, min_pts=5, res=6,
+        point_id="cid",
+    )
+
+
+def _dbscan_sql(eps: float = 6.0, min_pts: int = 5) -> str:
+    d = (
+        "(b.lat - a.lat) * (b.lat - a.lat) + "
+        "(b.lon - a.lon) * (b.lon - a.lon)"
+    )
+    return (
+        f"WITH RECURSIVE pts AS ({_PTS_SQL}), "
+        f"n AS (SELECT a.cid AS qid, b.cid AS pid FROM pts a, pts b "
+        f"WHERE {d} <= {eps} * {eps}), "
+        "c AS (SELECT qid AS id, count(*) AS nn FROM n GROUP BY 1), "
+        f"core AS (SELECT id, nn >= {min_pts} AS is_core FROM c), "
+        "e AS (SELECT n.qid AS x, n.pid AS y FROM n "
+        "JOIN core c1 ON n.qid = c1.id JOIN core c2 ON n.pid = c2.id "
+        "WHERE c1.is_core AND c2.is_core AND n.qid <> n.pid), "
+        "walk(x, r) AS (SELECT x, x FROM (SELECT DISTINCT x FROM e) t "
+        "UNION SELECT e.y, w.r FROM e JOIN walk w ON e.x = w.x), "
+        "comp AS (SELECT x AS id, min(r) AS rep FROM walk GROUP BY x), "
+        "clbl AS (SELECT core.id, CAST(COALESCE(comp.rep, core.id) AS BIGINT) "
+        "AS cluster FROM core LEFT JOIN comp ON core.id = comp.id "
+        "WHERE core.is_core), "
+        "blbl AS (SELECT n.qid AS id, CAST(min(clbl.cluster) AS BIGINT) AS cluster "
+        "FROM n JOIN clbl ON n.pid = clbl.id WHERE n.qid <> n.pid GROUP BY 1) "
+        "SELECT core.id AS cid, core.is_core, "
+        "CASE WHEN core.is_core THEN 'core' "
+        "WHEN b.cluster IS NOT NULL THEN 'border' ELSE 'noise' END AS role, "
+        "CASE WHEN core.is_core THEN c2.cluster ELSE b.cluster END AS cluster "
+        "FROM core LEFT JOIN clbl c2 ON core.id = c2.id "
+        "LEFT JOIN blbl b ON core.id = b.id"
+    )
+
+
+def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (corpus.bpe_train): 12 merge
+    rounds on the weighted word-count vocab. Sequential by nature (round
+    r+1's statistics depend on round r) ⇒ NO SQL oracle, like
+    isotonic_fit; pytest proves it against a brute reference trainer."""
+    return corpus.bpe_train(_t(spark, sf_dir, "documents"), n_merges=12)
+
+
 # ---- wave 36: polygon validity QA, portable Bloom filter ----
 
 
@@ -6323,6 +6377,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 36
         "ring_validity": _q_ring_validity,
         "bloom_membership": _q_bloom,
+        # wave 37 (bpe_train is pytest-only: sequential merge recurrence)
+        "dbscan_clusters": _q_dbscan,
+        "bpe_merges": _q_bpe_train,
     }
 
 
@@ -7488,6 +7545,8 @@ def oracle_sql() -> dict[str, str]:
     # wave-36 oracles
     sqls["ring_validity"] = _ring_validity_sql()
     sqls["bloom_membership"] = _bloom_sql(4096, 3)
+    # wave-37 oracle (bpe_merges: none by design — sequential recurrence)
+    sqls["dbscan_clusters"] = _dbscan_sql(6.0, 5)
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

@@ -918,3 +918,96 @@ def kwic(
             " ",
         ).alias("context"),
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Train a BPE merge table ON the corpus — the missing third of the
+    tokenizer lifecycle (bpe_pair_counts = one iteration's statistics,
+    bpe_encode = applying a FIXED table; this is the loop that produces
+    the table, Sennrich et al. 2016).
+
+    The real-trainer shape: pay the corpus ONCE for a (word, count)
+    vocabulary (one map-side-combinable exchange — at 100 TB the vocab
+    frame is bounded by DISTINCT words, thousands of times smaller than
+    the data), then run every merge round on the weighted vocab:
+      round = one pair-count groupBy over the vocab + one 1-row
+      TakeOrdered argmax (count desc, a asc, b asc — total order, so
+      training is deterministic in any engine/partitioning) + one
+      literal string replace applying the winner.
+    Words are bracketed symbol strings (bpe_encode's \\x01sym\\x02
+    representation), so applying a merge is ONE non-overlapping
+    left-to-right replace — identical to canonical greedy merge-all.
+    localCheckpoint every `checkpoint_every` rounds bounds the replace
+    lineage; each round's cost is vocab-scale, never corpus-scale.
+
+    Sequential-by-nature (merge r+1's statistics depend on merge r), so
+    NO SQL oracle — like isotonic_fit; correctness is pytest vs a brute
+    reference trainer plus the new-pair-count upper-bound law.
+
+    Output: (step, a, b, pair_count) — the merge table in training
+    order, ready for bpe_encode.
+    """
+    L, R = _BPE_L, _BPE_R
+    clean = F.replace(
+        F.replace(F.col("_w"), F.lit(L), F.lit("")), F.lit(R), F.lit("")
+    )
+    sym = F.array_join(
+        F.transform(
+            F.slice(F.split(clean, ""), 1, _BPE_WORD_CAP),
+            lambda c: F.concat(F.lit(L), c, F.lit(R)),
+        ),
+        "",
+    )
+    vocab = (
+        df.select(F.explode(_words(text_col)).alias("_w"))
+        .filter(F.length("_w") > 0)
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(sym.alias("_s"), "_cnt")
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    spark = df.sparkSession
+    for step in range(n_merges):
+        # symbols of each word: strip the outer brackets, split on R+L
+        syms = F.split(
+            F.expr("substring(_s, 2, length(_s) - 2)"), f"{R}{L}"
+        )
+        pair = F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("a"),
+                    F.element_at(syms, i + 1).alias("b"),
+                ),
+            )
+        ).alias("p")
+        top = (
+            vocab.filter(F.size(syms) >= 2)
+            .select(pair, "_cnt")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("_cnt").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((step, a, b, n))
+        vocab = vocab.withColumn(
+            "_s",
+            F.replace(
+                F.col("_s"), F.lit(f"{L}{a}{R}{L}{b}{R}"), F.lit(f"{L}{a}{b}{R}")
+            ),
+        )
+        if (step + 1) % checkpoint_every == 0 and step + 1 < n_merges:
+            vocab = vocab.localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step long, a string, b string, pair_count long"
+    )

@@ -2574,3 +2574,99 @@ def convex_hull(
         F.col(lat_col).alias("_lat"), F.col(lon_col).alias("_lon"),
     )
     return p.groupBy("_e").applyInPandas(_hull, _HULL_SCHEMA)
+
+
+# --- DBSCAN (exact, density-based clustering) ----------------------------------
+
+
+def dbscan(
+    points: DataFrame,
+    eps_deg: float,
+    min_pts: int,
+    res: int = 10,
+    point_id: str = "point_id",
+) -> DataFrame:
+    """Exact point-level DBSCAN over the squared-degree metric — the
+    full core/border/noise semantics (Ester et al. 1996), not the
+    cell-density approximation (hotspot_clusters): a point is CORE iff
+    its eps-neighborhood (itself included) holds >= min_pts points;
+    core points within eps chain into one cluster; a non-core point
+    within eps of >= 1 core is a BORDER member of the smallest-labeled
+    such cluster (the deterministic resolution of DBSCAN's classic
+    border-tie ambiguity); everything else is NOISE.
+
+    Composition — each stage is an already-scale-shaped primitive:
+      1. eps-neighbor pairs: within_distance_join(points, points) — the
+         cell-disk prefilter + exact predicate (each pair meets in ONE
+         cell, no dedup shuffle); self-pairs kept (DBSCAN counts self);
+      2. neighbor counts -> is_core: one map-side-combinable groupBy;
+      3. core-core edges -> graph.connected_components (pointer
+         doubling, O(log diameter) rounds); cluster label = component
+         min id; an isolated core seeds its own singleton cluster;
+      4. border assignment: min core-cluster label over each non-core
+         point's core neighbors — a second pass over the SAME pair
+         frame (persisted), no new join topology.
+
+    Output: (point_id, is_core, role 'core'|'border'|'noise',
+    cluster — long, NULL for noise).
+    """
+    from pbf2json_spark import graph
+
+    q = points.select(
+        F.col(point_id).alias("_qid"), F.col("lat"), F.col("lon")
+    )
+    pairs = within_distance_join(
+        points, q, radius_deg=eps_deg, res=res,
+        point_id=point_id, query_id="_qid",
+    ).select(F.col("_qid"), F.col(point_id).alias("_pid")).persist()
+    counts = pairs.groupBy("_qid").agg(F.count(F.lit(1)).alias("_n"))
+    core = counts.select(
+        F.col("_qid").alias("_id"), (F.col("_n") >= min_pts).alias("_is_core")
+    )
+    cc_edges = (
+        pairs.join(
+            core.filter("_is_core").select(F.col("_id").alias("_qid")), "_qid"
+        )
+        .join(core.filter("_is_core").select(F.col("_id").alias("_pid")), "_pid")
+        .filter(F.col("_qid") != F.col("_pid"))
+        .select(F.col("_qid").alias("a"), F.col("_pid").alias("b"))
+    )
+    comp = graph.connected_components(cc_edges)  # (id, rep) — only ids with edges
+    core_lbl = (
+        core.filter("_is_core")
+        .join(comp.withColumnRenamed("id", "_id"), "_id", "left")
+        .select("_id", F.coalesce("rep", F.col("_id")).alias("_cluster"))
+    )
+    border_lbl = (
+        pairs.filter(F.col("_qid") != F.col("_pid"))
+        .join(
+            core_lbl.select(
+                F.col("_id").alias("_pid"), F.col("_cluster")
+            ),
+            "_pid",
+        )
+        .groupBy("_qid")
+        .agg(F.min("_cluster").alias("_bcluster"))
+    )
+    out = (
+        core.join(core_lbl.withColumnRenamed("_id", "__cid"),
+                  core["_id"] == F.col("__cid"), "left")
+        .drop("__cid")
+        .join(border_lbl.withColumnRenamed("_qid", "__bid"),
+              core["_id"] == F.col("__bid"), "left")
+        .drop("__bid")
+    )
+    role = (
+        F.when(F.col("_is_core"), F.lit("core"))
+        .when(F.col("_bcluster").isNotNull(), F.lit("border"))
+        .otherwise(F.lit("noise"))
+    )
+    result = out.select(
+        F.col("_id").alias(point_id),
+        F.col("_is_core").alias("is_core"),
+        role.alias("role"),
+        F.when(F.col("_is_core"), F.col("_cluster"))
+        .otherwise(F.col("_bcluster"))
+        .alias("cluster"),
+    )
+    return result
