@@ -4763,6 +4763,115 @@ _HEADING_SQL = (
 )
 
 
+# ---- wave 38: polygon containment hierarchy, standard geohash ----
+
+
+def _q_nesting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admin-style containment hierarchy (spatial.polygon_nesting) over
+    three nested rects per nation (country 8x8 ⊃ region 4x4 ⊃ city 1x1,
+    ids k*10+level). Spark runs the GENERAL pipeline (bbox candidates →
+    ray cast → segment-crossing verify → min-area direct parent); the
+    oracle uses the rect geometry's closed-form containment — the
+    pip_join_rect precedent (the general path is pytest-verified vs
+    brute on arbitrary shapes, test_wave38)."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("long")
+    la0 = ((F.col("n_nationkey") % 16) * F.lit(10.0) - F.lit(80.0))
+    lo0 = ((F.col("n_nationkey") * 37 % 64) * F.lit(5.0) - F.lit(160.0))
+
+    def pt(la, lo):
+        return F.struct(la.alias("lat"), lo.alias("lon"))
+
+    def rect(y0, x0, h, w):
+        return F.array(
+            pt(y0, x0), pt(y0, x0 + w), pt(y0 + h, x0 + w),
+            pt(y0 + h, x0), pt(y0, x0),
+        )
+
+    lvl = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("lvl")
+    e = n.select(k.alias("k"), la0.alias("la0"), lo0.alias("lo0"), lvl)
+    size = (
+        F.when(F.col("lvl") == 0, F.lit(8.0))
+        .when(F.col("lvl") == 1, F.lit(4.0))
+        .otherwise(F.lit(1.0))
+    )
+    off = F.col("lvl").cast("double")
+    polys = e.select(
+        (F.col("k") * 10 + F.col("lvl")).alias("polygon_id"),
+        rect(F.col("la0") + off, F.col("lo0") + off, size, size).alias("ring"),
+    )
+    return spatial.polygon_nesting(polys, res=4)
+
+
+_NESTING_SQL = (
+    "WITH b AS (SELECT CAST(n_nationkey AS BIGINT) AS k, "
+    "(n_nationkey % 16) * CAST(10.0 AS DOUBLE) - CAST(80.0 AS DOUBLE) AS la0, "
+    "(n_nationkey * 37 % 64) * CAST(5.0 AS DOUBLE) - CAST(160.0 AS DOUBLE) AS lo0 "
+    "FROM nation), "
+    "p AS (SELECT k * 10 + lvl AS pid, "
+    "la0 + CAST(lvl AS DOUBLE) AS y0, lo0 + CAST(lvl AS DOUBLE) AS x0, "
+    "CASE lvl WHEN 0 THEN CAST(8.0 AS DOUBLE) WHEN 1 THEN CAST(4.0 AS DOUBLE) "
+    "ELSE CAST(1.0 AS DOUBLE) END AS s "
+    "FROM b, (SELECT unnest([0, 1, 2]) AS lvl)), "
+    "pr AS (SELECT c.pid AS child, q.pid AS parent, "
+    "CAST(2.0 AS DOUBLE) * q.s * q.s AS parent_area2 "
+    "FROM p c JOIN p q ON c.pid <> q.pid "
+    "AND q.y0 <= c.y0 AND q.y0 + q.s >= c.y0 + c.s "
+    "AND q.x0 <= c.x0 AND q.x0 + q.s >= c.x0 + c.s "
+    "AND c.y0 > q.y0 AND c.y0 < q.y0 + q.s "
+    "AND c.x0 > q.x0 AND c.x0 < q.x0 + q.s) "
+    "SELECT child, parent, parent_area2, "
+    "row_number() OVER (PARTITION BY child "
+    "ORDER BY parent_area2 ASC, parent ASC) = 1 AS is_direct FROM pr"
+)
+
+
+def _q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard base-32 geohash (cells.geohash_col, precision 8) of the
+    customer points — the interop cell id; the oracle repeats the bit
+    interleave (mask-chain spread) and alphabet substring mapping."""
+    pts = _points_customer(spark, sf_dir)
+    return pts.select(
+        "cid", cells.geohash_col(F.col("lat"), F.col("lon"), 8).alias("gh")
+    )
+
+
+def _geohash_sql(precision: int = 8) -> str:
+    from pbf2json_spark.cells import _MASKS
+
+    def spread(e: str) -> str:
+        for shift, mask in _MASKS:
+            e = f"(({e} | ({e} << {shift})) & {mask})"
+        return e
+
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    X = (
+        f"CAST(least({(1 << lon_bits) - 1}, greatest(0, "
+        f"floor((lon + 180.0) / 360.0 * {float(1 << lon_bits)}))) AS BIGINT)"
+    )
+    Y = (
+        f"CAST(least({(1 << lat_bits) - 1}, greatest(0, "
+        f"floor((lat + 90.0) / 180.0 * {float(1 << lat_bits)}))) AS BIGINT)"
+    )
+    chars = " || ".join(
+        f"substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"CAST((code >> {5 * (precision - 1 - i)}) & 31 AS INT) + 1, 1)"
+        for i in range(precision)
+    )
+    if total % 2 == 0:
+        code = f"({spread('gy')} | ({spread('gx')} << 1))"
+    else:
+        code = f"({spread('gx')} | ({spread('gy')} << 1))"
+    return (
+        f"WITH pts AS ({_PTS_SQL}), "
+        f"xy AS (SELECT cid, {X} AS gx, {Y} AS gy FROM pts), "
+        f"m AS (SELECT cid, {code} AS code FROM xy) "
+        f"SELECT cid, {chars} AS gh FROM m"
+    )
+
+
 # ---- wave 37: exact DBSCAN, distributed BPE training ----
 
 
@@ -6380,6 +6489,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 37 (bpe_train is pytest-only: sequential merge recurrence)
         "dbscan_clusters": _q_dbscan,
         "bpe_merges": _q_bpe_train,
+        # wave 38
+        "polygon_nesting": _q_nesting,
+        "geohash_assign": _q_geohash,
     }
 
 
@@ -7547,6 +7659,9 @@ def oracle_sql() -> dict[str, str]:
     sqls["bloom_membership"] = _bloom_sql(4096, 3)
     # wave-37 oracle (bpe_merges: none by design — sequential recurrence)
     sqls["dbscan_clusters"] = _dbscan_sql(6.0, 5)
+    # wave-38 oracles
+    sqls["polygon_nesting"] = _NESTING_SQL
+    sqls["geohash_assign"] = _geohash_sql(8)
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

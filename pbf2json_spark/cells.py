@@ -382,3 +382,97 @@ def compact_cover(
         cur = promoted.localCheckpoint(eager=False)
     final = cur.select("cell", F.lit(min_res).cast("int").alias("res"))
     return final if out is None else out.unionByName(final)
+
+
+# --- standard geohash (base-32 interop) ----------------------------------------
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(lat, lon, precision: int = 8) -> "np.ndarray":
+    """Canonical geohash by binary bisection (the textbook reference
+    loop) — numpy, used to cross-check the Column bit-trick twin and for
+    driver-side neighbor work. Returns an object array of strings."""
+    lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
+    lon = np.atleast_1d(np.asarray(lon, dtype=np.float64))
+    n = lat.shape[0]
+    la0 = np.full(n, -90.0); la1 = np.full(n, 90.0)
+    lo0 = np.full(n, -180.0); lo1 = np.full(n, 180.0)
+    out = [""] * n
+    even = True  # lon first, per the standard
+    bits_done = 0
+    cur = np.zeros(n, np.int64)
+    nbits = 0
+    while bits_done < 5 * precision:
+        if even:
+            mid = (lo0 + lo1) / 2
+            b = lon >= mid
+            lo0 = np.where(b, mid, lo0); lo1 = np.where(b, lo1, mid)
+        else:
+            mid = (la0 + la1) / 2
+            b = lat >= mid
+            la0 = np.where(b, mid, la0); la1 = np.where(b, la1, mid)
+        cur = (cur << 1) | b.astype(np.int64)
+        nbits += 1
+        bits_done += 1
+        even = not even
+        if nbits == 5:
+            for i in range(n):
+                out[i] += GEOHASH_ALPHABET[int(cur[i])]
+            cur = np.zeros(n, np.int64)
+            nbits = 0
+    return np.array(out, dtype=object)
+
+
+def geohash_col(lat: Column, lon: Column, precision: int = 8) -> Column:
+    """Standard geohash string — the INTEROP cell id (every geo stack
+    speaks geohash; the int64 cell_col above is faster for joins, this
+    one round-trips with external systems). Pure Column bit math:
+    quantize lon to ceil(5p/2) bits and lat to floor(5p/2) bits, Morton-
+    interleave with lon leading (== the canonical bisection bit stream),
+    then substring-map each 5-bit group through the base-32 alphabet.
+    Stays in codegen; the DuckDB oracle repeats the same shifts. p <= 12
+    keeps the code in an int64 (60 bits).
+
+    Cross-checked against the bisection reference (geohash_encode) incl.
+    the classic u4pruydqqvj test vector (tests/test_wave38.py).
+    """
+    if not 1 <= precision <= 12:
+        raise ValueError("precision must be in [1, 12]")
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    X = F.least(
+        F.lit((1 << lon_bits) - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((lon + 180.0) / 360.0 * F.lit(float(1 << lon_bits))),
+        ),
+    ).cast("long")
+    Y = F.least(
+        F.lit((1 << lat_bits) - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((lat + 90.0) / 180.0 * F.lit(float(1 << lat_bits))),
+        ),
+    ).cast("long")
+    # lon leads (owns bit total-1): for even totals that's an ODD bit
+    # position (X shifted), for odd totals an EVEN one (X unshifted)
+    if total % 2 == 0:
+        code = _spread_col(Y).bitwiseOR(F.shiftleft(_spread_col(X), 1))
+    else:
+        code = _spread_col(X).bitwiseOR(F.shiftleft(_spread_col(Y), 1))
+    chars = [
+        F.substring(
+            F.lit(GEOHASH_ALPHABET),
+            (
+                F.shiftright(code, 5 * (precision - 1 - i))
+                .bitwiseAND(F.lit(31))
+                .cast("int")
+                + 1
+            ),
+            1,
+        )
+        for i in range(precision)
+    ]
+    return F.concat(*chars)

@@ -2670,3 +2670,133 @@ def dbscan(
         .alias("cluster"),
     )
     return result
+
+
+# --- polygon containment hierarchy ----------------------------------------------
+
+
+def polygon_nesting(
+    polys: DataFrame,
+    polygon_id: str = "polygon_id",
+    ring_col: str = "ring",
+    res: int = 4,
+) -> DataFrame:
+    """Containment hierarchy over simple closed rings (admin nesting:
+    city ⊂ region ⊂ country): every (child, parent) pair where child's
+    ring lies strictly inside parent's, plus the DIRECT parent (the
+    smallest-area container — the standard admin-hierarchy resolution;
+    ties break on parent id). Assumes valid simple rings — run
+    ring_validity first; strictly-nested input (no shared boundary
+    points) is the documented contract, matching how admin polygons are
+    drawn.
+
+    Decision rule (exact, no transcendentals): child ⊂ parent iff
+      (a) parent's bbox contains child's bbox (the cheap candidate gate),
+      (b) child's FIRST vertex is inside parent's ring (the same even-odd
+          ray cast as the PIP join, _pip_verify_col — pure codegen), and
+      (c) NO proper segment crossing between the two rings (the
+          orientation-product test of ring_validity) — for simple rings,
+          inside-vertex + zero boundary crossings ⟺ whole-ring
+          containment.
+
+    Shape: bboxes are one pure-Column pass; candidates come from the
+    grid-covered bbox_intersect_join (never an all-pairs theta join)
+    filtered to containment; only CANDIDATE pairs pay the segment-pair
+    verify (bounded by ring length², the same envelope as
+    ring_validity). Direct parents are one window over the surviving
+    pairs. Output: (child, parent, parent_area2, is_direct).
+    """
+    ring = F.col(ring_col)
+    lats = F.transform(ring, lambda p: p["lat"])
+    lons = F.transform(ring, lambda p: p["lon"])
+    n = F.greatest(F.size(ring) - 1, F.lit(0))
+    a_ = F.slice(ring, 1, n)
+    b_ = F.slice(ring, 2, n)
+    signed2 = F.aggregate(
+        F.zip_with(a_, b_, lambda p, q: p["lon"] * q["lat"] - q["lon"] * p["lat"]),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    base = polys.select(
+        F.col(polygon_id).alias("_pid"),
+        ring.alias("_ring"),
+        F.array_min(lats).alias("lat0"),
+        F.array_max(lats).alias("lat1"),
+        F.array_min(lons).alias("lon0"),
+        F.array_max(lons).alias("lon1"),
+        F.abs(signed2).alias("_area2"),
+    )
+    rects = base.select("_pid", "lat0", "lat1", "lon0", "lon1")
+    cand = bbox_intersect_join(
+        rects.withColumnRenamed("_pid", "child"),
+        rects.withColumnRenamed("_pid", "parent"),
+        res=res, left_id="child", right_id="parent",
+    ).filter(
+        (F.col("child") != F.col("parent"))
+        & (F.col("r_lat0") <= F.col("l_lat0"))
+        & (F.col("r_lat1") >= F.col("l_lat1"))
+        & (F.col("r_lon0") <= F.col("l_lon0"))
+        & (F.col("r_lon1") >= F.col("l_lon1"))
+    ).select("child", "parent")
+    withrings = (
+        cand.join(
+            base.select(F.col("_pid").alias("child"), F.col("_ring").alias("_cring")),
+            "child",
+        )
+        .join(
+            base.select(
+                F.col("_pid").alias("parent"),
+                F.col("_ring").alias("_pring"),
+                F.col("_area2").alias("parent_area2"),
+            ),
+            "parent",
+        )
+    )
+    inside = _pip_verify_col(
+        F.element_at("_cring", 1)["lat"],
+        F.element_at("_cring", 1)["lon"],
+        F.col("_pring"),
+    )
+    vertex_ok = withrings.filter(inside)
+
+    def segs(col, pfx):
+        nn = F.greatest(F.size(col) - 1, F.lit(0))
+        return F.zip_with(
+            F.slice(col, 1, nn), F.slice(col, 2, nn),
+            lambda p, q: F.struct(p.alias("p"), q.alias("q")),
+        ).alias(pfx)
+
+    pairs = vertex_ok.select(
+        "child", "parent", "parent_area2",
+        F.explode(segs(F.col("_cring"), "_cs")).alias("_cs"),
+        F.col("_pring"),
+    ).select(
+        "child", "parent", "parent_area2", "_cs",
+        F.explode(segs(F.col("_pring"), "_ps")).alias("_ps"),
+    )
+
+    def cross(ox, oy, ax_, ay_, bx, by):
+        return (ax_ - ox) * (by - oy) - (bx - ox) * (ay_ - oy)
+
+    c = F.col
+    d1 = cross(c("_cs.p.lon"), c("_cs.p.lat"), c("_cs.q.lon"), c("_cs.q.lat"),
+               c("_ps.p.lon"), c("_ps.p.lat"))
+    d2 = cross(c("_cs.p.lon"), c("_cs.p.lat"), c("_cs.q.lon"), c("_cs.q.lat"),
+               c("_ps.q.lon"), c("_ps.q.lat"))
+    d3 = cross(c("_ps.p.lon"), c("_ps.p.lat"), c("_ps.q.lon"), c("_ps.q.lat"),
+               c("_cs.p.lon"), c("_cs.p.lat"))
+    d4 = cross(c("_ps.p.lon"), c("_ps.p.lat"), c("_ps.q.lon"), c("_ps.q.lat"),
+               c("_cs.q.lon"), c("_cs.q.lat"))
+    crossing = (d1 * d2 < 0) & (d3 * d4 < 0)
+    bad = (
+        pairs.filter(crossing).select("child", "parent").distinct()
+    )
+    kept = vertex_ok.join(bad, ["child", "parent"], "left_anti").select(
+        "child", "parent", "parent_area2"
+    )
+    w = Window.partitionBy("child").orderBy(
+        F.col("parent_area2").asc(), F.col("parent").asc()
+    )
+    return kept.withColumn(
+        "is_direct", F.row_number().over(w) == 1
+    )
