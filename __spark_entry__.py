@@ -4763,6 +4763,63 @@ _HEADING_SQL = (
 )
 
 
+# ---- wave 39: discrete Hausdorff distance, train/val/test split ----
+
+
+def _q_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Hausdorff between user trajectories
+    (trajectory.hausdorff_pairs) over candidate pairs = users with
+    user_id % 11 == 0 — max-min of squared degree distances, bit-exact
+    vs the oracle's identical min/max aggregation."""
+    t = _traj_events(spark, sf_dir).select("user_id", "lat", "lon")
+    users = (
+        t.select(F.col("user_id").alias("u")).distinct()
+        .filter(F.col("u") % 11 == 0)
+    )
+    pairs = users.select(F.col("u").alias("a")).join(
+        users.select(F.col("u").alias("b")), F.col("a") < F.col("b")
+    )
+    return trajectory.hausdorff_pairs(t, pairs)
+
+
+def _hausdorff_sql() -> str:
+    d = "(ta.lat - tb.lat) * (ta.lat - tb.lat) + (ta.lon - tb.lon) * (ta.lon - tb.lon)"
+    return (
+        f"WITH t AS ({_TRAJ_SQL}), "
+        "u AS (SELECT DISTINCT user_id AS u FROM t WHERE user_id % 11 = 0), "
+        "p AS (SELECT x.u AS a, y.u AS b FROM u x JOIN u y ON x.u < y.u), "
+        f"dab AS (SELECT p.a, p.b, ta.lat, ta.lon, min({d}) AS m "
+        "FROM p JOIN t ta ON ta.user_id = p.a JOIN t tb ON tb.user_id = p.b "
+        "GROUP BY 1, 2, 3, 4), "
+        "hab AS (SELECT a, b, max(m) AS h_ab FROM dab GROUP BY 1, 2), "
+        f"dba AS (SELECT p.a, p.b, tb.lat, tb.lon, min({d}) AS m "
+        "FROM p JOIN t ta ON ta.user_id = p.a JOIN t tb ON tb.user_id = p.b "
+        "GROUP BY 1, 2, 3, 4), "
+        "hba AS (SELECT a, b, max(m) AS h_ba FROM dba GROUP BY 1, 2) "
+        "SELECT hab.a, hab.b, h_ab, h_ba, greatest(h_ab, h_ba) AS hausdorff_sq "
+        "FROM hab JOIN hba ON hab.a = hba.a AND hab.b = hba.b"
+    )
+
+
+def _q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leak-proof train/val/test assignment
+    (sampling.train_val_test_split, 0.8/0.1/0.1, md5-keyed on doc_id) —
+    per-document labels, the oracle repeats the integer thresholds."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return sampling.train_val_test_split(d, "doc_id")
+
+
+def _split_sql() -> str:
+    span = 1 << 32
+    t1 = int(0.8 * span)
+    t2 = t1 + int(0.1 * span)
+    h = "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8))::BIGINT"
+    return (
+        f"SELECT doc_id, CASE WHEN {h} < {t1} THEN 'train' "
+        f"WHEN {h} < {t2} THEN 'val' ELSE 'test' END AS split FROM documents"
+    )
+
+
 # ---- wave 38: polygon containment hierarchy, standard geohash ----
 
 
@@ -6492,6 +6549,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 38
         "polygon_nesting": _q_nesting,
         "geohash_assign": _q_geohash,
+        # wave 39
+        "hausdorff_traj": _q_hausdorff,
+        "corpus_split": _q_split,
     }
 
 
@@ -7662,6 +7722,9 @@ def oracle_sql() -> dict[str, str]:
     # wave-38 oracles
     sqls["polygon_nesting"] = _NESTING_SQL
     sqls["geohash_assign"] = _geohash_sql(8)
+    # wave-39 oracles
+    sqls["hausdorff_traj"] = _hausdorff_sql()
+    sqls["corpus_split"] = _split_sql()
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

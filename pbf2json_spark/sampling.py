@@ -211,3 +211,38 @@ def spatial_thin(
         .filter(F.col("thin_rank") <= k)
         .drop("_u")
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    seed: int = 0,
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic three-way corpus split — the train/val/test
+    assignment every pretraining pipeline needs, as a pure row-local
+    scan filter (zero shuffle, partition-independent, reproducible across
+    reruns AND engines): u32 = md5(id ':' seed); split by two integer
+    thresholds t1 = floor(w_train·2^32), t2 = t1 + floor(w_val·2^32).
+
+    Keying on the document ID (not position) means re-shards, re-sorts,
+    and incremental ingests never move a document between splits — the
+    leak-proofing property (a doc that was ever in test stays in test).
+    Exactly one label per row (total CASE); expected proportions follow
+    the weights, exact proportions are binomial around them.
+
+    Output: input + `out` ∈ {'train','val','test'}.
+    """
+    w1, w2, w3 = weights
+    if min(w1, w2, w3) < 0 or abs(w1 + w2 + w3 - 1.0) > 1e-9:
+        raise ValueError("weights must be non-negative and sum to 1")
+    t1 = int(w1 * _U32_SPAN)
+    t2 = t1 + int(w2 * _U32_SPAN)
+    h = _u32(F.col(id_col), seed)
+    return df.withColumn(
+        out,
+        F.when(h < t1, F.lit("train"))
+        .when(h < t2, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

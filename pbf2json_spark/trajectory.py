@@ -830,3 +830,59 @@ def dtw_pairs(
             _dtw("_xa", "_ya", "_xb", "_yb").alias("dtw"),
         )
     )
+
+
+def hausdorff_pairs(
+    traj: DataFrame,
+    pairs: DataFrame,
+    user_col: str = "user_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Discrete Hausdorff distance between trajectories (or any point
+    sets): H(A,B) = max(h(A,B), h(B,A)), h(A,B) = max over p∈A of
+    min over q∈B of squared degree distance — the shape-similarity
+    metric that, unlike DTW, ignores ordering and sampling rate
+    (map-matching QA, route-shape dedup). All sub/mul/min/max — the
+    DuckDB oracle is bit-exact.
+
+    `pairs` (a, b) supplies the CANDIDATE pairs — at fleet scale that is
+    a cell-overlap prescreen (cell_jaccard's frame), never all user
+    pairs; this operator pays |A|·|B| point products ONLY inside a
+    candidate pair (the exact metric's intrinsic cost — the DTW band's
+    envelope). Shape: two equi-joins on the pair ids, one (pair, point)
+    min groupBy, one pair max groupBy; only (id, lat, lon) cross the
+    shuffles.
+
+    Output: (a, b, h_ab, h_ba, hausdorff_sq) — directed halves kept for
+    asymmetric screens ("A is covered by B").
+    """
+    t = traj.select(
+        F.col(user_col).alias("_u"), F.col("lat").alias("_la"),
+        F.col("lon").alias("_lo"),
+    )
+    p = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+
+    def directed(src: str, dst: str, name: str) -> DataFrame:
+        pts = (
+            p.join(t.withColumnRenamed("_u", src), src)
+            .join(
+                t.select(
+                    F.col("_u").alias(dst), F.col("_la").alias("_qla"),
+                    F.col("_lo").alias("_qlo"),
+                ),
+                dst,
+            )
+        )
+        d = (F.col("_la") - F.col("_qla")) * (F.col("_la") - F.col("_qla")) + (
+            F.col("_lo") - F.col("_qlo")
+        ) * (F.col("_lo") - F.col("_qlo"))
+        inner = pts.groupBy("a", "b", "_la", "_lo").agg(F.min(d).alias("_m"))
+        return inner.groupBy("a", "b").agg(F.max("_m").alias(name))
+
+    ab = directed("a", "b", "h_ab")
+    ba = directed("b", "a", "h_ba")
+    return ab.join(ba, ["a", "b"]).select(
+        "a", "b", "h_ab", "h_ba",
+        F.greatest("h_ab", "h_ba").alias("hausdorff_sq"),
+    )
