@@ -4763,6 +4763,71 @@ _HEADING_SQL = (
 )
 
 
+# ---- wave 40: geohash decode/neighbors, MMR diverse selection ----
+
+
+def _q_geohash_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash round trip at precision 7 (odd bit total — the parity
+    branch): encode customer points, DECODE back to cell bounds + center
+    (cells.geohash_decode_col). The oracle derives the same cell bounds
+    straight from the quantized grid coords — decode(encode(p)) ==
+    closed-form quantization."""
+    pts = _points_customer(spark, sf_dir)
+    g = pts.select(
+        "cid", cells.geohash_col(F.col("lat"), F.col("lon"), 7).alias("gh")
+    )
+    d = g.select("cid", "gh", cells.geohash_decode_col(F.col("gh"), 7).alias("c"))
+    return d.select(
+        "cid", "gh", F.col("c.lat0").alias("lat0"), F.col("c.lat1").alias("lat1"),
+        F.col("c.lon0").alias("lon0"), F.col("c.lon1").alias("lon1"),
+        F.col("c.lat").alias("clat"), F.col("c.lon").alias("clon"),
+    )
+
+
+def _geohash_decode_sql(precision: int = 7) -> str:
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    enc = _geohash_sql(precision)
+    nx, ny = float(1 << lon_bits), float(1 << lat_bits)
+    X = (
+        f"CAST(least({(1 << lon_bits) - 1}, greatest(0, "
+        f"floor((lon + 180.0) / 360.0 * {nx}))) AS BIGINT)"
+    )
+    Y = (
+        f"CAST(least({(1 << lat_bits) - 1}, greatest(0, "
+        f"floor((lat + 90.0) / 180.0 * {ny}))) AS BIGINT)"
+    )
+    return (
+        f"WITH pts AS ({_PTS_SQL}), "
+        f"g AS ({enc}), "
+        f"xy AS (SELECT cid, {X} AS gx, {Y} AS gy FROM pts) "
+        "SELECT g.cid, g.gh, "
+        f"CAST(gy AS DOUBLE) / {ny} * 180.0 - 90.0 AS lat0, "
+        f"CAST(gy + 1 AS DOUBLE) / {ny} * 180.0 - 90.0 AS lat1, "
+        f"CAST(gx AS DOUBLE) / {nx} * 360.0 - 180.0 AS lon0, "
+        f"CAST(gx + 1 AS DOUBLE) / {nx} * 360.0 - 180.0 AS lon1, "
+        f"(CAST(gy AS DOUBLE) / {ny} * 180.0 - 90.0 "
+        f"+ (CAST(gy + 1 AS DOUBLE) / {ny} * 180.0 - 90.0)) / 2.0 AS clat, "
+        f"(CAST(gx AS DOUBLE) / {nx} * 360.0 - 180.0 "
+        f"+ (CAST(gx + 1 AS DOUBLE) / {nx} * 360.0 - 180.0)) / 2.0 AS clon "
+        "FROM g JOIN xy ON g.cid = xy.cid"
+    )
+
+
+def _q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware top-8 per stratum by greedy MMR (ann.mmr_select,
+    λ=0.7) over the embeddings with a deterministic score — sequential
+    greedy ⇒ NO SQL oracle (the isotonic/bpe_train precedent);
+    correctness is test_wave40's brute-reference compare."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding",
+        (F.col("vec_id") % 3).alias("grp"),
+        ((F.col("vec_id") * 37 % 101).cast("double") / 101.0).alias("score"),
+    )
+    return ann.mmr_select(e, k=8, lam=0.7, group_cols=["grp"], cap=256)
+
+
 # ---- wave 39: discrete Hausdorff distance, train/val/test split ----
 
 
@@ -6552,6 +6617,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 39
         "hausdorff_traj": _q_hausdorff,
         "corpus_split": _q_split,
+        # wave 40 (mmr_select is pytest-only: sequential greedy)
+        "geohash_roundtrip": _q_geohash_decode,
+        "mmr_picks": _q_mmr,
     }
 
 
@@ -7725,6 +7793,8 @@ def oracle_sql() -> dict[str, str]:
     # wave-39 oracles
     sqls["hausdorff_traj"] = _hausdorff_sql()
     sqls["corpus_split"] = _split_sql()
+    # wave-40 oracle (mmr_picks: none by design — sequential greedy)
+    sqls["geohash_roundtrip"] = _geohash_decode_sql(7)
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

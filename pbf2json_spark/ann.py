@@ -435,3 +435,88 @@ def pq_topk(
         .filter(F.col("rank") <= k)
     )
     return ranked.select(query_id, id_col, "adc_score", "rank")
+
+
+def mmr_select(
+    df: DataFrame,
+    k: int,
+    lam: float = 0.7,
+    group_cols: list[str] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str = "score",
+    cap: int = 512,
+) -> DataFrame:
+    """Diversity-aware top-k per group by greedy Maximal Marginal
+    Relevance (Carbonell & Goldstein 1998): repeatedly pick
+    argmax λ·score − (1−λ)·max cos(candidate, already-selected) — the
+    training-data selection step that plain score top-k gets wrong
+    (score top-k returns k near-duplicates of the best document; MMR
+    trades score for coverage).
+
+    Shape: candidates are pre-capped to the top-`cap` by (score, id)
+    with one window (the standard MMR practice — greedy over the whole
+    corpus is never the intent), so the greedy kernel is ONE bounded
+    applyInPandas per group (numpy matmul per round over ≤ cap rows).
+    Sequential by nature (pick r+1 depends on picks 1..r) ⇒ NO SQL
+    oracle — the isotonic/bpe_train precedent; pytest proves it against
+    a brute reference and the diversity law.
+
+    Ties break on (value desc, id asc) — deterministic in any engine.
+    Output: (*group_cols, id, score, mmr_value, pick_rank).
+    """
+    import pandas as pd
+    import pyspark.sql.types as _T
+    from pyspark.sql.window import Window
+
+    gs = list(group_cols or [])
+    w = Window.partitionBy(*[F.col(c) for c in gs] or [F.lit(1)]).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    capped = (
+        df.select(*gs, id_col, score_col, vec_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+    schema = _T.StructType(
+        [f for f in df.select(*gs).schema.fields]
+        + [
+            df.schema[id_col],
+            _T.StructField("score", _T.DoubleType()),
+            _T.StructField("mmr_value", _T.DoubleType()),
+            _T.StructField("pick_rank", _T.LongType()),
+        ]
+    )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = list(pdf.iloc[0][gs]) if gs else []
+        ids = pdf[id_col].to_numpy()
+        scores = pdf[score_col].to_numpy(dtype=np.float64)
+        mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        nrm[nrm == 0] = 1.0
+        mat = mat / nrm[:, None]
+        n = len(ids)
+        picked: list[int] = []
+        max_sim = np.full(n, -np.inf)
+        rows = []
+        for r in range(min(k, n)):
+            val = lam * scores - (0.0 if not picked else (1 - lam) * max_sim)
+            if not picked:
+                val = lam * scores
+            val[picked] = -np.inf
+            # argmax with (value desc, id asc) tie-break
+            best = np.lexsort((ids, -val))[0]
+            picked.append(best)
+            rows.append([*keys, ids[best], float(scores[best]),
+                         float(val[best]), r + 1])
+            sims = mat @ mat[best]
+            max_sim = np.maximum(max_sim, sims)
+        return pd.DataFrame(rows, columns=[*gs, id_col, "score", "mmr_value", "pick_rank"])
+
+    if gs:
+        return capped.groupBy(*gs).applyInPandas(_greedy, schema)
+    return capped.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        lambda pdf: _greedy(pdf.drop(columns=["_g"], errors="ignore")), schema
+    )

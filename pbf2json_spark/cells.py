@@ -476,3 +476,93 @@ def geohash_col(lat: Column, lon: Column, precision: int = 8) -> Column:
         for i in range(precision)
     ]
     return F.concat(*chars)
+
+
+def geohash_decode_col(gh: Column, precision: int) -> Column:
+    """Decode a geohash string back to its cell as a struct
+    (lat0, lat1, lon0, lon1, lat, lon — bounds + center): per-char
+    base-32 lookup via instr on the alphabet, then each of the 5 bits
+    per char routed STATICALLY to its axis position (global bit g from
+    the MSB is lon iff g is even — lon leads, mirroring geohash_col).
+    The static routing keeps the expression tree LINEAR in precision:
+    the compact-shift formulation doubled the tree per iteration (32×)
+    and the bounds/center struct multiplied it ~8× more, which blew up
+    codegen (Janino OOM) at precision 10. X/Y are small enough now that
+    the bounds keep the canonical quantization formulas ((Y+1)/N scaled,
+    exact midpoints) — bit-identical to the DuckDB oracle. Pure
+    Column, stays in codegen; exact doubles. Fixed-precision input
+    (pad/validate upstream; instr returns 0 → NULL-safe garbage-in
+    contract documented)."""
+    if not 1 <= precision <= 12:
+        raise ValueError("precision must be in [1, 12]")
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    x_terms: list[Column] = []
+    y_terms: list[Column] = []
+    for i in range(precision):
+        v = (
+            F.instr(F.lit(GEOHASH_ALPHABET), F.substring(gh, i + 1, 1)) - 1
+        ).cast("long")
+        for b in range(5):
+            g = i * 5 + b  # global bit index from the MSB; even = lon
+            bit = F.shiftright(v, 4 - b).bitwiseAND(F.lit(1))
+            if g % 2 == 0:
+                x_terms.append(F.shiftleft(bit, lon_bits - 1 - g // 2))
+            else:
+                y_terms.append(F.shiftleft(bit, lat_bits - 1 - g // 2))
+    X = x_terms[0]
+    for t in x_terms[1:]:
+        X = X.bitwiseOR(t)
+    Y = y_terms[0]
+    for t in y_terms[1:]:
+        Y = Y.bitwiseOR(t)
+    lon0 = X.cast("double") / float(1 << lon_bits) * 360.0 - 180.0
+    lon1 = (X + 1).cast("double") / float(1 << lon_bits) * 360.0 - 180.0
+    lat0 = Y.cast("double") / float(1 << lat_bits) * 180.0 - 90.0
+    lat1 = (Y + 1).cast("double") / float(1 << lat_bits) * 180.0 - 90.0
+    return F.struct(
+        lat0.alias("lat0"), lat1.alias("lat1"),
+        lon0.alias("lon0"), lon1.alias("lon1"),
+        ((lat0 + lat1) / 2.0).alias("lat"),
+        ((lon0 + lon1) / 2.0).alias("lon"),
+    )
+
+
+def geohash_neighbors(gh: str, precision: int | None = None) -> list[str]:
+    """The 8 neighbors of a geohash cell (driver-side helper for query
+    expansion — the geohash analogue of disk/ring generation): decode to
+    (X, Y), offset, re-encode. Longitude wraps, latitude clamps."""
+    p = precision or len(gh)
+    total = 5 * p
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    code = 0
+    for ch in gh:
+        code = (code << 5) | GEOHASH_ALPHABET.index(ch)
+    if total % 2 == 0:
+        xc, yc = code >> 1, code
+    else:
+        xc, yc = code, code >> 1
+    X = int(_compact(np.array([xc], dtype=np.uint64))[0])
+    Y = int(_compact(np.array([yc], dtype=np.uint64))[0])
+    nx, ny = 1 << lon_bits, 1 << lat_bits
+    out = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            yy = Y + dy
+            if yy < 0 or yy >= ny:
+                continue  # latitude clamps — no wrap over the poles
+            xx = (X + dx) % nx  # longitude wraps
+            sx = _spread(np.array([xx], dtype=np.uint64))[0]
+            sy = _spread(np.array([yy], dtype=np.uint64))[0]
+            c = int((sx << np.uint64(1)) | sy) if total % 2 == 0 else int(
+                sx | (sy << np.uint64(1))
+            )
+            s = ""
+            for i in range(p):
+                s += GEOHASH_ALPHABET[(c >> (5 * (p - 1 - i))) & 31]
+            out.append(s)
+    return out
