@@ -54,8 +54,8 @@ from pyspark.sql import functions as F
 
 from pbf2json_spark import (
     ann, cells, cluster, corpus, decontam, dedup, denorm, dsl, graph,
-    pages, raster, relations, routing, sampling, spans, spatial, stats,
-    temporal, textops, trajectory, weburl,
+    pages, raster, relations, routing, sampling, sketch, spans, spatial,
+    stats, temporal, textops, trajectory, weburl,
 )
 
 # --------------------------------------------------------------------------
@@ -4763,6 +4763,61 @@ _HEADING_SQL = (
 )
 
 
+# ---- wave 41: portable HyperLogLog, discrete Fréchet distance ----
+
+
+def _q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct users per event_type (sketch.hll_build
+    + hll_estimate, p=8 → 256 registers): md5-derived 60-bit hash split
+    into top-8-bit register index and rank = leading zeros + 1 computed
+    via length(bin(w)) — integers end to end, so DuckDB rebuilds the
+    register table bit-for-bit. The harmonic sum is kept as the EXACT
+    integer z_scaled (terms 2^(53-r)); est_raw is one literal/CAST
+    division — bit-identical cross-engine. The ln-based linear-counting
+    column `est` is excluded here (transcendental — cross-engine ulp not
+    guaranteed); z_scaled/n_zero pin the registers it derives from."""
+    e = _t(spark, sf_dir, "events")
+    s = sketch.hll_build(e, "user_id", ["event_type"], p=8)
+    est = sketch.hll_estimate(s, p=8, group_cols=["event_type"])
+    return est.select("event_type", "n_regs", "n_zero", "z_scaled", "est_raw")
+
+
+def _hll_sql(p: int = 8) -> str:
+    m = 1 << p
+    q = 60 - p
+    s = 1 << (q + 1)
+    c = sketch._hll_alpha(m) * float(m) * float(m) * float(s)
+    return (
+        "WITH h AS (SELECT event_type, "
+        "(('0x' || substr(md5(user_id::VARCHAR || ':0'), 1, 15))::BIGINT) AS h "
+        "FROM events), "
+        f"b AS (SELECT event_type, (h >> {q}) AS reg_idx, "
+        f"(h & ((1::BIGINT << {q}) - 1)) AS w FROM h), "
+        "r AS (SELECT event_type, reg_idx, "
+        f"max(CASE WHEN w = 0 THEN {q + 1} ELSE {q + 1} - length(bin(w)) END) "
+        "AS r FROM b GROUP BY event_type, reg_idx), "
+        "a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_regs, "
+        f"CAST(sum((1::BIGINT << ({q + 1} - r))) AS BIGINT) AS zp "
+        "FROM r GROUP BY event_type) "
+        f"SELECT event_type, n_regs, CAST({m} - n_regs AS BIGINT) AS n_zero, "
+        f"CAST(zp + ({m} - n_regs) * (1::BIGINT << {q + 1}) AS BIGINT) AS z_scaled, "
+        f"{c!r} / CAST(zp + ({m} - n_regs) * (1::BIGINT << {q + 1}) AS DOUBLE) "
+        "AS est_raw FROM a"
+    )
+
+
+def _q_frechet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded discrete Fréchet over per-user cell sequences
+    (trajectory.frechet_pairs) — the minimax leash metric completing the
+    DTW (sum) / Hausdorff (unordered) similarity family. Iterative DP is
+    not SQL-expressible: NO oracle by design (the dtw_pairs precedent);
+    correctness is test_wave41's brute full-matrix compare plus the
+    frechet <= dtw law. Same max_df prescreen cap as dtw_pairs."""
+    return trajectory.frechet_pairs(
+        _traj_events(spark, sf_dir), res=6, max_df=50
+    )
+
+
 # ---- wave 40: geohash decode/neighbors, MMR diverse selection ----
 
 
@@ -6620,6 +6675,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 40 (mmr_select is pytest-only: sequential greedy)
         "geohash_roundtrip": _q_geohash_decode,
         "mmr_picks": _q_mmr,
+        # wave 41 (frechet is pytest-only: iterative DP, the dtw precedent)
+        "hll_distinct": _q_hll,
+        "frechet_traj": _q_frechet,
     }
 
 
@@ -7795,6 +7853,8 @@ def oracle_sql() -> dict[str, str]:
     sqls["corpus_split"] = _split_sql()
     # wave-40 oracle (mmr_picks: none by design — sequential greedy)
     sqls["geohash_roundtrip"] = _geohash_decode_sql(7)
+    # wave-41 oracle (frechet_traj: none by design — iterative DP)
+    sqls["hll_distinct"] = _hll_sql(8)
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

@@ -339,3 +339,122 @@ def bloom_probe(
         .groupBy(*gs, F.col("_key").alias(key_col))
         .agg((F.min("_hit") == 1).alias("maybe_present"))
     )
+
+
+# --- HyperLogLog (portable, mergeable) ------------------------------------------
+
+
+def _hll_alpha(m: int) -> float:
+    """Standard HLL bias constant (Flajolet et al. 2007, §4)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_rank_cols(key: Column, p: int, seed: int = 0) -> tuple[Column, Column]:
+    """(register index, rank) of a key for a 2^p-register HLL: the
+    portable 60-bit md5 hash (kmv_hash) splits into the top p bits
+    (index) and the remaining q = 60-p bits w; rank = leading zeros of w
+    within q bits + 1 = q - bitlength(w) + 1, computed EXACTLY via
+    length(bin(w)) — integer/string ops only, no log2 float edge cases.
+    DuckDB mirrors every op (bin() exists in both engines)."""
+    q = 60 - p
+    h = kmv_hash(key, seed)
+    idx = F.shiftright(h, q)
+    w = h.bitwiseAND(F.lit((1 << q) - 1))
+    rank = F.when(w == 0, F.lit(q + 1)).otherwise(
+        F.lit(q + 1) - F.length(F.bin(w))
+    )
+    return idx.cast("int").alias("reg_idx"), rank.cast("int").alias("rank")
+
+
+def hll_build(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-group HyperLogLog sketch as (reg_idx, r) rows — r = max rank
+    seen in that register. THE mergeable distinct-count summary at
+    10^12 rows: where kmv_build keeps k raw hashes (estimate error
+    ~1/sqrt(k), merge must re-thin), HLL is a FIXED 2^p-register array
+    with error 1.04/sqrt(2^p) (p=8 → 6.5% from 256 registers) whose
+    merge is a plain element-wise max — associative, commutative,
+    idempotent, so dumps/partitions/days combine in any order without
+    touching source data (the property unions-of-unions pipelines need).
+
+    One map-side-combinable groupBy on (group, reg_idx): the exchange
+    carries at most 2^p partial registers per map task, never the key
+    volume. Output ≤ 2^p rows per group — metadata-scale. Absent
+    registers mean rank 0 (the estimator refills them).
+
+    Portability: md5-derived hash and integer/string ops only — DuckDB
+    rebuilds the register table bit-for-bit (the minhash_portable/
+    cms_tokens idiom)."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    gs = list(group_cols or [])
+    idx, rank = hll_rank_cols(F.col(key_col), p, seed)
+    return (
+        df.select(*[F.col(c) for c in gs], idx, rank)
+        .groupBy(*gs, "reg_idx")
+        .agg(F.max("rank").alias("r"))
+    )
+
+
+def hll_merge(sketches: list[DataFrame], group_cols: list[str] | None = None) -> DataFrame:
+    """Union register tables from independent dumps and take the
+    element-wise max — the HLL monoid; never touches source data."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    gs = list(group_cols or [])
+    u = sketches[0].select(*gs, "reg_idx", "r")
+    for s in sketches[1:]:
+        u = u.unionByName(s.select(*gs, "reg_idx", "r"))
+    return u.groupBy(*gs, "reg_idx").agg(F.max("r").alias("r"))
+
+
+def hll_estimate(
+    sketch: DataFrame, p: int, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Per-group distinct estimate from an hll_build/hll_merge register
+    table. The raw-estimate float path is ONE division: the harmonic sum
+    Z = Σ 2^-r is kept as an EXACT integer by scaling with 2^(q+1)
+    (ranks are ≤ q+1, so every term 2^(q+1-r) is integral; absent
+    registers contribute the full 2^(q+1)); Σ fits int64 for p ≥ 4.
+    est_raw = alpha·m²·2^(q+1) / z_scaled is then a literal over a cast
+    — bit-identical in any IEEE engine regardless of register order
+    (the kmv_estimate exactness idiom). `est` applies the standard
+    small-range linear-counting correction m·ln(m/V) when zero
+    registers remain and est_raw ≤ 2.5m — ln is transcendental, so
+    cross-engine bit-equality is NOT guaranteed for corrected groups;
+    exact-oracle queries should compare (n_regs, n_zero, z_scaled,
+    est_raw) and treat est as advisory.
+
+    Output: group_cols + (n_regs, n_zero, z_scaled, est_raw, est)."""
+    m = 1 << p
+    q = 60 - p
+    s = 1 << (q + 1)
+    gs = list(group_cols or [])
+    agg = sketch.groupBy(*gs).agg(
+        F.count(F.lit(1)).cast("long").alias("n_regs"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {q + 1} - r)")).alias("_zp"),
+    )
+    agg = agg.withColumn("n_zero", F.lit(m).cast("long") - F.col("n_regs"))
+    agg = agg.withColumn(
+        "z_scaled", F.col("_zp") + F.col("n_zero") * F.lit(s).cast("long")
+    ).drop("_zp")
+    c = _hll_alpha(m) * float(m) * float(m) * float(s)
+    est_raw = F.lit(c) / F.col("z_scaled").cast("double")
+    agg = agg.withColumn("est_raw", est_raw)
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_zero").cast("double"))
+    return agg.withColumn(
+        "est",
+        F.when((F.col("n_zero") > 0) & (F.col("est_raw") <= 2.5 * m), lc)
+        .otherwise(F.col("est_raw")),
+    )
