@@ -4763,6 +4763,92 @@ _HEADING_SQL = (
 )
 
 
+# ---- wave 42: spatial k-anonymity coarsening, SQ8 scalar quantization ----
+
+
+_KANON_LEVELS = [0, 2, 4, 6, 8, 10]
+
+
+def _q_k_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive location generalization (spatial.k_anonymity_cells, k=25):
+    per customer point, the finest cell resolution whose cell holds >= 25
+    points, with the cell and its census. All-integer output — the oracle
+    repeats the explode/census/argmax pipeline in SQL, bit-exact."""
+    return spatial.k_anonymity_cells(
+        _points_customer(spark, sf_dir), k=25, res_levels=_KANON_LEVELS,
+        id_col="cid",
+    )
+
+
+def _k_anon_sql(k: int = 25) -> str:
+    arms = []
+    for r in _KANON_LEVELS:
+        if r == 0:
+            # res 0 = the single world cell, id 0 (x = y = 0 after clamp;
+            # _sql_spread emits nothing for 0 bits)
+            arms.append("SELECT cid, 0 AS res, CAST(0 AS BIGINT) AS cell FROM pts")
+            continue
+        x, y = _sql_cell_xy("lat", "lon", r)
+        arms.append(
+            f"SELECT cid, {r} AS res, {_sql_cell_from_xy(r)} AS cell "
+            f"FROM (SELECT cid, {x} AS x, {y} AS y FROM pts)"
+        )
+    union = " UNION ALL ".join(arms)
+    return (
+        f"WITH pts AS ({_PTS_SQL}), "
+        f"ex AS ({union}), "
+        "census AS (SELECT res, cell, CAST(count(*) AS BIGINT) AS n "
+        "FROM ex GROUP BY res, cell), "
+        "ok AS (SELECT e.cid, e.res, e.cell, c.n FROM ex e "
+        "JOIN census c ON e.res = c.res AND e.cell = c.cell "
+        f"WHERE c.n >= {k}), "
+        "r AS (SELECT cid, res, cell, n, row_number() OVER "
+        "(PARTITION BY cid ORDER BY res DESC) AS rk FROM ok) "
+        "SELECT cid, CAST(res AS INTEGER) AS anon_res, cell, n "
+        "FROM r WHERE rk = 1"
+    )
+
+
+def _q_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 ADC top-10 (ann.sq_train/sq_topk): per-dim global min/max
+    bounds, 8-bit codes, bin-center dequantized dot against 5 full-
+    precision queries. The integer code_sum pins the encode path exactly
+    (the fixed sub/div/mul/floor tree is IEEE-identical cross-engine);
+    rank comparison is the portable ADC surface, the float adc_score is
+    excluded (summation-order ulp — the cosine_topk precedent)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    mins, maxs = ann.sq_train(emb)
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = ann.sq_topk(emb, qs, k=10, mins=mins, maxs=maxs, query_id="qid")
+    return out.select("qid", "vec_id", "code_sum", F.col("rank").cast("long").alias("rnk"))
+
+
+_SQ_TOPK_SQL = (
+    "WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v, "
+    "generate_subscripts(embedding, 1) AS d FROM embeddings), "
+    "b AS (SELECT d, min(v) AS mn, max(v) AS mx FROM e GROUP BY d), "
+    "c AS (SELECT e.vec_id, e.d, "
+    "CAST(least(255, greatest(0, CASE WHEN b.mx = b.mn THEN 0 ELSE "
+    "floor((e.v - b.mn) / (b.mx - b.mn) * CAST(255.0 AS DOUBLE)) END)) "
+    "AS INTEGER) AS code, b.mn, b.mx FROM e JOIN b ON e.d = b.d), "
+    "dq AS (SELECT vec_id, d, code, "
+    "mn + (CAST(code AS DOUBLE) + CAST(0.5 AS DOUBLE)) * (mx - mn) "
+    "/ CAST(255.0 AS DOUBLE) AS deq FROM c), "
+    "q AS (SELECT vec_id AS qid, CAST(unnest(embedding) AS DOUBLE) AS qv, "
+    "generate_subscripts(embedding, 1) AS d FROM embeddings WHERE vec_id < 5), "
+    "s AS (SELECT q.qid, dq.vec_id, sum(dq.deq * q.qv) AS score "
+    "FROM dq JOIN q ON dq.d = q.d GROUP BY q.qid, dq.vec_id), "
+    "cs AS (SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum "
+    "FROM c GROUP BY vec_id), "
+    "r AS (SELECT s.qid, s.vec_id, cs.code_sum, CAST(row_number() OVER "
+    "(PARTITION BY s.qid ORDER BY s.score DESC, s.vec_id) AS BIGINT) AS rnk "
+    "FROM s JOIN cs ON s.vec_id = cs.vec_id) "
+    "SELECT qid, vec_id, code_sum, rnk FROM r WHERE rnk <= 10"
+)
+
+
 # ---- wave 41: portable HyperLogLog, discrete Fréchet distance ----
 
 
@@ -6678,6 +6764,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 41 (frechet is pytest-only: iterative DP, the dtw precedent)
         "hll_distinct": _q_hll,
         "frechet_traj": _q_frechet,
+        # wave 42
+        "k_anon_cells": _q_k_anon,
+        "sq_adc_topk": _q_sq_topk,
     }
 
 
@@ -7855,6 +7944,9 @@ def oracle_sql() -> dict[str, str]:
     sqls["geohash_roundtrip"] = _geohash_decode_sql(7)
     # wave-41 oracle (frechet_traj: none by design — iterative DP)
     sqls["hll_distinct"] = _hll_sql(8)
+    # wave-42 oracles
+    sqls["k_anon_cells"] = _k_anon_sql(25)
+    sqls["sq_adc_topk"] = _SQ_TOPK_SQL
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

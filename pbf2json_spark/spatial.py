@@ -2800,3 +2800,73 @@ def polygon_nesting(
     return kept.withColumn(
         "is_direct", F.row_number().over(w) == 1
     )
+
+
+# --- spatial k-anonymity coarsening ----------------------------------------------
+
+
+def k_anonymity_cells(
+    df: DataFrame,
+    k: int,
+    res_levels: list[int],
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Adaptive location generalization: for every point, the FINEST cell
+    resolution at which its cell holds >= k points, plus that cell and its
+    population. The spatial-k-anonymity primitive a webtext pipeline needs
+    before publishing geocoded documents: a point in Manhattan can keep a
+    ~100 m cell, a point in rural Mongolia must coarsen to ~100 km before
+    it stops being identifying. Emitting (anon_res, cell) instead of
+    (lat, lon) guarantees every published location is shared by >= k
+    documents — k-anonymity by construction, resolution adapted per point
+    instead of one global coarse grid that wastes precision everywhere
+    dense.
+
+    Shape at 10^12 points: ONE explode of each point into its |levels|
+    ancestor cells (levels is ~6 literals — bounded), ONE map-side-
+    combinable groupBy on (res, cell) for the census, ONE equi-join back
+    on (res, cell) (uniform integer keys; mega-city hot cells carry a
+    single count row, so the join's build side per key is 1 — AQE handles
+    the probe skew), then a per-point max-res pick over <= |levels| rows.
+    All integers — the DuckDB oracle is bit-exact.
+
+    Include a coarse level (e.g. res 0, one world cell) to guarantee
+    every point gets a row whenever the corpus itself has >= k points;
+    points satisfying k at NO supplied level are absent from the output
+    (the caller's signal to suppress them entirely).
+
+    Output: (id_col, anon_res int, cell long, n long).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    levels = sorted(set(res_levels))
+    if not levels:
+        raise ValueError("need at least one resolution level")
+    pts = df.select(F.col(id_col), F.col(lat_col), F.col(lon_col))
+    rc = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("res"),
+                cells.cell_col(F.col(lat_col), F.col(lon_col), r).alias("cell"),
+            )
+            for r in levels
+        ]
+    )
+    ex = pts.select(id_col, F.explode(rc).alias("_rc")).select(
+        id_col, F.col("_rc.res").alias("res"), F.col("_rc.cell").alias("cell")
+    )
+    census = ex.groupBy("res", "cell").agg(F.count(F.lit(1)).alias("n"))
+    ok = ex.join(census.filter(F.col("n") >= k), ["res", "cell"])
+    w = Window.partitionBy(id_col).orderBy(F.col("res").desc())
+    return (
+        ok.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            id_col,
+            F.col("res").alias("anon_res"),
+            "cell",
+            F.col("n").cast("long").alias("n"),
+        )
+    )
