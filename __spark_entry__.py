@@ -4763,6 +4763,109 @@ _HEADING_SQL = (
 )
 
 
+# ---- wave 43: grid line supercover, rolling-window HLL ----
+
+
+def _q_line_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment cell coverage (raster.line_cells, res 5): consecutive
+    trajectory pings become segments (lag over ts), each rasterized into
+    every cell its center-to-center line crosses, then a per-cell load
+    count — the corridor/heat-map primitive endpoint sampling misses.
+    All-integer column-walk (doubled coords + integer DIV) — the DuckDB
+    oracle repeats the identical ops, bit-exact."""
+    from pyspark.sql.window import Window
+
+    t = _traj_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    seg = t.select(
+        "user_id",
+        F.lag("lat").over(w).alias("lat0"), F.lag("lon").over(w).alias("lon0"),
+        F.col("lat").alias("lat1"), F.col("lon").alias("lon1"),
+    ).filter(F.col("lat0").isNotNull())
+    cov = raster.line_cells(seg, res=5)
+    return cov.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _line_cover_sql(res: int = 5) -> str:
+    x0, y0 = _sql_cell_xy("lat0", "lon0", res)
+    x1, y1 = _sql_cell_xy("lat1", "lon1", res)
+    spread_c = raster._sql_spread("c")
+    spread_r = raster._sql_spread("r")
+    return (
+        f"WITH t AS ({_TRAJ_SQL}), "
+        "seg AS (SELECT user_id, "
+        "lag(lat) OVER (PARTITION BY user_id ORDER BY ts) AS lat0, "
+        "lag(lon) OVER (PARTITION BY user_id ORDER BY ts) AS lon0, "
+        "lat AS lat1, lon AS lon1 FROM t), "
+        f"g AS (SELECT {x0} AS gx0, {y0} AS gy0, {x1} AS gx1, {y1} AS gy1 "
+        "FROM seg WHERE lat0 IS NOT NULL), "
+        "n AS (SELECT gx0, gy0, gx1, gy1, "
+        "CASE WHEN gx0 <= gx1 THEN 2 * gy0 + 1 ELSE 2 * gy1 + 1 END AS ya, "
+        "CASE WHEN gx0 <= gx1 THEN 2 * gy1 + 1 ELSE 2 * gy0 + 1 END AS yb, "
+        "CASE WHEN gx0 <= gx1 THEN 2 * gx0 + 1 ELSE 2 * gx1 + 1 END AS xa0, "
+        "abs(gx1 - gx0) * 2 AS dx FROM g), "
+        "cols AS (SELECT n.*, yb - ya AS dy, cc.c AS c FROM n, "
+        "LATERAL unnest(generate_series(least(gx0, gx1), greatest(gx0, gx1))) cc(c)), "
+        "rows_ AS (SELECT cols.*, "
+        "CASE WHEN dx = 0 THEN least(gy0, gy1) ELSE "
+        "(ya * dx + (greatest(2 * c, xa0) - xa0) * dy) // (2 * dx) END AS ra, "
+        "CASE WHEN dx = 0 THEN greatest(gy0, gy1) ELSE "
+        "(ya * dx + (least(2 * c + 2, xa0 + dx) - xa0) * dy) // (2 * dx) END AS rb "
+        "FROM cols), "
+        "cellrows AS (SELECT c, rr.r AS r FROM rows_, "
+        "LATERAL unnest(generate_series(least(ra, rb), greatest(ra, rb))) rr(r)) "
+        f"SELECT CAST({res << 52} AS BIGINT) | ({spread_c}) | (({spread_r}) << 1) "
+        "AS cell, CAST(count(*) AS BIGINT) AS n FROM cellrows GROUP BY 1"
+    )
+
+
+def _q_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day (sketch.hll_rolling, p=6):
+    daily register tables rolled forward by sketch algebra — raw keys are
+    scanned once, every window after that is ≤ 2^p register rows. Day
+    buckets are tz-free integer datediffs (the windowed_events lesson);
+    output pins n_regs/n_zero/z_scaled (integers) + est_raw (one
+    division) — `est`'s ln correction is excluded, as in hll_distinct."""
+    e = _t(spark, sf_dir, "events").select(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("day"),
+        "user_id",
+    )
+    out = sketch.hll_rolling(e, "user_id", "day", window=7, p=6)
+    return out.select("day", "n_regs", "n_zero", "z_scaled", "est_raw")
+
+
+def _hll_rolling_sql(p: int = 6, window: int = 7) -> str:
+    m = 1 << p
+    q = 60 - p
+    s = 1 << (q + 1)
+    c = sketch._hll_alpha(m) * float(m) * float(m) * float(s)
+    return (
+        "WITH e AS (SELECT CAST(date_diff('day', DATE '1970-01-01', "
+        "CAST(ts AS DATE)) AS BIGINT) AS day, user_id FROM events), "
+        "h AS (SELECT day, "
+        "(('0x' || substr(md5(user_id::VARCHAR || ':0'), 1, 15))::BIGINT) AS h "
+        "FROM e), "
+        f"b AS (SELECT day, (h >> {q}) AS reg_idx, "
+        f"(h & ((1::BIGINT << {q}) - 1)) AS w FROM h), "
+        "daily AS (SELECT day, reg_idx, "
+        f"max(CASE WHEN w = 0 THEN {q + 1} ELSE {q + 1} - length(bin(w)) END) "
+        "AS r FROM b GROUP BY day, reg_idx), "
+        "t AS (SELECT tt.t AS day, reg_idx, r FROM daily, "
+        f"LATERAL unnest(generate_series(day, day + {window - 1})) tt(t)), "
+        "merged AS (SELECT day, reg_idx, max(r) AS r FROM t GROUP BY day, reg_idx), "
+        "obs AS (SELECT DISTINCT day FROM e), "
+        "a AS (SELECT m.day, CAST(count(*) AS BIGINT) AS n_regs, "
+        f"CAST(sum((1::BIGINT << ({q + 1} - r))) AS BIGINT) AS zp "
+        "FROM merged m JOIN obs USING (day) GROUP BY m.day) "
+        f"SELECT day, n_regs, CAST({m} - n_regs AS BIGINT) AS n_zero, "
+        f"CAST(zp + ({m} - n_regs) * (1::BIGINT << {q + 1}) AS BIGINT) AS z_scaled, "
+        f"{c!r} / CAST(zp + ({m} - n_regs) * (1::BIGINT << {q + 1}) AS DOUBLE) "
+        "AS est_raw FROM a"
+    )
+
+
 # ---- wave 42: spatial k-anonymity coarsening, SQ8 scalar quantization ----
 
 
@@ -6767,6 +6870,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 42
         "k_anon_cells": _q_k_anon,
         "sq_adc_topk": _q_sq_topk,
+        # wave 43
+        "line_cover": _q_line_cover,
+        "hll_rolling_daily": _q_hll_rolling,
     }
 
 
@@ -7947,6 +8053,9 @@ def oracle_sql() -> dict[str, str]:
     # wave-42 oracles
     sqls["k_anon_cells"] = _k_anon_sql(25)
     sqls["sq_adc_topk"] = _SQ_TOPK_SQL
+    # wave-43 oracles
+    sqls["line_cover"] = _line_cover_sql(5)
+    sqls["hll_rolling_daily"] = _hll_rolling_sql(6, 7)
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

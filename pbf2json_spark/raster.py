@@ -171,3 +171,93 @@ def _sql_spread(v: str) -> str:
     for shift, mask in cells._MASKS:
         e = f"((({e}) | (({e}) << {shift})) & {mask})"
     return e
+
+
+def line_cells(
+    df: DataFrame,
+    res: int,
+    lat0_col: str = "lat0",
+    lon0_col: str = "lon0",
+    lat1_col: str = "lat1",
+    lon1_col: str = "lon1",
+) -> DataFrame:
+    """Cells crossed by the segment between two points' cell CENTERS — the
+    column-walk supercover: for every x column the segment enters, the
+    contiguous row span the segment covers there. The coverage primitive
+    endpoint sampling gets wrong: a movement segment between two pings
+    skips every intermediate cell unless the path itself is rasterized
+    (corridor queries, trajectory heat maps, road-cell load).
+
+    Exact integer arithmetic end to end: coordinates are doubled so cell
+    centers are odd integers (X = 2x+1); the row at an intra-column
+    boundary x is floor((YA·DX + (x−XA)·DY) / (2·DX)) with the smaller-X
+    endpoint as (XA, YA), so DX > 0 and every quantity is a positive
+    int64 (res ≤ 26 ⇒ products < 2^55) — floor = integer division,
+    bit-identical in any engine; the DuckDB oracle repeats the same ops.
+    Vertical segments (DX = 0) emit the single column's row span.
+
+    Pure Column: ONE sequence-explode over columns + ONE over rows —
+    stays in codegen, no Python; output size = the supercover size
+    (O(path length in cells), bounded by the grid at `res`).
+
+    Output: the input columns + (cell long) — one row per covered cell,
+    cells within one segment distinct by construction (column walk emits
+    each (column, row) once).
+    """
+    x0, y0 = cells.xy_cols(F.col(lat0_col), F.col(lon0_col), res)
+    x1, y1 = cells.xy_cols(F.col(lat1_col), F.col(lon1_col), res)
+    d = (
+        df.withColumn("_gx0", x0).withColumn("_gy0", y0)
+        .withColumn("_gx1", x1).withColumn("_gy1", y1)
+    )
+    # normalize: (XA, YA) is the endpoint with the smaller x (DX >= 0)
+    d = d.withColumn(
+        "_XA",
+        F.when(F.col("_gx0") <= F.col("_gx1"), 2 * F.col("_gx0") + 1)
+        .otherwise(2 * F.col("_gx1") + 1),
+    ).withColumn(
+        "_YA",
+        F.when(F.col("_gx0") <= F.col("_gx1"), 2 * F.col("_gy0") + 1)
+        .otherwise(2 * F.col("_gy1") + 1),
+    ).withColumn(
+        "_YB",
+        F.when(F.col("_gx0") <= F.col("_gx1"), 2 * F.col("_gy1") + 1)
+        .otherwise(2 * F.col("_gy0") + 1),
+    ).withColumn(
+        "_DX", F.abs(F.col("_gx1") - F.col("_gx0")) * 2
+    ).withColumn("_DY", F.col("_YB") - F.col("_YA"))
+    col_seq = F.sequence(
+        F.least("_gx0", "_gx1"), F.greatest("_gx0", "_gx1")
+    )
+    d = d.withColumn("_c", F.explode(col_seq))
+    # x range of the segment inside column _c (doubled coords)
+    xa = F.greatest(2 * F.col("_c"), F.col("_XA"))
+    xb = F.least(2 * F.col("_c") + 2, F.col("_XA") + F.col("_DX"))
+    # rows at the two column boundaries; vertical lines span the y range.
+    # Integer DIV, never float floor: numerators reach 2^54 (> the 2^53
+    # double-exact range at res 26); every quantity is positive so
+    # truncating DIV == floor.
+    d = (
+        d.withColumn(
+            "_na",
+            F.col("_YA") * F.col("_DX") + (xa - F.col("_XA")) * F.col("_DY"),
+        )
+        .withColumn(
+            "_nb",
+            F.col("_YA") * F.col("_DX") + (xb - F.col("_XA")) * F.col("_DY"),
+        )
+    )
+    ra = F.when(F.col("_DX") == 0, F.least("_gy0", "_gy1")).otherwise(
+        F.expr("_na DIV (2 * _DX)")
+    )
+    rb = F.when(F.col("_DX") == 0, F.greatest("_gy0", "_gy1")).otherwise(
+        F.expr("_nb DIV (2 * _DX)")
+    )
+    d = d.withColumn("_r", F.explode(F.sequence(F.least(ra, rb), F.greatest(ra, rb))))
+    out = d.withColumn(
+        "cell", _cell_from_xy_col(F.col("_c").cast("long"), F.col("_r").cast("long"), res)
+    )
+    return out.drop(
+        "_gx0", "_gy0", "_gx1", "_gy1", "_XA", "_YA", "_YB", "_DX", "_DY",
+        "_na", "_nb", "_c", "_r",
+    )

@@ -458,3 +458,48 @@ def hll_estimate(
         F.when((F.col("n_zero") > 0) & (F.col("est_raw") <= 2.5 * m), lc)
         .otherwise(F.col("est_raw")),
     )
+
+
+def hll_rolling(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    window: int,
+    p: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """Trailing-window distinct estimate per time bucket — the DAU/WAU
+    metric computed the way a 10^12-row corpus must: build ONE register
+    table per bucket (hll_build keyed by the bucket), then roll it
+    forward by exploding each bucket's registers into the `window`
+    buckets they contribute to and max-merging — the HLL monoid applied
+    as sketch algebra. The raw keys are touched exactly once; every
+    window after that is register arithmetic (≤ 2^p rows per bucket),
+    where the exact computation would re-scan `window` days of keys per
+    output day.
+
+    Buckets are integers (e.g. epoch days); output rows are restricted
+    to buckets that exist in the data (a trailing window over a gap
+    still sees the earlier bucket's keys — standard trailing semantics).
+
+    Output: (bucket, n_regs, n_zero, z_scaled, est_raw, est) — see
+    hll_estimate for the exact-integer z_scaled / one-division est_raw
+    portability contract.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    daily = hll_build(df, key_col, [bucket_col], p=p, seed=seed)
+    targets = daily.select(
+        F.explode(
+            F.sequence(F.col(bucket_col), F.col(bucket_col) + (window - 1))
+        ).alias(bucket_col),
+        "reg_idx",
+        "r",
+    )
+    merged = targets.groupBy(bucket_col, "reg_idx").agg(F.max("r").alias("r"))
+    observed = df.select(bucket_col).distinct()
+    est = hll_estimate(
+        merged.join(observed, bucket_col, "left_semi"), p=p,
+        group_cols=[bucket_col],
+    )
+    return est
