@@ -4763,6 +4763,41 @@ _HEADING_SQL = (
 )
 
 
+# ---- wave 44: trimmed robust stats, greedy k-center coreset ----
+
+
+def _q_trimmed_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language trimmed doc-length statistics (stats.trimmed_stats,
+    10–90% band): band edges are the exact interpolating percentile (the
+    host_median_len precedent), kept values are the original integers so
+    n/sum are order-independent exact and the mean is one division."""
+    d = _t(spark, sf_dir, "documents")
+    return stats.trimmed_stats(d, "n_chars", ["lang"])
+
+
+_TRIMMED_SQL = (
+    "WITH b AS (SELECT lang, quantile_cont(n_chars, 0.1) AS q_lo, "
+    "quantile_cont(n_chars, 0.9) AS q_hi FROM documents GROUP BY lang), "
+    "k AS (SELECT d.lang, d.n_chars, b.q_lo, b.q_hi FROM documents d "
+    "JOIN b USING (lang) WHERE d.n_chars >= b.q_lo AND d.n_chars <= b.q_hi) "
+    "SELECT lang, min(q_lo) AS q_lo, min(q_hi) AS q_hi, "
+    "CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_kept, "
+    "CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS trimmed_mean "
+    "FROM k GROUP BY lang"
+)
+
+
+def _q_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embeddings (ann.kcenter_select,
+    k=8): farthest-point landmark selection — geometric space coverage,
+    the complement of mmr_picks' per-group score/diversity trade.
+    Sequential greedy (k rounds, each one max-agg + a one-row collect) ⇒
+    NO SQL oracle; correctness is test_wave44's brute compare + the
+    non-increasing covering-radius law."""
+    e = _t(spark, sf_dir, "embeddings")
+    return ann.kcenter_select(e, k=8)
+
+
 # ---- wave 43: grid line supercover, rolling-window HLL ----
 
 
@@ -6873,6 +6908,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 43
         "line_cover": _q_line_cover,
         "hll_rolling_daily": _q_hll_rolling,
+        # wave 44 (kcenter is pytest-only: sequential greedy)
+        "trimmed_len": _q_trimmed_len,
+        "kcenter_picks": _q_kcenter,
     }
 
 
@@ -8056,6 +8094,8 @@ def oracle_sql() -> dict[str, str]:
     # wave-43 oracles
     sqls["line_cover"] = _line_cover_sql(5)
     sqls["hll_rolling_daily"] = _hll_rolling_sql(6, 7)
+    # wave-44 oracle (kcenter_picks: none by design — sequential greedy)
+    sqls["trimmed_len"] = _TRIMMED_SQL
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

@@ -637,3 +637,75 @@ def sq_topk(
         ),
     ).filter(F.col("rank") <= k)
     return ranked.select(query_id, id_col, "code_sum", "adc_score", "rank")
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center / farthest-point coreset: repeatedly pick the point
+    FARTHEST from everything picked so far (max over points of min
+    squared distance to the picked set). The geometric-coverage
+    complement of mmr_select: MMR trades a relevance score against
+    diversity per group; k-center covers the whole embedding space —
+    every point ends within the final covering radius of some pick (the
+    classic 2-approximation to optimal k-center), which is what coreset/
+    landmark selection for training-data curation wants.
+
+    Honest distributed shape: greedy k-center is INHERENTLY k rounds —
+    each round is one full-scan max-aggregate over a maintained
+    min-distance column plus a one-row driver collect (the bounded
+    metadata-scale collect of the ivf_train idiom), then a pure-Column
+    update mind = least(mind, dist-to-new-pick) against the picked
+    vector as a LITERAL array. k scans of the corpus is the true cost of
+    the exact algorithm (k is small — a coreset, not a partition);
+    localCheckpoint every round keeps the lineage flat. Deterministic:
+    round 1 picks the smallest id; ties break on (distance desc, id asc).
+
+    Sequential greedy ⇒ NO SQL oracle (the mmr/isotonic precedent);
+    pytest proves it against a brute reference plus the non-increasing
+    covering-radius law.
+
+    Output: (pick_rank long, id, dist double — the max-min distance at
+    selection time; dist of rank 1 is infinity's stand-in -1.0).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    base = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).localCheckpoint()
+    first = base.orderBy(id_col).limit(1).collect()
+    if not first:
+        return base.sparkSession.createDataFrame(
+            [], f"pick_rank long, {id_col} long, dist double"
+        )
+    picks = [(1, first[0][id_col], -1.0)]
+    cur = base.withColumn("_mind", F.lit(float("inf")))
+    pv = first[0]["_v"]
+
+    def _d2(vec_lit: list[float]) -> Column:
+        lit = F.array(*[F.lit(float(x)) for x in vec_lit])
+        return F.aggregate(
+            F.zip_with(F.col("_v"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    for r in range(2, k + 1):
+        cur = cur.withColumn("_mind", F.least(F.col("_mind"), _d2(pv)))
+        cur = cur.localCheckpoint()
+        far = (
+            cur.filter(~F.col(id_col).isin([p[1] for p in picks]))
+            .orderBy(F.desc("_mind"), F.col(id_col))
+            .limit(1)
+            .collect()
+        )
+        if not far:
+            break
+        picks.append((r, far[0][id_col], float(far[0]["_mind"])))
+        pv = far[0]["_v"]
+    return base.sparkSession.createDataFrame(
+        picks, f"pick_rank long, {id_col} long, dist double"
+    )

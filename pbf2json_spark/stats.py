@@ -741,3 +741,58 @@ def cube_counts(
         aggs.append(F.sum(weight_col).alias("w_sum"))
     flags = [F.grouping(d).cast("long").alias(f"g_{d}") for d in dims]
     return df.cube(*dims).agg(*flags, *aggs)
+
+
+def trimmed_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    lo: float = 0.1,
+    hi: float = 0.9,
+) -> DataFrame:
+    """Per-group trimmed robust statistics: mean/extremes of the values
+    strictly INSIDE the [lo, hi] quantile band — the outlier-immune
+    center a mean-of-everything gets wrong on heavy-tailed web data (one
+    1 GB page, one thousand empty ones) and a median alone under-uses.
+
+    Exactness contract: the band edges come from the EXACT interpolating
+    percentile (F.percentile — the host_median_len precedent: DuckDB's
+    quantile_cont interpolates identically on integer inputs); kept
+    values are the original INTEGER values, so n_kept / sum_kept are
+    order-independent exact and trimmed_mean is ONE division —
+    bit-identical in any IEEE engine. (A winsorized mean would sum
+    interpolated FLOAT clamps — summation-order dependent — so this
+    operator trims; winsorize at the caller on top of the returned
+    bounds if approximate is acceptable.)
+
+    Shape at 10^12 rows: one percentile aggregate per group + one
+    broadcastable (group, bounds) join back + one filtered sum groupBy —
+    two map-side-combinable exchanges, values never materialize sorted.
+
+    Output: group_cols + (q_lo, q_hi double, n_kept, sum_kept long,
+    trimmed_mean double).
+    """
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError("need 0 <= lo < hi <= 1")
+    gs = list(group_cols or [])
+    v = F.col(value_col)
+    bounds = df.groupBy(*gs).agg(
+        F.expr(f"percentile({value_col}, {lo!r})").alias("q_lo"),
+        F.expr(f"percentile({value_col}, {hi!r})").alias("q_hi"),
+    )
+    joined = (
+        df.join(F.broadcast(bounds), gs)
+        if gs
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    kept = joined.filter((v >= F.col("q_lo")) & (v <= F.col("q_hi")))
+    agg = kept.groupBy(*gs).agg(
+        F.first("q_lo").alias("q_lo"),
+        F.first("q_hi").alias("q_hi"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(v.cast("long")).alias("sum_kept"),
+    )
+    return agg.withColumn(
+        "trimmed_mean",
+        F.col("sum_kept").cast("double") / F.col("n_kept").cast("double"),
+    )
