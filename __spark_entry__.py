@@ -4763,6 +4763,43 @@ _HEADING_SQL = (
 )
 
 
+# ---- wave 45: blocklist dictionary screen, IDN homograph decode ----
+
+
+_BLOCKLIST_TERMS = ["merge", "batch", "merge join", "slow", "window"]
+
+
+def _q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary screen over documents (textops.blocklist_screen): one
+    longest-first word-boundary alternation regex, JVM scan-stage —
+    per-(doc, term) hit counts. The multiword term exercises the
+    longest-first discipline (\"merge join\" must beat \"merge\" in both
+    engines: Java first-alternative == RE2 leftmost-longest only under
+    that ordering)."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.blocklist_screen(d, _BLOCKLIST_TERMS)
+
+
+def _q_idn_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDN/punycode homograph decode (weburl.idn_decode) over hosts
+    synthesized deterministically per doc_id — a Latin-only IDN, a pure
+    ASCII host, a mixed-script Cyrillic homograph, and an invalid
+    punycode label exercise all four flag combinations. The IDNA/
+    nameprep tables live in the Python runtime, not in SQL ⇒ rows-only
+    BY DESIGN; test_wave45 pins the decodes."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, F.lit("xn--bcher-kva.example"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("example.com"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("xn--le-6kc8da.com"))
+        .otherwise(F.lit("xn--!!!.bad")).alias("host"),
+    )
+    out = weburl.idn_decode(d)
+    return out.select(
+        "doc_id", "host", "host_unicode", "is_idn", "decode_ok", "mixed_script"
+    )
+
+
 # ---- wave 44: trimmed robust stats, greedy k-center coreset ----
 
 
@@ -6911,6 +6948,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 44 (kcenter is pytest-only: sequential greedy)
         "trimmed_len": _q_trimmed_len,
         "kcenter_picks": _q_kcenter,
+        # wave 45 (idn_hosts is pytest-only: IDNA tables live in python)
+        "blocklist_hits": _q_blocklist,
+        "idn_hosts": _q_idn_hosts,
     }
 
 
@@ -8096,6 +8136,8 @@ def oracle_sql() -> dict[str, str]:
     sqls["hll_rolling_daily"] = _hll_rolling_sql(6, 7)
     # wave-44 oracle (kcenter_picks: none by design — sequential greedy)
     sqls["trimmed_len"] = _TRIMMED_SQL
+    # wave-45 oracle (idn_hosts: none by design — python IDNA tables)
+    sqls["blocklist_hits"] = textops.blocklist_screen_sql(_BLOCKLIST_TERMS)
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

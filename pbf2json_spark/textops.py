@@ -518,3 +518,68 @@ def benford_profile(
         .agg(F.sum("_term").alias("chi2_e6"))
         .select(*group_cols, "n_numbers", "chi2_e6")
     )
+
+
+def blocklist_screen(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multi-term dictionary screen: per-document hit counts for every
+    term in a broadcast blocklist (slurs/PII keywords/contamination
+    canaries — the curation gate every corpus release runs). The
+    dictionary is compiled DRIVER-SIDE into ONE word-boundary alternation
+    regex, so the scan is a single JVM regexp_extract_all — scan-stage,
+    zero Python, zero joins; the only exchange is the final (doc, term)
+    count groupBy (map-side combinable).
+
+    Portability/determinism: the alternation is sorted LONGEST-FIRST —
+    Java regex takes the first matching alternative, RE2 (DuckDB) the
+    longest, so longest-first makes both engines pick the same term when
+    one term prefixes another ("category" vs "cat"). Matching is on
+    lower(text) with \\b boundaries; overlapping occurrences are counted
+    per non-overlapping scan position (both engines scan left to right,
+    resuming after each match).
+
+    Fits dictionaries up to ~10^4 terms (regex size is the bound); a
+    larger lexicon wants the inverted-index route (corpus.term_search)
+    instead. Output: (id_col, term, n_hits) — docs without hits absent.
+    """
+    import re as _re
+
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    ordered = sorted({t.lower() for t in terms}, key=lambda t: (-len(t), t))
+    pat = r"\b(" + "|".join(_re.escape(t) for t in ordered) + r")\b"
+    hits = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pat), 0)
+        ).alias("term"),
+    )
+    return hits.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+
+
+def blocklist_screen_sql(
+    terms: list[str], table: str = "documents",
+    text_col: str = "text", id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of blocklist_screen — same longest-first alternation,
+    same lower()/boundary semantics (RE2 leftmost-longest == Java
+    first-alternative under the longest-first ordering)."""
+    import re as _re
+
+    ordered = sorted({t.lower() for t in terms}, key=lambda t: (-len(t), t))
+    pat = r"\b(" + "|".join(_re.escape(t) for t in ordered) + r")\b"
+    # DuckDB single-quoted strings keep backslashes literally — only
+    # quotes need escaping
+    pat_sql = pat.replace("'", "''")
+    return (
+        f"WITH h AS (SELECT {id_col}, unnest(regexp_extract_all("
+        f"lower({text_col}), '{pat_sql}')) AS term FROM {table}) "
+        f"SELECT {id_col}, term, CAST(count(*) AS BIGINT) AS n_hits "
+        f"FROM h GROUP BY {id_col}, term"
+    )

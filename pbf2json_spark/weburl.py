@@ -19,6 +19,7 @@ the row count. `host_stats` is the same shape keyed by host.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -810,3 +811,65 @@ def rendezvous_assign(
     return df.withColumn(out, best.getField("shard")).withColumn(
         f"{out}_score", best.getField("s")
     )
+
+
+def idn_decode(df: DataFrame, host_col: str = "host") -> DataFrame:
+    """Punycode/IDN host decoding + homograph screen: xn-- labels decode
+    to their unicode form (stdlib IDNA codec — no external deps) and the
+    decoded host is checked for MIXED SCRIPTS among the confusable
+    alphabets (Latin/Cyrillic/Greek) — the classic homograph attack
+    (аррlе.com with Cyrillic а/р/е) that url_risk's bare `xn--` flag can
+    only point at, not confirm. Runs as ONE Arrow-batched pandas UDF
+    (per-label python codec work is not expressible as Column ops);
+    per-row cost is a few label decodes — scan-stage.
+
+    No SQL oracle (the IDNA/nameprep tables live in the Python runtime,
+    not in any SQL engine) — rows-only by design; pytest pins known
+    homograph vectors and the invalid-punycode error path.
+
+    Output: input columns + (host_unicode string, is_idn bool,
+    decode_ok bool, mixed_script bool).
+    """
+    import unicodedata
+
+    @F.pandas_udf(
+        "struct<host_unicode:string,is_idn:boolean,decode_ok:boolean,"
+        "mixed_script:boolean>"
+    )
+    def _decode(hosts: pd.Series) -> pd.DataFrame:
+        out = {"host_unicode": [], "is_idn": [], "decode_ok": [], "mixed_script": []}
+        for h in hosts:
+            h = h or ""
+            labels = h.split(".")
+            is_idn = any(l.startswith("xn--") for l in labels)
+            ok = True
+            dec = []
+            for l in labels:
+                if l.startswith("xn--"):
+                    try:
+                        dec.append(l.encode("ascii").decode("idna"))
+                    except Exception:
+                        dec.append(l)
+                        ok = False
+                else:
+                    dec.append(l)
+            u = ".".join(dec)
+            scripts = set()
+            for ch in u:
+                if ch.isalpha():
+                    try:
+                        s = unicodedata.name(ch).split()[0]
+                    except ValueError:
+                        continue
+                    if s in ("LATIN", "CYRILLIC", "GREEK"):
+                        scripts.add(s)
+            out["host_unicode"].append(u)
+            out["is_idn"].append(is_idn)
+            out["decode_ok"].append(ok)
+            out["mixed_script"].append(len(scripts) > 1)
+        return pd.DataFrame(out)
+
+    return df.withColumn("_idn", _decode(F.col(host_col))).select(
+        "*", "_idn.host_unicode", "_idn.is_idn", "_idn.decode_ok",
+        "_idn.mixed_script",
+    ).drop("_idn")
