@@ -4763,6 +4763,97 @@ _HEADING_SQL = (
 )
 
 
+# ---- wave 46: contrastive negative sampling, retrieval ranking eval ----
+
+
+def _q_neg_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negatives (sampling.negative_pairs,
+    k=3): per anchor document, 3 md5-derived negatives from a different
+    `source` group via the bucket-offset dense-index bijection — no RNG
+    state, so a re-run/re-partition/another engine reproduces the SAME
+    pairs. All integers — bit-exact oracle."""
+    d = _t(spark, sf_dir, "documents")
+    return sampling.negative_pairs(d, k=3, group_col="source")
+
+
+def _neg_samples_sql(k: int = 3, margin: int = 4, n_buckets: int = 64) -> str:
+    m = k + margin
+    return (
+        "WITH base AS (SELECT doc_id, source FROM documents), "
+        f"bc AS (SELECT doc_id % {n_buckets} AS b, count(*) AS c "
+        "FROM base GROUP BY 1), "
+        "off AS (SELECT b, coalesce(sum(c) OVER (ORDER BY b "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o FROM bc), "
+        "idx AS (SELECT base.doc_id, base.source, o.o + row_number() OVER "
+        f"(PARTITION BY base.doc_id % {n_buckets} ORDER BY base.doc_id) - 1 AS i "
+        f"FROM base JOIN off o ON base.doc_id % {n_buckets} = o.b), "
+        "nt AS (SELECT count(*) AS n FROM base), "
+        "cand AS (SELECT a.doc_id AS a, a.source AS ag, j.j AS j, "
+        "(('0x' || substr(md5(a.doc_id::VARCHAR || ':' || j.j::VARCHAR "
+        "|| ':0'), 1, 15))::BIGINT) % (SELECT n FROM nt) AS ci "
+        f"FROM base a, (SELECT unnest(generate_series(0, {m - 1})) AS j) j), "
+        "joined AS (SELECT c.a, c.ag, c.j, i.doc_id AS neg, i.source AS ng "
+        "FROM cand c JOIN idx i ON c.ci = i.i), "
+        "valid AS (SELECT a, j, neg FROM joined "
+        "WHERE neg <> a AND ng IS DISTINCT FROM ag), "
+        "r AS (SELECT a AS doc_id, neg AS neg_id, CAST(row_number() OVER "
+        "(PARTITION BY a ORDER BY j) AS BIGINT) AS slot FROM valid) "
+        f"SELECT doc_id, neg_id, slot FROM r WHERE slot <= {k}"
+    )
+
+
+def _q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval quality eval (corpus.ranking_eval, k=10) over a
+    deterministic ranked set: results = first 12 docs per (doc_id % 5)
+    query, judgments = docs with doc_id % 7 < 2 at graded rel doc_id % 3.
+    Gate surface = the portable columns (integers + the one-division
+    mrr); ndcg_at_k is advisory (float gain/log2 sums — summation-order
+    dependent) and excluded here, pinned approximately in pytest."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    from pyspark.sql.window import Window
+
+    res = d.select(
+        (F.col("doc_id") % 5).alias("query_id"), "doc_id",
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy("doc_id")
+        ).cast("long"),
+    ).filter(F.col("rank") <= 12)
+    judg = d.filter(F.col("doc_id") % 7 < 2).select(
+        (F.col("doc_id") % 5).alias("query_id"), "doc_id",
+        (F.col("doc_id") % 3).alias("rel"),
+    )
+    out = corpus.ranking_eval(res, judg, k=10)
+    return out.select(
+        "query_id", "n_judged", "n_rel_topk",
+        F.coalesce(F.col("first_rel_rank"), F.lit(0).cast("long")).alias(
+            "first_rel_rank"
+        ),
+        "mrr", "hits_at_k",
+    )
+
+
+_RANK_EVAL_SQL = (
+    "WITH res AS (SELECT doc_id % 5 AS query_id, doc_id, rnk AS rank FROM "
+    "(SELECT doc_id, row_number() OVER (PARTITION BY doc_id % 5 "
+    "ORDER BY doc_id) AS rnk FROM documents) WHERE rnk <= 12), "
+    "judg AS (SELECT doc_id % 5 AS query_id, doc_id, doc_id % 3 AS rel "
+    "FROM documents WHERE doc_id % 7 < 2), "
+    "topk AS (SELECT r.query_id, r.rank, coalesce(j.rel, 0) AS rel "
+    "FROM res r LEFT JOIN judg j ON r.query_id = j.query_id "
+    "AND r.doc_id = j.doc_id WHERE r.rank <= 10) "
+    "SELECT query_id, CAST(count(*) AS BIGINT) AS n_judged, "
+    "CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_topk, "
+    "CAST(coalesce(min(CASE WHEN rel > 0 THEN rank END), 0) AS BIGINT) "
+    "AS first_rel_rank, "
+    "CASE WHEN min(CASE WHEN rel > 0 THEN rank END) IS NULL THEN 0.0 "
+    "ELSE 1.0 / CAST(min(CASE WHEN rel > 0 THEN rank END) AS DOUBLE) END AS mrr, "
+    "CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_k "
+    "FROM topk GROUP BY query_id"
+)
+
+
 # ---- wave 45: blocklist dictionary screen, IDN homograph decode ----
 
 
@@ -6951,6 +7042,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 45 (idn_hosts is pytest-only: IDNA tables live in python)
         "blocklist_hits": _q_blocklist,
         "idn_hosts": _q_idn_hosts,
+        # wave 46
+        "neg_samples": _q_neg_samples,
+        "rank_eval": _q_rank_eval,
     }
 
 
@@ -8138,6 +8232,9 @@ def oracle_sql() -> dict[str, str]:
     sqls["trimmed_len"] = _TRIMMED_SQL
     # wave-45 oracle (idn_hosts: none by design — python IDNA tables)
     sqls["blocklist_hits"] = textops.blocklist_screen_sql(_BLOCKLIST_TERMS)
+    # wave-46 oracles
+    sqls["neg_samples"] = _neg_samples_sql(3)
+    sqls["rank_eval"] = _RANK_EVAL_SQL
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

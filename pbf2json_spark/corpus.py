@@ -1011,3 +1011,89 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "step long, a string, b string, pair_count long"
     )
+
+
+def ranking_eval(
+    results: DataFrame,
+    judgments: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    doc_id: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Per-query retrieval quality: MRR, hits@k, nDCG@k — the evaluation
+    harness for the bm25_rank / rrf_fuse / ANN family (a ranker without
+    an eval loop is untestable at corpus scale). One left join of
+    results onto judgments + one per-query aggregate; judgment lists are
+    the small side (broadcast).
+
+    Portability contract: n_rel / first_rel_rank / hits_at_k are
+    integers and mrr is ONE division (1/first_rel_rank — exact-rounded,
+    bit-identical in any IEEE engine). ndcg_at_k is ADVISORY: its
+    gain/log2 sum is float summation-order dependent across engines —
+    exact-oracle queries compare the integer columns + mrr and treat
+    ndcg as informative (the est/est_raw split of hll_estimate).
+
+    Queries with no relevant result in the top-k emit first_rel_rank
+    NULL and mrr 0.0 (the standard convention).
+
+    Output: (query_id, n_judged, n_rel_topk, first_rel_rank, mrr,
+    hits_at_k, ndcg_at_k).
+    """
+    j = F.broadcast(
+        judgments.select(
+            F.col(query_id), F.col(doc_id), F.col(rel_col).cast("long").alias("_rel")
+        )
+    )
+    r = results.select(query_id, doc_id, F.col(rank_col).cast("long").alias("_rk"))
+    joined = r.join(j, [query_id, doc_id], "left").withColumn(
+        "_rel", F.coalesce(F.col("_rel"), F.lit(0).cast("long"))
+    )
+    topk = joined.filter(F.col("_rk") <= k)
+    gain = (F.pow(F.lit(2.0), F.col("_rel").cast("double")) - 1.0) / F.log2(
+        F.col("_rk").cast("double") + 1.0
+    )
+    per_q = topk.groupBy(query_id).agg(
+        F.count(F.lit(1)).alias("n_judged"),
+        F.sum((F.col("_rel") > 0).cast("long")).alias("n_rel_topk"),
+        F.min(F.when(F.col("_rel") > 0, F.col("_rk"))).alias("first_rel_rank"),
+        F.sum((F.col("_rel") > 0).cast("long") * (F.col("_rk") <= k).cast("long")).alias("hits_at_k"),
+        F.sum(F.when(F.col("_rel") > 0, gain).otherwise(F.lit(0.0))).alias("_dcg"),
+    )
+    # ideal DCG from the query's judged relevances, best-first
+    ideal = (
+        j.groupBy(query_id)
+        .agg(F.sort_array(F.collect_list("_rel"), asc=False).alias("_rels"))
+        .select(
+            query_id,
+            F.aggregate(
+                F.zip_with(
+                    F.slice("_rels", 1, k),
+                    F.sequence(F.lit(1), F.least(F.size("_rels"), F.lit(k))),
+                    lambda rel, i: (
+                        (F.pow(F.lit(2.0), rel.cast("double")) - 1.0)
+                        / F.log2(i.cast("double") + 1.0)
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("_idcg"),
+        )
+    )
+    out = per_q.join(ideal, query_id, "left").select(
+        query_id,
+        "n_judged",
+        "n_rel_topk",
+        "first_rel_rank",
+        F.when(
+            F.col("first_rel_rank").isNotNull(),
+            F.lit(1.0) / F.col("first_rel_rank").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("mrr"),
+        F.col("hits_at_k").cast("long").alias("hits_at_k"),
+        F.when(
+            F.coalesce(F.col("_idcg"), F.lit(0.0)) > 0.0,
+            F.col("_dcg") / F.col("_idcg"),
+        ).otherwise(F.lit(0.0)).alias("ndcg_at_k"),
+    )
+    return out

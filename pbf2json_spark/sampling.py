@@ -246,3 +246,97 @@ def train_val_test_split(
         .when(h < t2, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def negative_pairs(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    seed: int = 0,
+    margin: int = 4,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic contrastive negative sampling: for every anchor row,
+    up to `k` pseudo-random OTHER rows (optionally required to come from
+    a different `group_col` — the anchor's dedup cluster / positive set).
+    The pair-generation primitive contrastive/embedding training needs at
+    corpus scale, built so a re-run, a re-partition, or another engine
+    reproduces the SAME pairs (md5-derived candidate indices — no RNG
+    state, the stratified_sample discipline).
+
+    Shape at 10^12 rows: sampling by index needs a bijection id → [0, N).
+    A single global row_number is a one-partition sort — instead the
+    index is the two-phase BUCKET-OFFSET form: bucket = id mod B, rank
+    within bucket (ordered by id, a B-way parallel window), plus the
+    bucket's cumulative offset from a B-row driver-side census (bounded
+    metadata collect). Any bijection serves sampling; this one is
+    engine-reproducible. Candidates = hash(anchor, slot) mod N → index
+    equi-join; self/same-group candidates are filtered and the first k
+    surviving slots kept (margin extra slots absorb the filtered ones —
+    an anchor can emit < k pairs when unlucky; deterministic either way).
+
+    Output: (anchor id, neg id, slot long — 1-based surviving order).
+    """
+    from .sketch import kmv_hash
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    gs = [group_col] if group_col else []
+    base = df.select(F.col(id_col), *[F.col(c) for c in gs])
+    buckets = (
+        base.groupBy((F.col(id_col) % n_buckets).alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy("_b")
+        .collect()
+    )
+    n_total = sum(r["_c"] for r in buckets)
+    offsets = {}
+    acc = 0
+    for r in buckets:
+        offsets[r["_b"]] = acc
+        acc += r["_c"]
+    off_map = F.create_map(
+        *[F.lit(x) for b, o in sorted(offsets.items()) for x in (b, o)]
+    )
+    w = Window.partitionBy(F.col(id_col) % n_buckets).orderBy(id_col)
+    indexed = base.withColumn(
+        "_idx",
+        off_map[F.col(id_col) % n_buckets] + F.row_number().over(w) - 1,
+    )
+    m = k + margin
+    cand = indexed.select(
+        F.col(id_col).alias("_a"),
+        *[F.col(c).alias(f"_ag_{c}") for c in gs],
+        F.explode(F.array(*[F.lit(j) for j in range(m)])).alias("_j"),
+    ).withColumn(
+        "_cidx",
+        kmv_hash(
+            F.concat(F.col("_a").cast("string"), F.lit(":"), F.col("_j").cast("string")),
+            seed,
+        )
+        % n_total,
+    )
+    joined = cand.join(
+        indexed.select(
+            F.col("_idx").alias("_cidx"),
+            F.col(id_col).alias("_neg"),
+            *[F.col(c).alias(f"_ng_{c}") for c in gs],
+        ),
+        "_cidx",
+    )
+    valid = joined.filter(F.col("_neg") != F.col("_a"))
+    for c in gs:
+        valid = valid.filter(
+            ~F.col(f"_ag_{c}").eqNullSafe(F.col(f"_ng_{c}"))
+        )
+    ws = Window.partitionBy("_a").orderBy("_j")
+    return (
+        valid.withColumn("slot", F.row_number().over(ws))
+        .filter(F.col("slot") <= k)
+        .select(
+            F.col("_a").alias(id_col),
+            F.col("_neg").alias("neg_id"),
+            F.col("slot").cast("long").alias("slot"),
+        )
+    )
