@@ -4763,6 +4763,43 @@ _HEADING_SQL = (
 )
 
 
+# ---- wave 47: distributed PCA, calibration bins ----
+
+
+def _q_pca_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA front end for the ANN family (ann.pca_train k=4 +
+    pca_project): Arrow-batch moment partials + driver eigh, projection
+    as k pure-Column literal folds. Driver-side float eigendecomposition
+    is deterministic only up to combine-order ulp ⇒ NO SQL oracle
+    (rows-only); test_wave47 pins components against numpy to 1e-8."""
+    e = _t(spark, sf_dir, "embeddings")
+    mean, comps, _ = ann.pca_train(e, k=4)
+    return ann.pca_project(e, mean, comps).select("vec_id", "pca")
+
+
+def _q_calib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability bins (stats.calibration_bins, 10 bins) for a
+    deterministic score/label pair derived from doc_id — integer counts,
+    one-division pos_rate, and the score mass as round(score·1e6) int64
+    (the rasterize quantization discipline)."""
+    d = _t(spark, sf_dir, "documents").select(
+        ((F.col("doc_id") * 37 % 101).cast("double") / 101.0).alias("score"),
+        (F.col("doc_id") * 53 % 97 < 40).cast("int").alias("label"),
+    )
+    return stats.calibration_bins(d, "score", "label", 10)
+
+
+_CALIB_SQL = (
+    "WITH s AS (SELECT CAST(doc_id * 37 % 101 AS DOUBLE) / 101.0 AS score, "
+    "CASE WHEN doc_id * 53 % 97 < 40 THEN 1 ELSE 0 END AS y FROM documents), "
+    "b AS (SELECT least(9, CAST(floor(score * 10) AS INTEGER)) AS bin, y, "
+    "CAST(round(score * 1000000) AS BIGINT) AS se6 FROM s) "
+    "SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos, "
+    "CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate, "
+    "CAST(sum(se6) AS BIGINT) AS score_sum_e6 FROM b GROUP BY bin"
+)
+
+
 # ---- wave 46: contrastive negative sampling, retrieval ranking eval ----
 
 
@@ -7045,6 +7082,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 46
         "neg_samples": _q_neg_samples,
         "rank_eval": _q_rank_eval,
+        # wave 47 (pca_embed is pytest-only: driver-side float eigh)
+        "calib_bins": _q_calib,
+        "pca_embed": _q_pca_embed,
     }
 
 
@@ -8235,6 +8275,8 @@ def oracle_sql() -> dict[str, str]:
     # wave-46 oracles
     sqls["neg_samples"] = _neg_samples_sql(3)
     sqls["rank_eval"] = _RANK_EVAL_SQL
+    # wave-47 oracle (pca_embed: none by design — driver-side float eigh)
+    sqls["calib_bins"] = _CALIB_SQL
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

@@ -709,3 +709,106 @@ def kcenter_select(
     return base.sparkSession.createDataFrame(
         picks, f"pick_rank long, {id_col} long, dist double"
     )
+
+
+def pca_train(
+    df: DataFrame, k: int, vec_col: str = "embedding"
+) -> tuple[list[float], list[list[float]], list[float]]:
+    """Distributed PCA training over an embedding column: each Arrow
+    batch contributes the sufficient statistics (n, Σx, Σxxᵀ) via
+    mapInPandas — one numpy outer-product matmul per batch, d²+d doubles
+    per partial — and the d×d eigendecomposition runs driver-side on the
+    combined moments (d ≤ a few hundred: the classic "covariance fits on
+    the driver, data does not" regime; at 10^12 rows the shuffle carries
+    only the partials). The dimensionality-reduction front end the ANN
+    family wants: project to k dims, then LSH/IVF/SQ index the projection.
+
+    Determinism: eigenvector signs are normalized (largest-|coordinate|
+    positive); eigenvalues/vectors are deterministic up to float ulp of
+    the partial-sum combine order — train is NOT bit-reproducible across
+    partitionings (documented; tests compare against numpy with
+    tolerance, the gate query is rows-only).
+
+    Returns (mean[d], components[k][d] — descending eigenvalue order,
+    explained_variance[k])."""
+    import pyspark.sql.types as _T
+
+    d_probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if d_probe is None:
+        raise ValueError("pca_train: empty frame")
+    dim = int(d_probe["d"])
+
+    schema = _T.StructType(
+        [
+            _T.StructField("n", _T.LongType()),
+            _T.StructField("s", _T.ArrayType(_T.DoubleType())),
+            _T.StructField("ss", _T.ArrayType(_T.DoubleType())),
+        ]
+    )
+
+    def _moments(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.asarray(pdf.iloc[:, 0].tolist(), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [int(mat.shape[0])],
+                    "s": [mat.sum(axis=0).tolist()],
+                    "ss": [(mat.T @ mat).ravel().tolist()],
+                }
+            )
+
+    parts = (
+        df.select(F.col(vec_col).cast("array<double>"))
+        .mapInPandas(_moments, schema)
+        .collect()
+    )
+    n = sum(p["n"] for p in parts)
+    s = np.zeros(dim)
+    ss = np.zeros((dim, dim))
+    for p in parts:
+        s += np.asarray(p["s"])
+        ss += np.asarray(p["ss"]).reshape(dim, dim)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(w)[::-1][:k]
+    comps = []
+    evs = []
+    for idx in order:
+        c = v[:, idx]
+        j = int(np.argmax(np.abs(c)))
+        if c[j] < 0:
+            c = -c
+        comps.append(c.tolist())
+        evs.append(float(w[idx]))
+    return mean.tolist(), comps, evs
+
+
+def pca_project(
+    df: DataFrame,
+    mean: list[float],
+    components: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project vectors onto trained components — pure Column: per
+    component one zip_with/aggregate fold against LITERAL (mean,
+    component) arrays; k folds, zero Python, zero shuffle (scan-stage,
+    the sq_encode discipline)."""
+    mu = F.array(*[F.lit(float(x)) for x in mean])
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"), mu, lambda a, b: a - b
+    )
+    dots = []
+    for comp in components:
+        c = F.array(*[F.lit(float(x)) for x in comp])
+        dots.append(
+            F.aggregate(
+                F.zip_with(centered, c, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return df.withColumn(out_col, F.array(*dots))

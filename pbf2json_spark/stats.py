@@ -796,3 +796,51 @@ def trimmed_stats(
         "trimmed_mean",
         F.col("sum_kept").cast("double") / F.col("n_kept").cast("double"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram bins for a [0,1] score against a binary
+    outcome — the calibration check every learned quality/risk scorer
+    needs before its threshold gates a corpus (a scorer that says 0.9
+    and is right 60% of the time silently biases the whole release).
+
+    Exactness contract: bin membership is floor(score·n_bins) clamped to
+    the top bin; counts are integers, pos_rate is ONE division, and the
+    per-bin score mass crosses the shuffle as round(score·1e6) int64
+    (float sums are order-dependent, integer sums are not — the
+    rasterize quantization discipline). ONE map-side-combinable groupBy.
+
+    Output: (bin int, n long, n_pos long, pos_rate double,
+    score_sum_e6 long).
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    s = F.col(score_col).cast("double")
+    b = F.least(
+        F.lit(n_bins - 1), F.floor(s * n_bins).cast("int")
+    ).alias("bin")
+    agg = (
+        df.select(
+            b,
+            (F.col(label_col).cast("long") > 0).cast("long").alias("_y"),
+            F.round(s * 1_000_000).cast("long").alias("_se6"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_y").alias("n_pos"),
+            F.sum("_se6").alias("score_sum_e6"),
+        )
+    )
+    return agg.select(
+        "bin", "n", "n_pos",
+        (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+            "pos_rate"
+        ),
+        "score_sum_e6",
+    )
