@@ -4763,6 +4763,79 @@ _HEADING_SQL = (
 )
 
 
+# ---- wave 48: raster distance transform, exact AUC ----
+
+
+def _q_dist_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped Chebyshev distance transform (raster.distance_transform,
+    res 5, max_d 4): per customer cell, the grid distance to the nearest
+    supplier cell — computed by the iterative wavefront (frontier-sized
+    work per round), verified against the oracle's CLOSED FORM (min over
+    seeds of wrap-aware max(|dx|,|dy|), capped) — the wavefront and the
+    closed form must agree exactly, all integers."""
+    res = 5
+    sup = _queries_supplier(spark, sf_dir).select(
+        cells.cell_col(F.col("lat"), F.col("lon"), res).alias("cell")
+    )
+    cust = _points_customer(spark, sf_dir).select(
+        cells.cell_col(F.col("lat"), F.col("lon"), res).alias("cell")
+    )
+    return raster.distance_transform(sup, cust, max_d=4, res=res)
+
+
+def _dist_transform_sql(res: int = 5, max_d: int = 4) -> str:
+    n = 1 << res
+    qx, qy = _sql_cell_xy("lat", "lon", res)
+    sx, sy = _sql_cell_xy("qlat", "qlon", res)
+    spread_x = raster._sql_spread("x")
+    spread_y = raster._sql_spread("y")
+    return (
+        f"WITH pts AS ({_PTS_SQL}), "
+        "sup AS (SELECT "
+        "(s_suppkey * 131 % 16000) / CAST(100.0 AS DOUBLE) - CAST(80.0 AS DOUBLE) AS qlat, "
+        "(s_suppkey * 257 % 34000) / CAST(100.0 AS DOUBLE) - CAST(170.0 AS DOUBLE) AS qlon "
+        "FROM supplier), "
+        f"qc AS (SELECT DISTINCT {qx} AS x, {qy} AS y FROM pts), "
+        f"sc AS (SELECT DISTINCT {sx} AS x, {sy} AS y FROM sup), "
+        "d AS (SELECT qc.x, qc.y, min(greatest("
+        f"least(abs(qc.x - sc.x), {n} - abs(qc.x - sc.x)), "
+        "abs(qc.y - sc.y))) AS md FROM qc, sc GROUP BY qc.x, qc.y) "
+        f"SELECT CAST({res << 52} AS BIGINT) | ({spread_x}) | (({spread_y}) << 1) "
+        f"AS cell, CAST(least(md, {max_d + 1}) AS INTEGER) AS dist FROM d"
+    )
+
+
+def _q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language AUC (stats.auc_exact) of a deterministic
+    quantized score against a deterministic label: rank sums stay
+    integer via the distinct-score histogram (never a global row sort);
+    the one division is exact-rounded — bit-identical cross-engine."""
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        ((F.col("doc_id") * 37 % 20).cast("double") / 20.0).alias("score"),
+        (F.col("doc_id") * 53 % 97 < 40).cast("int").alias("y"),
+    )
+    return stats.auc_exact(d, "score", "y", ["lang"])
+
+
+_AUC_SQL = (
+    "WITH s AS (SELECT lang, CAST(doc_id * 37 % 20 AS DOUBLE) / 20.0 AS score, "
+    "CASE WHEN doc_id * 53 % 97 < 40 THEN 1 ELSE 0 END AS y FROM documents), "
+    "h AS (SELECT lang, score, CAST(count(*) AS BIGINT) AS cnt, "
+    "CAST(sum(y) AS BIGINT) AS pos FROM s GROUP BY lang, score), "
+    "r AS (SELECT lang, score, cnt, pos, "
+    "coalesce(sum(cnt) OVER (PARTITION BY lang ORDER BY score "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below FROM h), "
+    "a AS (SELECT lang, CAST(sum(pos) AS BIGINT) AS n_pos, "
+    "CAST(sum(cnt - pos) AS BIGINT) AS n_neg, "
+    "CAST(sum(pos * (2 * below + cnt + 1)) AS BIGINT) AS s2 FROM r GROUP BY lang) "
+    "SELECT lang, n_pos, n_neg, "
+    "CASE WHEN n_pos > 0 AND n_neg > 0 THEN "
+    "CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) "
+    "END AS auc FROM a"
+)
+
+
 # ---- wave 47: distributed PCA, calibration bins ----
 
 
@@ -7085,6 +7158,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 47 (pca_embed is pytest-only: driver-side float eigh)
         "calib_bins": _q_calib,
         "pca_embed": _q_pca_embed,
+        # wave 48
+        "dist_transform": _q_dist_transform,
+        "auc_lang": _q_auc,
     }
 
 
@@ -8277,6 +8353,9 @@ def oracle_sql() -> dict[str, str]:
     sqls["rank_eval"] = _RANK_EVAL_SQL
     # wave-47 oracle (pca_embed: none by design — driver-side float eigh)
     sqls["calib_bins"] = _CALIB_SQL
+    # wave-48 oracles
+    sqls["dist_transform"] = _dist_transform_sql(5, 4)
+    sqls["auc_lang"] = _AUC_SQL
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

@@ -261,3 +261,94 @@ def line_cells(
         "_gx0", "_gy0", "_gx1", "_gy1", "_XA", "_YA", "_YB", "_DX", "_DY",
         "_na", "_nb", "_c", "_r",
     )
+
+
+def distance_transform(
+    seeds: DataFrame,
+    queries: DataFrame,
+    max_d: int,
+    res: int,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Capped Chebyshev distance transform on the cell grid: for every
+    query cell, the grid distance to the nearest seed cell (roads, POIs,
+    coastline), capped at `max_d` — "how far is everything from the
+    nearest X", the raster proximity layer of site selection / exposure
+    scoring.
+
+    Scale shape: an iterative WAVEFRONT expansion — the labeled set
+    starts at the seeds (distance 0) and each round r grows it by the
+    8-neighborhood of the current frontier (one explode ×8 + one anti/min
+    groupBy per round, frontier-sized — never |grid| work), `max_d`
+    bounded rounds with localCheckpoint. The labeled table is then ONE
+    equi-join onto the queries; unreached queries report distance
+    max_d + 1 (the cap sentinel). Compare the per-query disk-explode
+    alternative: (2·max_d+1)² candidate cells per QUERY row — the
+    wavefront pays per reached cell instead and shares it across all
+    queries. All integers; the closed form (min over seeds of
+    max(|dx|,|dy|), lon-wrap aware, capped) gives a bit-exact oracle.
+
+    Output: (cell, dist int) per query cell (distinct on cell).
+    """
+    if max_d < 0:
+        raise ValueError("max_d must be >= 0")
+    s = seeds.select(F.col(cell_col).alias("cell")).distinct()
+    return _distance_transform_impl(s, queries, max_d, res)
+
+
+def _dt_xy(cell: Column) -> tuple[Column, Column]:
+    """Column decode of (x, y) from a cell id (inverse of the spread —
+    the mask ladder run backwards, the geohash-decode lesson applied to
+    Morton: gather via the static 5-step compact chain)."""
+    m = cell.bitwiseAND(F.lit((1 << 52) - 1))
+    def compact(v: Column) -> Column:
+        v = v.bitwiseAND(F.lit(0x5555555555555555))
+        for shift, mask in (
+            (1, 0x3333333333333333),
+            (2, 0x0F0F0F0F0F0F0F0F),
+            (4, 0x00FF00FF00FF00FF),
+            (8, 0x0000FFFF0000FFFF),
+            (16, 0x00000000FFFFFFFF),
+        ):
+            v = v.bitwiseOR(F.shiftright(v, shift)).bitwiseAND(F.lit(mask))
+        return v
+    return compact(m), compact(F.shiftright(m, 1))
+
+
+def _distance_transform_impl(
+    seeds: DataFrame, queries: DataFrame, max_d: int, res: int
+) -> DataFrame:
+    n = 1 << res
+    sx, sy = _dt_xy(F.col("cell"))
+    labeled = seeds.select(
+        sx.alias("x"), sy.alias("y"), F.lit(0).alias("dist")
+    ).distinct().localCheckpoint()
+    frontier = labeled
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+    for r in range(1, max_d + 1):
+        nb = frontier.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.pmod(F.col("x") + dx, F.lit(n)).alias("x"),
+                            (F.col("y") + dy).alias("y"),
+                        )
+                        for dx, dy in offs
+                    ]
+                )
+            ).alias("_n")
+        ).select("_n.x", "_n.y").filter(
+            (F.col("y") >= 0) & (F.col("y") < n)
+        ).distinct()
+        fresh = nb.join(labeled.select("x", "y"), ["x", "y"], "left_anti")
+        fresh = fresh.withColumn("dist", F.lit(r)).localCheckpoint()
+        labeled = labeled.unionByName(fresh).localCheckpoint()
+        frontier = fresh
+    qx, qy = _dt_xy(F.col("cell"))
+    q = queries.select(F.col("cell")).distinct().withColumn("x", qx).withColumn("y", qy)
+    out = q.join(labeled, ["x", "y"], "left").select(
+        "cell",
+        F.coalesce(F.col("dist"), F.lit(max_d + 1)).cast("int").alias("dist"),
+    )
+    return out

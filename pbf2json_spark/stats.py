@@ -844,3 +844,63 @@ def calibration_bins(
         ),
         "score_sum_e6",
     )
+
+
+def auc_exact(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact ROC AUC per group via the Mann-Whitney rank-sum identity —
+    the threshold-free companion of calibration_bins (a scorer can be
+    perfectly calibrated and still not rank; AUC is the ranking half).
+
+    AUC = (Σ ranks of positives − n⁺(n⁺+1)/2) / (n⁺ · n⁻), ties by
+    midrank. Everything before the final division is INTEGER: the
+    per-item midrank is (cum_below + cum_below + cnt + 1)/2, so twice
+    the positive rank-sum is Σ pos·(2·cum_below + cnt + 1) — an int64 —
+    and AUC is ONE division (2·S⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻), exact-rounded
+    and bit-identical cross-engine.
+
+    Scale shape: ranks do NOT come from a global row sort — scores are
+    first histogrammed (groupBy score: cnt, pos), then a window runs
+    over the DISTINCT-score histogram only. Exact for discrete/quantized
+    score domains (quantize a continuous score first — the calibration
+    discipline); |distinct scores| bounds the window input, not |rows|.
+
+    Output: group_cols + (n_pos, n_neg long, auc double; degenerate
+    groups — no positives or no negatives — report auc NULL).
+    """
+    gs = list(group_cols or [])
+    hist = df.groupBy(*gs, F.col(score_col).alias("_s")).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum((F.col(label_col).cast("long") > 0).cast("long")).alias("_pos"),
+    )
+    w = (
+        Window.partitionBy(*[F.col(c) for c in gs]).orderBy("_s")
+        if gs
+        else Window.partitionBy(F.lit(1)).orderBy("_s")
+    )
+    ranked = hist.withColumn(
+        "_below",
+        F.coalesce(
+            F.sum("_cnt").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        ),
+    )
+    # twice the positive mid-rank sum, all integer
+    contrib = F.col("_pos") * (2 * F.col("_below") + F.col("_cnt") + 1)
+    agg = ranked.groupBy(*gs).agg(
+        F.sum("_pos").alias("n_pos"),
+        F.sum(F.col("_cnt") - F.col("_pos")).alias("n_neg"),
+        F.sum(contrib).alias("_s2"),
+    )
+    auc = (
+        (F.col("_s2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+        / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+    )
+    return agg.select(
+        *gs, "n_pos", "n_neg",
+        F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc).alias("auc"),
+    )
