@@ -4763,6 +4763,56 @@ _HEADING_SQL = (
 )
 
 
+# ---- wave 49: mutual-NN bitext mining, multi-probe LSH ----
+
+
+def _q_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-nearest-neighbor mining (ann.mutual_topk, k=4) between the
+    even- and odd-id halves of the embedding table — the bitext/cross-
+    dump alignment criterion (mutual top-1 + ratio margin). The PAIR
+    LIST is engine-exact (cosine ranks tie-break by id — the cosine_topk
+    precedent); cos/margin floats are excluded from the gate surface."""
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("a_id"), "embedding"
+    )
+    b = e.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("b_id"), "embedding"
+    )
+    return ann.mutual_topk(a, b, k=4).select("a_id", "b_id")
+
+
+_MUTUAL_SQL = (
+    "WITH a AS (SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS av "
+    "FROM embeddings WHERE vec_id % 2 = 0), "
+    "b AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS bv "
+    "FROM embeddings WHERE vec_id % 2 = 1), "
+    "s AS (SELECT a.a_id, b.b_id, list_cosine_similarity(a.av, b.bv) AS cos "
+    "FROM a, b), "
+    "fa AS (SELECT a_id, b_id FROM (SELECT a_id, b_id, row_number() OVER "
+    "(PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn FROM s) WHERE rn = 1), "
+    "fb AS (SELECT a_id, b_id FROM (SELECT a_id, b_id, row_number() OVER "
+    "(PARTITION BY b_id ORDER BY cos DESC, a_id) AS rn FROM s) WHERE rn = 1) "
+    "SELECT fa.a_id, fa.b_id FROM fa JOIN fb ON fa.a_id = fb.a_id "
+    "AND fa.b_id = fb.b_id"
+)
+
+
+def _q_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k (ann.lsh_cosine_topk probes=4): queries also
+    probe Hamming-1 buckets on their first 4 sign bits — recall without
+    more tables; the points table never fans out. Hash-seeded
+    hyperplanes ⇒ rows-only (the lsh_cosine_topk precedent); pytest
+    proves recall dominance and the candidate-superset law."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return ann.lsh_cosine_topk(
+        emb, qs, k=10, dim=64, query_id="qid", probes=4
+    )
+
+
 # ---- wave 48: raster distance transform, exact AUC ----
 
 
@@ -7161,6 +7211,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 48
         "dist_transform": _q_dist_transform,
         "auc_lang": _q_auc,
+        # wave 49 (lsh_multiprobe is rows-only: hash-seeded hyperplanes)
+        "mutual_pairs": _q_mutual,
+        "lsh_multiprobe": _q_lsh_multiprobe,
     }
 
 
@@ -8356,6 +8409,8 @@ def oracle_sql() -> dict[str, str]:
     # wave-48 oracles
     sqls["dist_transform"] = _dist_transform_sql(5, 4)
     sqls["auc_lang"] = _AUC_SQL
+    # wave-49 oracle (lsh_multiprobe: none by design — seeded hyperplanes)
+    sqls["mutual_pairs"] = _MUTUAL_SQL
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

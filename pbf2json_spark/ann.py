@@ -104,10 +104,20 @@ def lsh_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id: str = "query_id",
+    probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: one signature pass (numpy matmul over Arrow
     batches), bucket equi-join on (table, signature), exact cosine re-rank.
-    Deterministic hyperplanes from `seed`."""
+    Deterministic hyperplanes from `seed`.
+
+    `probes` > 0 enables MULTI-PROBE (Lv et al. 2007): each query also
+    probes the buckets at Hamming distance 1 on its first `probes` sign
+    bits — the near-miss buckets a borderline hyperplane projection
+    lands in. Recall rises without more tables (probe fan-out is
+    query-side only: the big points table is untouched, the broadcast
+    query-bucket list grows ×(probes+1))."""
+    if not 0 <= probes <= bits:
+        raise ValueError("probes must be in [0, bits]")
     sig = _signatures_udf(dim, bits, n_tables, seed)
     p = points.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_pv")
@@ -120,9 +130,16 @@ def lsh_cosine_topk(
     # onto the DEDUPLICATED candidate set (mirrors minhash_lsh_pairs'
     # shuffle discipline, dedup.py).
     pb = p.select(id_col, F.posexplode(sig(F.col("_pv"))).alias("_t", "_b"))
-    qb = F.broadcast(
-        q.select(query_id, F.posexplode(sig(F.col("_qv"))).alias("_t", "_b"))
-    )
+    qsig = q.select(query_id, F.posexplode(sig(F.col("_qv"))).alias("_t", "_b"))
+    if probes:
+        flips = F.array(
+            F.col("_b"),
+            *[F.col("_b").bitwiseXOR(F.lit(1 << i)) for i in range(probes)],
+        )
+        qsig = qsig.select(
+            query_id, "_t", F.explode(flips).alias("_b")
+        ).dropDuplicates([query_id, "_t", "_b"])
+    qb = F.broadcast(qsig)
     cands = (
         pb.join(qb, ["_t", "_b"])
         .select(query_id, id_col)
@@ -812,3 +829,62 @@ def pca_project(
             )
         )
     return df.withColumn(out_col, F.array(*dots))
+
+
+def mutual_topk(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 4,
+    id_a: str = "a_id",
+    id_b: str = "b_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mutual-nearest-neighbor mining with the ratio margin (Artetxe &
+    Schwenk 2019): a pair (x ∈ A, y ∈ B) is emitted iff y is x's top-1
+    AND x is y's top-1, scored by cos(x,y) divided by the mean of both
+    sides' top-k neighborhoods — the standard parallel-corpus /
+    cross-dump bitext mining criterion (forward-only top-1 floods on hub
+    vectors; mutuality + margin is what survives at corpus scale).
+
+    Shape: two cosine_topk passes (broadcast the query side — mining
+    runs with the smaller dump broadcast; swap or pre-bucket with
+    lsh/ivf when both sides are huge), one (a,b) equi-join for
+    mutuality, margins from the already-computed top-k rows — no third
+    scan. Determinism: ties rank by id (the cosine_topk contract), so
+    the PAIR LIST is engine-exact even though the margin is float
+    (gates compare ids, margins are advisory — the rank-only cosine
+    precedent).
+
+    Output: (a_id, b_id, cos, margin) — one row per mutual pair.
+    """
+    fa = cosine_topk(
+        b.select(F.col(id_b).alias("vec_id"), vec_col),
+        a.select(F.col(id_a).alias("query_id"), vec_col),
+        k=k,
+    ).select(
+        F.col("query_id").alias(id_a), F.col("vec_id").alias(id_b),
+        "cos", "rank",
+    )
+    fb = cosine_topk(
+        a.select(F.col(id_a).alias("vec_id"), vec_col),
+        b.select(F.col(id_b).alias("query_id"), vec_col),
+        k=k,
+    ).select(
+        F.col("vec_id").alias(id_a), F.col("query_id").alias(id_b),
+        F.col("cos").alias("cos_b"), F.col("rank").alias("rank_b"),
+    )
+    avg_a = fa.groupBy(id_a).agg(F.avg("cos").alias("_avg_a"))
+    avg_b = fb.groupBy(id_b).agg(F.avg("cos_b").alias("_avg_b"))
+    top_a = fa.filter(F.col("rank") == 1)
+    top_b = fb.filter(F.col("rank_b") == 1)
+    mutual = top_a.join(top_b, [id_a, id_b])
+    return (
+        mutual.join(avg_a, id_a)
+        .join(avg_b, id_b)
+        .select(
+            id_a, id_b, "cos",
+            (F.col("cos") / ((F.col("_avg_a") + F.col("_avg_b")) / 2.0)).alias(
+                "margin"
+            ),
+        )
+    )
