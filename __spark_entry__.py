@@ -4763,6 +4763,74 @@ _HEADING_SQL = (
 )
 
 
+# ---- wave 50: CIDR/IP range lookup, KMV set-operation estimates ----
+
+
+def _q_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoIP-style range lookup (weburl.cidr_lookup): deterministic IPs
+    (a Knuth-hash of user_id) joined into nation-derived /5-wide blocks
+    via /16 prefix bucketing — bucket EQUI-join + residual range filter,
+    never a theta join. Per-block match counts; all integers."""
+    e = _t(spark, sf_dir, "events").select(
+        ((F.col("user_id") * 2654435761) % 4294967296).alias("ip_long")
+    )
+    nk = F.col("n_nationkey").cast("long")  # int32 * 2^27 overflows ANSI int
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("block_id"),
+        (nk * 134217728).alias("ip_start"),
+        (nk * 134217728 + 67108863).alias("ip_end"),
+    )
+    m = weburl.cidr_lookup(e, n)
+    return m.groupBy("block_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+_CIDR_SQL = (
+    "WITH i AS (SELECT (user_id * 2654435761) % 4294967296 AS ip FROM events), "
+    "b AS (SELECT n_nationkey AS block_id, CAST(n_nationkey AS BIGINT) * 134217728 AS lo, "
+    "CAST(n_nationkey AS BIGINT) * 134217728 + 67108863 AS hi FROM nation) "
+    "SELECT b.block_id, CAST(count(*) AS BIGINT) AS n "
+    "FROM i JOIN b ON i.ip >= b.lo AND i.ip <= b.hi GROUP BY b.block_id"
+)
+
+
+def _q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dump overlap from two KMV sketches (sketch.kmv_intersect,
+    k=64): dump A = docs with doc_id%3 ∈ {0,1}, dump B = {1,2} — the
+    %3==1 third is the true overlap, estimated WITHOUT re-scanning
+    either side (theta composition over exact integer hashes; est
+    columns are the fixed two-op float trees of kmv_estimate)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    a = d.filter(F.col("doc_id") % 3 < 2)
+    b = d.filter(F.col("doc_id") % 3 > 0)
+    sa = sketch.kmv_build(a, "doc_id", k=64)
+    sb = sketch.kmv_build(b, "doc_id", k=64)
+    return sketch.kmv_intersect(sa, sb, k=64)
+
+
+_KMV_OVERLAP_SQL = (
+    "WITH a AS (SELECT DISTINCT ('0x' || substr(md5(doc_id::VARCHAR || ':0'), "
+    "1, 15))::BIGINT AS h FROM documents WHERE doc_id % 3 < 2), "
+    "b AS (SELECT DISTINCT ('0x' || substr(md5(doc_id::VARCHAR || ':0'), "
+    "1, 15))::BIGINT AS h FROM documents WHERE doc_id % 3 > 0), "
+    "ska AS (SELECT h FROM a ORDER BY h LIMIT 64), "
+    "skb AS (SELECT h FROM b ORDER BY h LIMIT 64), "
+    "u AS (SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL "
+    "SELECT h FROM skb) ORDER BY h LIMIT 64), "
+    "su AS (SELECT CAST(count(*) AS BIGINT) AS n_union, max(h) AS theta FROM u), "
+    "sc AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM u "
+    "WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)), "
+    "j AS (SELECT su.n_union, su.theta, sc.n_common, "
+    "CASE WHEN su.n_union < 64 THEN CAST(su.n_union AS DOUBLE) "
+    f"ELSE (CAST(63 AS DOUBLE) * CAST({1 << 60} AS DOUBLE)) "
+    "/ CAST(su.theta AS DOUBLE) END AS est_union FROM su, sc) "
+    "SELECT n_union, theta, n_common, est_union, "
+    "(CAST(n_common AS DOUBLE) / least(CAST(n_union AS DOUBLE), "
+    "CAST(64 AS DOUBLE))) * est_union AS est_intersect, "
+    "CAST(n_common AS DOUBLE) / least(CAST(n_union AS DOUBLE), "
+    "CAST(64 AS DOUBLE)) AS jaccard_est FROM j"
+)
+
+
 # ---- wave 49: mutual-NN bitext mining, multi-probe LSH ----
 
 
@@ -7214,6 +7282,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 49 (lsh_multiprobe is rows-only: hash-seeded hyperplanes)
         "mutual_pairs": _q_mutual,
         "lsh_multiprobe": _q_lsh_multiprobe,
+        # wave 50
+        "cidr_geo": _q_cidr,
+        "kmv_overlap": _q_kmv_overlap,
     }
 
 
@@ -8411,6 +8482,9 @@ def oracle_sql() -> dict[str, str]:
     sqls["auc_lang"] = _AUC_SQL
     # wave-49 oracle (lsh_multiprobe: none by design — seeded hyperplanes)
     sqls["mutual_pairs"] = _MUTUAL_SQL
+    # wave-50 oracles
+    sqls["cidr_geo"] = _CIDR_SQL
+    sqls["kmv_overlap"] = _KMV_OVERLAP_SQL
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

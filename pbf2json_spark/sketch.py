@@ -503,3 +503,74 @@ def hll_rolling(
         group_cols=[bucket_col],
     )
     return est
+
+
+def kmv_intersect(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    k: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Set-operation estimates from two KMV sketches — the theta-sketch
+    composition (Dasgupta et al.): thin the UNION of both hash sets back
+    to its k smallest, take θ = the largest retained hash, and count how
+    many below-θ hashes appear in BOTH inputs. Then
+    |A∪B| ≈ (k−1)·2^60/θ and |A∩B| ≈ (common/k)·|A∪B| — Jaccard falls
+    out as common/k. The cross-dump overlap question ("how many of
+    today's documents did yesterday already have") answered from two
+    METADATA-SIZED sketches, no re-scan of either corpus.
+
+    All set arithmetic is on exact integer hashes (the kmv_build
+    md5-60-bit idiom); est_union is the kmv_estimate two-op float tree
+    and est_intersect adds one multiply and one divide of exact-rounded
+    doubles — bit-identical cross-engine.
+
+    Degenerate exactness: when the union sketch holds fewer than k
+    hashes the sketches saw EVERYTHING — counts are exact, θ plays no
+    role (the kmv_estimate n<k branch).
+
+    Output: group_cols + (n_union, theta, n_common long,
+    est_union, est_intersect, jaccard_est double).
+    """
+    gs = list(group_cols or [])
+    a = sketch_a.select(*gs, F.col("h").alias("_ha")).distinct()
+    b = sketch_b.select(*gs, F.col("h").alias("_hb")).distinct()
+    u = a.select(*gs, F.col("_ha").alias("h")).unionByName(
+        b.select(*gs, F.col("_hb").alias("h"))
+    ).distinct()
+    from .ranking import top_k_per_group
+    from pyspark.sql.window import Window as _W
+
+    if gs:
+        uk = top_k_per_group(u, gs, [F.col("h").asc()], k)
+    else:
+        uk = (
+            u.orderBy("h").limit(k)
+            .withColumn("rank_in_group", F.row_number().over(_W.orderBy("h")))
+        )
+    both = (
+        uk.join(a.withColumnRenamed("_ha", "h"), [*gs, "h"], "left_semi")
+        .join(b.withColumnRenamed("_hb", "h"), [*gs, "h"], "left_semi")
+    )
+    stats_u = uk.groupBy(*gs).agg(
+        F.count(F.lit(1)).alias("n_union"), F.max("h").alias("theta")
+    )
+    stats_c = both.groupBy(*gs).agg(F.count(F.lit(1)).alias("n_common"))
+    j = (
+        stats_u.join(stats_c, gs) if gs else stats_u.crossJoin(stats_c)
+    ).withColumn("n_common", F.coalesce(F.col("n_common"), F.lit(0)))
+    est_union = F.when(
+        F.col("n_union") < k, F.col("n_union").cast("double")
+    ).otherwise(
+        (F.lit(float(k - 1)) * F.lit(float(_KMV_SPAN)))
+        / F.col("theta").cast("double")
+    )
+    j = j.withColumn("est_union", est_union)
+    frac = F.col("n_common").cast("double") / F.least(
+        F.col("n_union").cast("double"), F.lit(float(k))
+    )
+    return j.select(
+        *gs, "n_union", "theta", "n_common", "est_union",
+        (frac * F.col("est_union")).alias("est_intersect"),
+        frac.alias("jaccard_est"),
+    )

@@ -873,3 +873,67 @@ def idn_decode(df: DataFrame, host_col: str = "host") -> DataFrame:
         "*", "_idn.host_unicode", "_idn.is_idn", "_idn.decode_ok",
         "_idn.mixed_script",
     ).drop("_idn")
+
+
+def ip_to_long(ip: Column) -> Column:
+    """Dotted-quad IPv4 string → uint32-as-int64 — pure Column regexp +
+    integer arithmetic (scan-stage; malformed inputs → NULL via the
+    regexp miss)."""
+    o = [
+        F.nullif(
+            F.regexp_extract(
+                ip, r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$", i
+            ),
+            F.lit(""),
+        ).cast("long")
+        for i in (1, 2, 3, 4)
+    ]
+    valid = (
+        o[0].isNotNull()
+        & (o[0] <= 255) & (o[1] <= 255) & (o[2] <= 255) & (o[3] <= 255)
+    )
+    return F.when(
+        valid, o[0] * 16777216 + o[1] * 65536 + o[2] * 256 + o[3]
+    )
+
+
+def cidr_lookup(
+    ips: DataFrame,
+    blocks: DataFrame,
+    ip_col: str = "ip_long",
+    start_col: str = "ip_start",
+    end_col: str = "ip_end",
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """IP → block range join (GeoIP-style lookup — the web-scale
+    geocoding of hosts: every access-log/crawl row gets a country/ASN
+    from a range table). A naive BETWEEN theta join is a cross product;
+    the scalable shape is PREFIX BUCKETING: every block row is exploded
+    to the /``prefix_bits`` buckets its [start, end] range spans (real
+    GeoIP blocks are narrow — almost always 1 bucket at /16), each IP
+    hashes to exactly ONE bucket, and the join becomes a bucket
+    EQUI-join + a residual range filter — hash-partitionable, AQE-skew
+    splittable, no sort-merge-over-inequality. All integers → bit-exact
+    oracle.
+
+    Blocks are assumed non-overlapping (the GeoIP contract); overlaps
+    would emit one row per covering block (caller resolves by
+    specificity). Output: the ip rows + the matched block's columns
+    (inner join — unmatched IPs drop; left-join at the caller if
+    needed).
+    """
+    shift = 32 - prefix_bits
+    b = blocks.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.shiftright(F.col(start_col), shift),
+                F.shiftright(F.col(end_col), shift),
+            )
+        ),
+    )
+    i = ips.withColumn("_bkt", F.shiftright(F.col(ip_col), shift))
+    out = i.join(b, "_bkt").filter(
+        (F.col(ip_col) >= F.col(start_col)) & (F.col(ip_col) <= F.col(end_col))
+    )
+    return out.drop("_bkt")
