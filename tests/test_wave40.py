@@ -15,15 +15,24 @@ from pbf2json_spark import ann, cells
 
 
 def test_geohash_decode_round_trip(spark):
+    # encode NUMPY-side, decode Spark-side: composing geohash_col inside
+    # geohash_decode_col in ONE expression lets CollapseProject re-inline
+    # the encode tree into every decode leaf (~10^5 Catalyst nodes at
+    # p=10 — observed Java-heap OOM on a long-lived test JVM); crossing
+    # an engine boundary is also the stronger cross-check.
     rnd = random.Random(40)
     pts = [(rnd.uniform(-89, 89), rnd.uniform(-179, 179)) for _ in range(200)]
-    df = spark.createDataFrame(pts, "lat double, lon double")
+    lats = np.array([p[0] for p in pts])
+    lons = np.array([p[1] for p in pts])
     for p in (3, 7, 10):  # odd and even bit totals
+        ghs = cells.geohash_encode(lats, lons, p)
+        df = spark.createDataFrame(
+            [(la, lo, g) for (la, lo), g in zip(pts, ghs)],
+            "lat double, lon double, gh string",
+        )
         r = df.select(
             "lat", "lon",
-            cells.geohash_decode_col(
-                cells.geohash_col(F.col("lat"), F.col("lon"), p), p
-            ).alias("c"),
+            cells.geohash_decode_col(F.col("gh"), p).alias("c"),
         ).collect()
         for row in r:
             c = row["c"]
@@ -35,15 +44,24 @@ def test_geohash_decode_round_trip(spark):
 
 
 def test_geohash_decode_reencodes_to_same_hash(spark):
+    # same engine-boundary discipline: decode Spark-side from numpy-
+    # encoded strings, re-encode the decoded centers in a SECOND query
+    # (inline decode∘encode composition re-inlines under CollapseProject)
     rnd = random.Random(41)
     pts = [(rnd.uniform(-89, 89), rnd.uniform(-179, 179)) for _ in range(100)]
-    df = spark.createDataFrame(pts, "lat double, lon double")
-    g = df.select(cells.geohash_col(F.col("lat"), F.col("lon"), 6).alias("gh"))
-    g2 = g.select(
-        "gh",
-        cells.geohash_decode_col(F.col("gh"), 6).alias("c"),
-    ).select(
-        "gh", cells.geohash_col(F.col("c.lat"), F.col("c.lon"), 6).alias("gh2")
+    ghs = cells.geohash_encode(
+        np.array([p[0] for p in pts]), np.array([p[1] for p in pts]), 6
+    )
+    df = spark.createDataFrame([(g,) for g in ghs], "gh string")
+    centers = df.select(
+        "gh", cells.geohash_decode_col(F.col("gh"), 6).alias("c")
+    ).select("gh", "c.lat", "c.lon").collect()
+    df2 = spark.createDataFrame(
+        [(r["gh"], r["lat"], r["lon"]) for r in centers],
+        "gh string, lat double, lon double",
+    )
+    g2 = df2.select(
+        "gh", cells.geohash_col(F.col("lat"), F.col("lon"), 6).alias("gh2")
     )
     assert all(r["gh"] == r["gh2"] for r in g2.collect())
 
