@@ -4831,6 +4831,127 @@ _KMV_OVERLAP_SQL = (
 )
 
 
+# ---- wave 51: toponym disambiguation, Fellegi–Sunter record linkage ----
+
+
+def _q_toponym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer toponym disambiguation (pages.toponym_resolve): the
+    customer table becomes a synthetic gazetteer (custkey < 40 → unique
+    'U<k>' names; the rest fold onto 120 ambiguous 'P<k%120>' names with
+    ~12 candidates each); orders rows become (doc, mention) pairs (doc =
+    orderkey % 500, every 5th custkey mentions a unique name → that doc
+    gets spatial-coherence anchors). Pick = struct-MIN groupBy over
+    (scaled-L1-dist, -population, place_id) — all BIGINT, no division;
+    the oracle replays the identical joins + argmin bit-for-bit."""
+    c = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    gaz = c.select(
+        ck.alias("place_id"),
+        F.when(ck < 40, F.concat(F.lit("U"), ck.cast("string")))
+        .otherwise(F.concat(F.lit("P"), (ck % 120).cast("string")))
+        .alias("name"),
+        ((ck * 2654435761) % 160000000 - 80000000).alias("lat_e6"),
+        ((ck * 40503) % 358000000 - 179000000).alias("lon_e6"),
+        ((ck * 7919) % 1000000).alias("population"),
+    )
+    o = _t(spark, sf_dir, "orders")
+    ok, oc = F.col("o_orderkey").cast("long"), F.col("o_custkey").cast("long")
+    men = o.select(
+        (ok % 500).alias("doc_id"),
+        F.when(oc % 5 == 0, F.concat(F.lit("U"), (oc % 40).cast("string")))
+        .otherwise(F.concat(F.lit("P"), (oc % 120).cast("string")))
+        .alias("name"),
+    )
+    return pages.toponym_resolve(men, gaz)
+
+
+_TOPONYM_SQL = (
+    "WITH gaz AS (SELECT CAST(c_custkey AS BIGINT) AS pid, "
+    "CASE WHEN c_custkey < 40 THEN 'U' || CAST(c_custkey AS VARCHAR) "
+    "ELSE 'P' || CAST(c_custkey % 120 AS VARCHAR) END AS name, "
+    "(CAST(c_custkey AS BIGINT) * 2654435761) % 160000000 - 80000000 AS lat_e6, "
+    "(CAST(c_custkey AS BIGINT) * 40503) % 358000000 - 179000000 AS lon_e6, "
+    "(CAST(c_custkey AS BIGINT) * 7919) % 1000000 AS pop FROM customer), "
+    "men AS (SELECT DISTINCT CAST(o_orderkey % 500 AS BIGINT) AS doc_id, "
+    "CASE WHEN o_custkey % 5 = 0 THEN 'U' || CAST(o_custkey % 40 AS VARCHAR) "
+    "ELSE 'P' || CAST(o_custkey % 120 AS VARCHAR) END AS name FROM orders), "
+    "nc AS (SELECT name, count(*) AS ncand FROM gaz GROUP BY name), "
+    "cand AS (SELECT m.doc_id, m.name, g.pid, g.lat_e6, g.lon_e6, g.pop, "
+    "nc.ncand FROM men m JOIN gaz g USING(name) JOIN nc USING(name)), "
+    "anch AS (SELECT doc_id, sum(lat_e6) AS alat, sum(lon_e6) AS alon, "
+    "CAST(count(*) AS BIGINT) AS an FROM cand WHERE ncand = 1 GROUP BY doc_id), "
+    "scored AS (SELECT c.*, a.an, CASE WHEN a.an IS NOT NULL THEN "
+    "abs(c.lat_e6 * a.an - a.alat) + abs(c.lon_e6 * a.an - a.alon) "
+    "ELSE 0 END AS d FROM cand c LEFT JOIN anch a USING(doc_id)), "
+    "ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id, name "
+    "ORDER BY d, pop DESC, pid) AS rn FROM scored) "
+    "SELECT doc_id, name, pid AS place_id, lat_e6, lon_e6, "
+    "CASE WHEN ncand = 1 THEN 'unique' WHEN an IS NOT NULL THEN 'coherence' "
+    "ELSE 'prior' END AS method FROM ranked WHERE rn = 1"
+)
+
+
+def _q_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter record linkage (dedup.record_linkage): customer
+    linked against a deterministically-perturbed twin registry (every
+    3rd name loses its last 2 chars, every 7th phone goes NULL), blocked
+    on nationkey — an equi-join candidate set, never all-pairs. The
+    phone is synthesized from custkey (lpad((ck*48271)%10^8) — the
+    customer table carries no phone column). Integer agreement weights
+    (name lev≤2: +2400/−1700; phone exact: +1600/−900), thresholds
+    2500/−1500; non-matches are filtered so the gate surface is the
+    match + clerical-review band."""
+    c = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    phone = F.lpad(((ck * 48271) % 100000000).cast("string"), 8, "0")
+    left = c.select(
+        ck.alias("id_l"),
+        F.col("c_nationkey").cast("long").alias("blk"),
+        F.lower(F.col("c_name")).alias("name_l"),
+        phone.alias("phone_l"),
+    )
+    right = c.select(
+        (ck + 1000000).alias("id_r"),
+        F.col("c_nationkey").cast("long").alias("blk"),
+        F.when(
+            ck % 3 == 0,
+            F.expr("substring(lower(c_name), 1, length(c_name) - 2)"),
+        )
+        .otherwise(F.lower(F.col("c_name")))
+        .alias("name_r"),
+        F.when(ck % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(phone)
+        .alias("phone_r"),
+    )
+    fields = [("name_l", "name_r", 2, 2400, -1700),
+              ("phone_l", "phone_r", 0, 1600, -900)]
+    out = dedup.record_linkage(left, right, ["blk"], fields,
+                               upper=2500, lower=-1500)
+    return out.filter(F.col("decision") != "non_match")
+
+
+_LINKAGE_SQL = (
+    "WITH l AS (SELECT CAST(c_custkey AS BIGINT) AS id_l, "
+    "CAST(c_nationkey AS BIGINT) AS blk, lower(c_name) AS name_l, "
+    "lpad(CAST((CAST(c_custkey AS BIGINT) * 48271) % 100000000 AS VARCHAR), "
+    "8, '0') AS phone_l FROM customer), "
+    "r AS (SELECT CAST(c_custkey AS BIGINT) + 1000000 AS id_r, "
+    "CAST(c_nationkey AS BIGINT) AS blk, "
+    "CASE WHEN c_custkey % 3 = 0 THEN substr(lower(c_name), 1, "
+    "length(c_name) - 2) ELSE lower(c_name) END AS name_r, "
+    "CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE "
+    "lpad(CAST((CAST(c_custkey AS BIGINT) * 48271) % 100000000 AS VARCHAR), "
+    "8, '0') END AS phone_r FROM customer), "
+    "sc AS (SELECT id_l, id_r, "
+    "CAST(CASE WHEN levenshtein(name_l, name_r) <= 2 THEN 2400 "
+    "ELSE -1700 END AS BIGINT) + "
+    "CAST(CASE WHEN phone_l = phone_r THEN 1600 ELSE -900 END AS BIGINT) "
+    "AS score FROM l JOIN r USING(blk)) "
+    "SELECT id_l, id_r, score, CASE WHEN score >= 2500 THEN 'match' "
+    "ELSE 'possible' END AS decision FROM sc WHERE score > -1500"
+)
+
+
 # ---- wave 49: mutual-NN bitext mining, multi-probe LSH ----
 
 
@@ -7285,6 +7406,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 50
         "cidr_geo": _q_cidr,
         "kmv_overlap": _q_kmv_overlap,
+        # wave 51
+        "toponym_pick": _q_toponym,
+        "linkage_pairs": _q_linkage,
     }
 
 
@@ -8485,6 +8609,9 @@ def oracle_sql() -> dict[str, str]:
     # wave-50 oracles
     sqls["cidr_geo"] = _CIDR_SQL
     sqls["kmv_overlap"] = _KMV_OVERLAP_SQL
+    # wave-51 oracles
+    sqls["toponym_pick"] = _TOPONYM_SQL
+    sqls["linkage_pairs"] = _LINKAGE_SQL
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

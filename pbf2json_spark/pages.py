@@ -204,3 +204,108 @@ def geocode_arrow(pages: DataFrame, text_col: str = "text") -> DataFrame:
     """Arrow-batched pandas-UDF geocode (input_hint-mandated variant)."""
     g = _geocode_udf(F.col(text_col))
     return pages.withColumn("lat", g["lat"]).withColumn("lon", g["lon"])
+
+
+def toponym_resolve(
+    mentions: DataFrame,
+    gazetteer: DataFrame,
+    doc_col: str = "doc_id",
+    name_col: str = "name",
+    id_col: str = "place_id",
+    lat_col: str = "lat_e6",
+    lon_col: str = "lon_e6",
+    pop_col: str = "population",
+) -> DataFrame:
+    """Gazetteer toponym disambiguation — the second stage of geoparsing
+    (after `geocode`'s literal lat/lon extraction): every (doc, place-name)
+    mention is resolved to ONE gazetteer entry even when the name is
+    ambiguous ("Paris" the capital vs. "Paris, Texas").
+
+    Two classic signals, combined deterministically:
+
+    * **spatial coherence** — a document's UNAMBIGUOUS mentions (names with
+      exactly one gazetteer row) vote for a region; ambiguous names pick
+      the candidate nearest that anchor point (planar L1 distance on
+      integer microdegrees; no longitude wrap — gazetteers are bounded
+      synthetic regions here, and a wrapped variant would only change the
+      distance term).
+    * **population prior** — with no anchors in the doc (or to break exact
+      distance ties), the most populous candidate wins; final tie-break is
+      the smallest ``place_id``, so the output is a pure function of the
+      input (re-run / re-partition / cross-engine stable).
+
+    Exactness discipline: the anchor point is the per-doc MEAN of the
+    unambiguous coordinates — kept as the exact rational (sum, n) pair, so
+    the candidate distance is compared as ``|lat*n - sum_lat| + |lon*n -
+    sum_lon|`` — all BIGINT, no division, bit-exact in any engine.
+
+    Plan shape at 10^12 mentions: the gazetteer is a metadata-scale dim →
+    its name-ambiguity census is a broadcast; candidates = mentions ⋈
+    gazetteer broadcast equi-join on name; anchors = ONE map-side-
+    combinable groupBy(doc) over the unambiguous subset (slim integer
+    payload); candidates ⋈ anchors is a hash join on doc (AQE-splittable if
+    one doc mentions everything); the final per-(doc,name) pick is a
+    struct-MIN groupBy — map-side combinable, never a window sort.
+
+    Reference analog: pbf2json's tag dictionaries map raw OSM names to
+    display names one-to-one (enrich.py J6/J7 citations); this operator is
+    the web-scale generalization where the mapping is one-to-MANY and the
+    engine must pick.
+
+    Output: one row per distinct (doc, name): doc, name, place_id, lat_e6,
+    lon_e6, method ('unique' | 'coherence' | 'prior').
+    """
+    d, nm = F.col(doc_col), F.col(name_col)
+
+    # name → candidate count (metadata-scale census on the dim itself)
+    ncand = gazetteer.groupBy(name_col).agg(F.count(F.lit(1)).alias("_ncand"))
+    gaz = gazetteer.join(F.broadcast(ncand), name_col)
+
+    men = mentions.select(doc_col, name_col).distinct()
+    cand = men.join(F.broadcast(gaz), name_col)
+
+    # per-doc anchor: exact rational mean of unambiguous mention coords
+    anchors = (
+        cand.filter(F.col("_ncand") == 1)
+        .groupBy(doc_col)
+        .agg(
+            F.sum(F.col(lat_col)).alias("_alat"),
+            F.sum(F.col(lon_col)).alias("_alon"),
+            F.count(F.lit(1)).alias("_an"),
+        )
+    )
+    c = cand.join(anchors, doc_col, "left")
+
+    # |lat*n - sum| + |lon*n - sum|, scaled-by-n exact integer L1; docs
+    # with no anchor rank all candidates at distance 0 (prior decides)
+    dist = F.when(
+        F.col("_an").isNotNull(),
+        F.abs(F.col(lat_col) * F.col("_an") - F.col("_alat"))
+        + F.abs(F.col(lon_col) * F.col("_an") - F.col("_alon")),
+    ).otherwise(F.lit(0)).cast("long")
+
+    pick = F.struct(
+        dist.alias("d"),
+        (-F.col(pop_col).cast("long")).alias("negpop"),
+        F.col(id_col).cast("long").alias("pid"),
+        F.col(lat_col).cast("long").alias("plat"),
+        F.col(lon_col).cast("long").alias("plon"),
+        F.col("_ncand").alias("nc"),
+        F.col("_an").alias("an"),
+    )
+    best = (
+        c.groupBy(doc_col, name_col)
+        .agg(F.min(pick).alias("_b"))
+        .select(
+            d,
+            nm,
+            F.col("_b.pid").alias(id_col),
+            F.col("_b.plat").alias(lat_col),
+            F.col("_b.plon").alias(lon_col),
+            F.when(F.col("_b.nc") == 1, F.lit("unique"))
+            .when(F.col("_b.an").isNotNull(), F.lit("coherence"))
+            .otherwise(F.lit("prior"))
+            .alias("method"),
+        )
+    )
+    return best
