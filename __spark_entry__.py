@@ -4952,6 +4952,96 @@ _LINKAGE_SQL = (
 )
 
 
+# ---- wave 52: Poisson bootstrap CI, exact Spearman ----
+
+
+def _q_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap (stats.bootstrap_ci, 24 reps): a
+    90%-ish CI for mean document length per language with NO row index —
+    w ~ Poisson(1) from the md5 inverse-CDF ladder per (doc, replicate),
+    one scan-side explode + one map-side-combinable groupBy. Every gate
+    column is BIGINT (scaled-integer means via exact floor-div)."""
+    d = _t(spark, sf_dir, "documents")
+    return stats.bootstrap_ci(d, ["lang"], "n_chars", "doc_id", reps=24)
+
+
+def _bootstrap_sql(reps: int = 24, alpha: float = 0.05,
+                   scale: int = 1_000_000) -> str:
+    from pbf2json_spark.stats import POISSON1_T32
+
+    ladder = "CASE "
+    for k, t in enumerate(POISSON1_T32):
+        ladder += f"WHEN u < {t} THEN {k} "
+    ladder += "ELSE 8 END"
+    return (
+        "WITH e AS (SELECT lang, n_chars, doc_id, b FROM documents, "
+        f"range({reps}) t(b)), "
+        "w AS (SELECT lang, n_chars, b, "
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || "
+        "CAST(b AS VARCHAR)), 1, 8))::BIGINT AS u FROM e), "
+        f"pw AS (SELECT lang, b, CAST({ladder} AS BIGINT) AS pw, n_chars "
+        "FROM w), "
+        "pr AS (SELECT lang, b, sum(pw * n_chars) AS rsum, sum(pw) AS rn "
+        "FROM pw GROUP BY lang, b HAVING sum(pw) > 0), "
+        f"pm AS (SELECT lang, b, (rsum * {scale} - ((rsum * {scale}) % rn "
+        f"+ rn) % rn) // rn AS m FROM pr), "
+        "arrs AS (SELECT lang, list(m ORDER BY m, b) AS arr FROM pm "
+        "GROUP BY lang), "
+        "base AS (SELECT lang, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(n_chars) AS BIGINT) AS total FROM documents GROUP BY lang) "
+        "SELECT base.lang, n, total, "
+        f"(total * {scale} - ((total * {scale}) % n + n) % n) // n "
+        "AS mean_scaled, "
+        f"arr[CAST(greatest(1, ceil({alpha} * len(arr))) AS INT)] AS ci_lo, "
+        f"arr[CAST(least(len(arr), ceil({1.0 - alpha} * len(arr))) AS INT)] "
+        "AS ci_hi, CAST(len(arr) AS BIGINT) AS n_reps "
+        "FROM base JOIN arrs ON base.lang = arrs.lang"
+    )
+
+
+def _q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-correct Spearman (stats.spearman_rho): per-language rank
+    correlation between n_chars and space count — Pearson on doubled
+    midranks from distinct-value histograms (never a global row sort);
+    the moment set is BIGINT-exact, rho is a fixed two-multiply + sqrt +
+    divide float tree (cross-engine correctly-rounded)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("n_chars").alias("x"),
+        (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        ).alias("y"),
+    )
+    return stats.spearman_rho(d, "x", "y", ["lang"])
+
+
+_SPEARMAN_SQL = (
+    "WITH d AS (SELECT lang, n_chars AS x, "
+    "length(text) - length(replace(text, ' ', '')) AS y FROM documents), "
+    "hx AS (SELECT lang, x, CAST(count(*) AS BIGINT) AS cnt FROM d "
+    "GROUP BY lang, x), "
+    "rx AS (SELECT lang, x, 2 * coalesce(sum(cnt) OVER (PARTITION BY lang "
+    "ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+    "+ cnt + 1 AS drx FROM hx), "
+    "hy AS (SELECT lang, y, CAST(count(*) AS BIGINT) AS cnt FROM d "
+    "GROUP BY lang, y), "
+    "ry AS (SELECT lang, y, 2 * coalesce(sum(cnt) OVER (PARTITION BY lang "
+    "ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+    "+ cnt + 1 AS dry FROM hy), "
+    "j AS (SELECT d.lang, rx.drx, ry.dry FROM d "
+    "JOIN rx ON d.lang = rx.lang AND d.x = rx.x "
+    "JOIN ry ON d.lang = ry.lang AND d.y = ry.y), "
+    "m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n, sum(drx * dry) AS sxy, "
+    "sum(drx) AS sx, sum(dry) AS sy, sum(drx * drx) AS sxx, "
+    "sum(dry * dry) AS syy FROM j GROUP BY lang) "
+    "SELECT lang, n, n * sxy - sx * sy AS s_cov, "
+    "n * sxx - sx * sx AS s_varx, n * syy - sy * sy AS s_vary, "
+    "CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN "
+    "CAST(n * sxy - sx * sy AS DOUBLE) / sqrt(CAST(n * sxx - sx * sx "
+    "AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) END AS rho FROM m"
+)
+
+
 # ---- wave 49: mutual-NN bitext mining, multi-probe LSH ----
 
 
@@ -7409,6 +7499,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 51
         "toponym_pick": _q_toponym,
         "linkage_pairs": _q_linkage,
+        # wave 52
+        "bootstrap_len_ci": _q_bootstrap,
+        "spearman_len_sp": _q_spearman,
     }
 
 
@@ -8612,6 +8705,9 @@ def oracle_sql() -> dict[str, str]:
     # wave-51 oracles
     sqls["toponym_pick"] = _TOPONYM_SQL
     sqls["linkage_pairs"] = _LINKAGE_SQL
+    # wave-52 oracles
+    sqls["bootstrap_len_ci"] = _bootstrap_sql(24)
+    sqls["spearman_len_sp"] = _SPEARMAN_SQL
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

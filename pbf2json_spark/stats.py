@@ -904,3 +904,199 @@ def auc_exact(
         *gs, "n_pos", "n_neg",
         F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc).alias("auc"),
     )
+
+
+# --- deterministic Poisson bootstrap -----------------------------------------------
+
+# Poisson(1) CDF at k = 0..7, scaled to 2^32 and floored — LITERAL constants
+# (not computed at import) so Spark, DuckDB, and the pytest reference share
+# the exact same integers with no libm in the loop. P(k > 7) ≈ 1e-5 folds
+# into the top bucket (w = 8).
+POISSON1_T32 = [
+    1580030168, 3160060337, 3950075421, 4213413783,
+    4279248373, 4292415291, 4294609777, 4294923276,
+]
+
+
+def _u32_key(key: Column, rep: Column) -> Column:
+    """Uniform u32 from md5(key ':' rep) — the sampling.py portable idiom."""
+    s = F.concat(key.cast("string"), F.lit(":"), rep.cast("string"))
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
+
+
+def poisson_weight(u32: Column) -> Column:
+    """Deterministic Poisson(1) draw from a u32 via the inverse CDF ladder."""
+    w = F.lit(8)
+    for k in range(len(POISSON1_T32) - 1, -1, -1):
+        w = F.when(u32 < F.lit(POISSON1_T32[k]), F.lit(k)).otherwise(w)
+    return w.cast("long")
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    reps: int = 40,
+    alpha: float = 0.05,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic POISSON bootstrap (Chamandy et al.'s resampling for
+    massive data): a confidence interval for the per-group mean computed
+    without ever materializing an index over the group — the classic
+    index-resample bootstrap needs "draw row j of n", which at 10^12 rows
+    means a dense global row-number; the Poisson bootstrap replaces it
+    with a ROW-LOCAL integer weight w ~ Poisson(1) per (row, replicate),
+    so resampling is a scan-stage explode + ONE map-side-combinable
+    groupBy — no index, no shuffle of values, partition-order free.
+
+    Determinism: w = inverse-CDF ladder over u32 = md5(id ':' rep) —
+    re-run / re-partition / cross-engine identical (no RNG state). The
+    replicate statistic is the SCALED INTEGER mean ``(Σ w·x · scale) div
+    Σ w`` (exact integer division, never a float sum), replicates sort by
+    (stat, rep) and the CI bounds are the ceil(α·R)-th and
+    ceil((1−α)·R)-th order statistics — every gate-surface column BIGINT.
+
+    Replicates whose resample is empty (Σw = 0 — only plausible for tiny
+    groups) are dropped and n_reps reports the survivors. ``reps`` is a
+    bounded constant (≤ a few hundred): the explode is reps× on slim
+    (group, rep, x) payload and partial aggregation collapses it before
+    the exchange; the per-group collect_list holds ≤ reps structs.
+
+    Output: group_cols + n, total, mean_scaled, ci_lo, ci_hi (all
+    BIGINT, mean×scale floored), n_reps.
+    """
+    gs = [F.col(c) for c in group_cols]
+    x = F.col(value_col).cast("long")
+    rep = F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("_rep")
+    e = df.select(*gs, x.alias("_x"), F.col(id_col).alias("_id")).select(
+        "*", rep
+    )
+    w = poisson_weight(_u32_key(F.col("_id"), F.col("_rep")))
+    # exact BIGINT floor(a/b) pattern used below: normalize the numerator
+    # down to its floor multiple (the double-mod handles negative sums in
+    # both engines' truncated %), then `div` the exact multiple — never a
+    # float division anywhere on the gate surface
+    per_rep = (
+        e.withColumn("_w", w)
+        .groupBy(*group_cols, "_rep")
+        .agg(
+            F.sum(F.col("_w") * F.col("_x")).alias("_rsum"),
+            F.sum("_w").alias("_rn"),
+        )
+        .filter(F.col("_rn") > 0)
+        .withColumn("_num", F.col("_rsum") * F.lit(scale))
+        .withColumn(
+            "_adj", F.col("_num") - ((F.col("_num") % F.col("_rn") + F.col("_rn")) % F.col("_rn"))
+        )
+        .withColumn("_m", F.expr("_adj div _rn"))
+    )
+
+    base = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(x).alias("total")
+    )
+    reps_agg = per_rep.groupBy(*group_cols).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_m").alias("m"), F.col("_rep").alias("r")))
+        ).alias("_arr")
+    )
+    r_cnt = F.size("_arr")
+    lo_i = F.greatest(F.lit(1), F.ceil(F.lit(alpha) * r_cnt)).cast("int")
+    hi_i = F.least(r_cnt, F.ceil(F.lit(1.0 - alpha) * r_cnt)).cast("int")
+    out = base.join(reps_agg, group_cols).select(
+        *group_cols,
+        "n",
+        "total",
+        (
+            F.col("total") * F.lit(scale)
+            - (((F.col("total") * F.lit(scale)) % F.col("n") + F.col("n")) % F.col("n"))
+        ).alias("_tm"),
+        F.element_at("_arr", lo_i)["m"].alias("ci_lo"),
+        F.element_at("_arr", hi_i)["m"].alias("ci_hi"),
+        r_cnt.cast("long").alias("n_reps"),
+    )
+    return out.select(
+        *group_cols, "n", "total",
+        F.expr("_tm div n").alias("mean_scaled"),
+        "ci_lo", "ci_hi", "n_reps",
+    )
+
+
+# --- exact Spearman rank correlation -----------------------------------------------
+
+
+def spearman_rho(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group Spearman rank correlation, exact under ties: Pearson on
+    DOUBLED midranks, whose sufficient statistics are pure BIGINTs (a
+    midrank is half-integral, so 2·rank is integral: 2r = 2·below + cnt
+    + 1 — the auc_exact identity applied to both columns). The gate
+    surface is the integer moment set (n, Σ2rx·2ry, Σ2rx, Σ2ry, Σ(2rx)²,
+    Σ(2ry)²-derived covariance/variance terms); rho itself is two
+    multiplies + one sqrt at the very end, ADVISORY (emitted for humans,
+    excluded from hash comparison by the est/est_raw convention).
+
+    The simple 1 − 6Σd²/(n(n²−1)) textbook form is exact ONLY without
+    ties; Pearson-on-midranks is the tie-correct definition (identical
+    when no ties exist) — web data (lengths, counts) always has ties.
+
+    Scale shape: ranks come from DISTINCT-VALUE histograms (groupBy
+    value + a window over distinct values only — never a global row
+    sort), one broadcast-size frame per column, joined back on (group,
+    value). Exact-integer range: |Σ(2r)²| ≤ 4n³ → n per group must stay
+    below ~1.3·10⁶ for int64; beyond that, quantize the inputs first
+    (the calibration_bins discipline) — ranks of quantized values need
+    only the histogram, which never overflows.
+
+    Output: group_cols + n, s_cov, s_varx, s_vary (exact BIGINT: n·Σxy −
+    ΣxΣy form over doubled ranks), rho double (NULL when either variance
+    term is 0 — a constant column has no rank order).
+    """
+    gs = list(group_cols or [])
+
+    def ranks(col: str, alias: str) -> DataFrame:
+        hist = df.groupBy(*gs, F.col(col).alias("_v")).agg(
+            F.count(F.lit(1)).alias("_cnt")
+        )
+        w = (
+            Window.partitionBy(*[F.col(c) for c in gs]).orderBy("_v")
+            if gs
+            else Window.partitionBy(F.lit(1)).orderBy("_v")
+        )
+        below = F.coalesce(
+            F.sum("_cnt").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        )
+        return hist.select(
+            *gs,
+            F.col("_v").alias(col),
+            (2 * below + F.col("_cnt") + 1).alias(alias),
+        )
+
+    rx = ranks(x_col, "_2rx")
+    ry = ranks(y_col, "_2ry")
+    j = df.join(rx, gs + [x_col]).join(ry, gs + [y_col])
+    agg = j.groupBy(*gs).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_2rx") * F.col("_2ry")).alias("_sxy"),
+        F.sum("_2rx").alias("_sx"),
+        F.sum("_2ry").alias("_sy"),
+        F.sum(F.col("_2rx") * F.col("_2rx")).alias("_sxx"),
+        F.sum(F.col("_2ry") * F.col("_2ry")).alias("_syy"),
+    )
+    s_cov = F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    s_vx = F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    s_vy = F.col("n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    rho = s_cov.cast("double") / F.sqrt(s_vx.cast("double") * s_vy.cast("double"))
+    return agg.select(
+        *gs,
+        "n",
+        s_cov.alias("s_cov"),
+        s_vx.alias("s_varx"),
+        s_vy.alias("s_vary"),
+        F.when((s_vx > 0) & (s_vy > 0), rho).alias("rho"),
+    )
