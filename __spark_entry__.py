@@ -4952,6 +4952,95 @@ _LINKAGE_SQL = (
 )
 
 
+# ---- wave 53: content-defined chunking, k-truss ----
+
+
+def _q_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (textops.cdc_chunks): rolling polynomial
+    hash over an 8-char window, cut where h % 64 == 17 — entirely pure
+    Column codegen (sequence/filter/transform lambdas, ONE explode at
+    the end). Chunk spans + md5 fingerprints per document."""
+    return textops.cdc_chunks(_t(spark, sf_dir, "documents"))
+
+
+def _cdc_sql() -> str:
+    from pbf2json_spark.textops import CDC_MOD, CDC_POW
+
+    h = " + ".join(
+        f"ascii(substr(text, i + {j}, 1))::BIGINT * {p}"
+        for j, p in enumerate(CDC_POW)
+    )
+    return (
+        "WITH d AS (SELECT doc_id, text, length(text) AS ln FROM documents "
+        "WHERE length(text) > 0), "
+        "c AS (SELECT doc_id, text, ln, list_transform(list_filter("
+        "CASE WHEN ln >= 8 THEN generate_series(1, ln - 7) "
+        "ELSE generate_series(1, 0) END, "
+        f"i -> ({h}) % {CDC_MOD} % 64 = 17), "
+        "i -> CAST(i + 7 AS BIGINT)) AS cuts FROM d), "
+        "e AS (SELECT doc_id, text, CASE WHEN len(cuts) > 0 AND "
+        "cuts[-1] = ln THEN cuts ELSE list_concat(cuts, "
+        "[CAST(ln AS BIGINT)]) END AS ends FROM c), "
+        "u AS (SELECT doc_id, text, ends, "
+        "unnest(generate_series(1, len(ends))) AS idx FROM e), "
+        "s AS (SELECT doc_id, CASE WHEN idx = 1 THEN CAST(1 AS BIGINT) "
+        "ELSE ends[idx - 1] + 1 END AS chunk_start, ends[idx] AS chunk_end, "
+        "text FROM u) "
+        "SELECT doc_id AS id, chunk_start, chunk_end, "
+        "chunk_end - chunk_start + 1 AS chunk_len, "
+        "md5(substr(text, chunk_start::INT, "
+        "(chunk_end - chunk_start + 1)::INT)) AS chunk_md5 FROM s"
+    )
+
+
+_KTRUSS_K = 4
+
+
+def _q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss membership (graph.ktruss, k=4) on the kcore gate graph
+    (link edges + 3-chord circulant over multiples of 7): simultaneous
+    edge-peel fixpoint on triangle support — converges in 3 rounds here;
+    the oracle unrolls 5 (extra rounds are exact no-ops at the
+    fixpoint). Surviving (a, b, support) edges."""
+    return graph.ktruss(_kcore_edges(spark, sf_dir), k=_KTRUSS_K)
+
+
+def _ktruss_sql(rounds: int = 5) -> str:
+    m = "(SELECT (count(*) + 6) // 7 FROM documents)"
+    dense = " UNION ALL ".join(
+        f"SELECT doc_id AS src, ((doc_id // 7 + {s}) % {m}) * 7 AS dst "
+        "FROM documents WHERE doc_id % 7 = 0"
+        for s in (1, 2, 3)
+    )
+    parts = [
+        f"ke AS MATERIALIZED ({_EDGES_SQL} UNION ALL {dense})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM ke WHERE src <> dst)",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"e{r - 1}"
+        parts.append(
+            f"t{r} AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            f"FROM {p} e1 JOIN {p} e2 ON e1.b = e2.a "
+            f"JOIN {p} e3 ON e3.a = e1.a AND e3.b = e2.b)"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT a, b, count(*) AS sup FROM ("
+            f"SELECT x AS a, y AS b FROM t{r} UNION ALL "
+            f"SELECT y AS a, z AS b FROM t{r} UNION ALL "
+            f"SELECT x AS a, z AS b FROM t{r}) GROUP BY a, b "
+            f"HAVING count(*) >= {_KTRUSS_K - 2})"
+        )
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT e.a, e.b FROM {p} e "
+            f"JOIN s{r} s ON e.a = s.a AND e.b = s.b)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT a, b, CAST(sup AS BIGINT) AS support FROM s{rounds}"
+    )
+
+
 # ---- wave 52: Poisson bootstrap CI, exact Spearman ----
 
 
@@ -7502,6 +7591,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 52
         "bootstrap_len_ci": _q_bootstrap,
         "spearman_len_sp": _q_spearman,
+        # wave 53
+        "cdc_chunk_spans": _q_cdc,
+        "ktruss_edges": _q_ktruss,
     }
 
 
@@ -8708,6 +8800,9 @@ def oracle_sql() -> dict[str, str]:
     # wave-52 oracles
     sqls["bootstrap_len_ci"] = _bootstrap_sql(24)
     sqls["spearman_len_sp"] = _SPEARMAN_SQL
+    # wave-53 oracles
+    sqls["cdc_chunk_spans"] = _cdc_sql()
+    sqls["ktruss_edges"] = _ktruss_sql()
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

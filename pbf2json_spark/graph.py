@@ -1032,3 +1032,75 @@ def personalized_pagerank_int(
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 30,
+) -> DataFrame:
+    """k-truss decomposition membership: iteratively delete every edge
+    whose triangle SUPPORT (number of triangles containing it) in the
+    remaining simple undirected graph is < k-2, until a fixpoint — the
+    edge-analog of `kcore` and a strictly stronger cohesion filter (the
+    k-truss is contained in the (k-1)-core): an edge survives only when
+    its endpoints share >= k-2 common neighbors that themselves survive.
+    The web-graph reading: mutual-link cliques (real communities) stay,
+    star-shaped link farms — which pass a degree filter — peel away.
+
+    Deterministic: each round removes ALL under-supported edges
+    simultaneously, so the result is the unique maximal subgraph where
+    every edge closes >= k-2 triangles (Cohen 2008) — order-free, which
+    is what makes the unrolled-CTE oracle exact.
+
+    Shape at 10^12 edges: per round, triangles are enumerated ONCE in
+    the canonical a<b<c orientation (edge ⋈ edge on the shared middle
+    node + ONE closing-edge semi-check — the triangle_stats plan: ids
+    only, the heavy wedge side is the join's build input under AQE),
+    each triangle charges its 3 edges via ONE explode + combinable
+    groupBy, and the filter is an inner join back on the edge key.
+    localCheckpoint per round; exits when a round deletes nothing.
+    Round count is bounded by the peel depth (small for web graphs);
+    `max_iters` guards the adversarial case.
+
+    Output: (a, b, support) for surviving edges, a < b, support >= k-2
+    counted within the k-truss subgraph.
+    """
+    e = (
+        edges.select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_prev = e.count()
+    out = None
+    for _ in range(max_iters):
+        e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+        tri = e1.join(e2, "y").join(e3, ["x", "z"])
+        charged = tri.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
+                    F.struct(F.col("y").alias("a"), F.col("z").alias("b")),
+                    F.struct(F.col("x").alias("a"), F.col("z").alias("b")),
+                )
+            ).alias("_e")
+        ).select("_e.a", "_e.b")
+        sup = charged.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+        keep = sup.filter(F.col("support") >= k - 2)
+        nxt = e.join(keep, ["a", "b"]).localCheckpoint(eager=True)
+        n_cur = nxt.count()
+        out = nxt
+        e = nxt.select("a", "b")
+        if n_cur == n_prev:
+            break
+        n_prev = n_cur
+    if out is None:  # max_iters == 0 degenerate guard
+        return e.withColumn("support", F.lit(0).cast("long")).limit(0)
+    return out.select("a", "b", "support")

@@ -583,3 +583,113 @@ def blocklist_screen_sql(
         f"SELECT {id_col}, term, CAST(count(*) AS BIGINT) AS n_hits "
         f"FROM h GROUP BY {id_col}, term"
     )
+
+
+# --- content-defined chunking (FastCDC-style, pure Column) -------------------------
+
+# base^(window-1-j) % mod for the rolling polynomial — LITERAL constants
+# shared with the SQL oracle (base 257, mod 2^31-1, window 8)
+CDC_MOD = 2_147_483_647
+CDC_POW = [2]  # placeholder, replaced below
+
+
+def _cdc_pows(base: int, window: int, mod: int) -> list[int]:
+    return [pow(base, window - 1 - j, mod) for j in range(window)]
+
+
+CDC_POW = _cdc_pows(257, 8, CDC_MOD)
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    mask: int = 63,
+    target: int = 17,
+) -> DataFrame:
+    """Content-defined chunking — the storage-dedup / incremental-sync
+    primitive (LBFS, rsync, FastCDC): cut points are chosen by the
+    CONTENT (a rolling polynomial hash over a ``window``-char sliding
+    window hits ``target`` under ``mask``), so inserting one byte shifts
+    only the chunk it lands in — fixed-size blocks would shift every
+    boundary after the edit. Chunk fingerprints then feed exact/near-dup
+    matching across document versions (the crawl-recrawl delta problem).
+
+    Entirely PURE COLUMN codegen — no Python, no explode-per-char: the
+    position list is an in-row `sequence`, the window hash a `transform`
+    over literal power-of-base constants (each term < 2^40, the 8-term
+    sum < 2^43 — one `% 2^31-1` at the end), cut ends a `filter`, and
+    chunk spans a `transform` over the ends array; ONE row-explode at
+    the very end emits (doc, chunk) rows. DuckDB mirrors every step with
+    list_* lambdas over the same integers — bit-exact, including the
+    md5 chunk fingerprint (substr is char-based in both engines).
+
+    Expected chunk length = mask+1 chars (geometric); the final partial
+    chunk always ends at len(text). Docs shorter than ``window`` become
+    a single chunk; empty/NULL texts emit nothing.
+
+    Output: (id, chunk_start, chunk_end [1-based inclusive], chunk_len,
+    chunk_md5).
+    """
+    if window != 8:
+        pows = _cdc_pows(257, window, CDC_MOD)
+    else:
+        pows = CDC_POW
+    t, d = F.col(text_col), F.col(id_col)
+    ln = F.length(t)
+
+    def win_hash(i):
+        s = None
+        for j, p in enumerate(pows):
+            term = F.ascii(F.substring(t, i + F.lit(j), 1)).cast("long") * F.lit(p)
+            s = term if s is None else s + term
+        return s % F.lit(CDC_MOD)
+
+    positions = F.when(
+        ln >= window, F.sequence(F.lit(1), ln - window + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    cuts = F.transform(
+        F.filter(positions, lambda i: win_hash(i) % (mask + 1) == target),
+        lambda i: (i + window - 1).cast("long"),
+    )
+    # each derived array is materialized as its own projection column —
+    # referencing the raw expression repeatedly would duplicate the whole
+    # rolling-hash subtree at every use site and blow up codegen size
+    staged = (
+        df.filter(ln > 0)
+        .select(d.alias("id"), t.alias("_t"), ln.alias("_ln"), cuts.alias("_cuts"))
+    )
+    lnl = F.col("_ln").cast("long")
+    # append the final end unless a cut already landed exactly there
+    ends = F.when(
+        (F.size("_cuts") > 0) & (F.element_at("_cuts", -1) == lnl), F.col("_cuts")
+    ).otherwise(F.concat("_cuts", F.array(lnl)))
+    staged = staged.select("id", "_t", ends.alias("_ends"))
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size("_ends")),
+        lambda idx: F.struct(
+            F.when(idx == 1, F.lit(1).cast("long"))
+            .otherwise(F.element_at("_ends", idx - 1) + 1)
+            .alias("s"),
+            F.element_at("_ends", idx).alias("e"),
+        ),
+    )
+    out = (
+        staged
+        .select("id", "_t", F.explode(chunks).alias("_c"))
+        .select(
+            "id",
+            F.col("_c.s").alias("chunk_start"),
+            F.col("_c.e").alias("chunk_end"),
+            (F.col("_c.e") - F.col("_c.s") + 1).alias("chunk_len"),
+            F.md5(
+                F.substring(
+                    F.col("_t"),
+                    F.col("_c.s").cast("int"),
+                    (F.col("_c.e") - F.col("_c.s") + 1).cast("int"),
+                ).cast("binary")
+            ).alias("chunk_md5"),
+        )
+    )
+    return out
