@@ -4952,6 +4952,121 @@ _LINKAGE_SQL = (
 )
 
 
+# ---- wave 54: weighted cost-distance raster, all-integer IPF raking ----
+
+
+def _q_cost_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted cost-distance / isochrone (raster.cost_distance, res 5,
+    cap 6): accumulated least cost from supplier seed cells over the
+    customer cell grid, per-cell cost = 1 + (x+y)%3 (derived from the
+    decoded coords so the oracle can recompute it). Bellman-Ford
+    wavefront vs the oracle's unrolled relaxation — bit-exact."""
+    res = 5
+    sup = _queries_supplier(spark, sf_dir).select(
+        cells.cell_col(F.col("lat"), F.col("lon"), res).alias("cell")
+    )
+    cust = _points_customer(spark, sf_dir).select(
+        cells.cell_col(F.col("lat"), F.col("lon"), res).alias("cell")
+    ).distinct()
+    cx, cy = raster._dt_xy(F.col("cell"))
+    cost_cells = cust.withColumn(
+        "cost", (F.lit(1) + (cx + cy) % 3).cast("long")
+    )
+    return raster.cost_distance(cost_cells, sup, res=res, max_cost=6)
+
+
+def _cost_dist_sql(res: int = 5, max_cost: int = 6, rounds: int = 7) -> str:
+    n = 1 << res
+    qx, qy = _sql_cell_xy("lat", "lon", res)
+    sx, sy = _sql_cell_xy("qlat", "qlon", res)
+    spread_x = raster._sql_spread("x")
+    spread_y = raster._sql_spread("y")
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if (dx, dy) != (0, 0)
+    )
+    parts = [
+        f"pts AS ({_PTS_SQL})",
+        "sup AS (SELECT "
+        "(s_suppkey * 131 % 16000) / CAST(100.0 AS DOUBLE) - "
+        "CAST(80.0 AS DOUBLE) AS qlat, "
+        "(s_suppkey * 257 % 34000) / CAST(100.0 AS DOUBLE) - "
+        "CAST(170.0 AS DOUBLE) AS qlon FROM supplier)",
+        f"grid AS MATERIALIZED (SELECT DISTINCT {qx} AS x, {qy} AS y, "
+        f"CAST(1 + ({qx} + {qy}) % 3 AS BIGINT) AS c FROM pts)",
+        f"sc AS MATERIALIZED (SELECT DISTINCT {sx} AS x, {sy} AS y FROM sup)",
+        "o(dx, dy) AS (SELECT * FROM (VALUES " + offs + "))",
+        "l0 AS MATERIALIZED (SELECT x, y, CAST(0 AS BIGINT) AS d FROM sc)",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"l{r - 1}"
+        parts.append(
+            f"l{r} AS MATERIALIZED (SELECT x, y, min(d) AS d FROM ("
+            f"SELECT x, y, d FROM {p} UNION ALL "
+            f"SELECT g.x, g.y, {p}.d + g.c AS d FROM {p}, o "
+            f"JOIN grid g ON g.x = ({p}.x + o.dx + {n}) % {n} "
+            f"AND g.y = {p}.y + o.dy "
+            f"WHERE {p}.d + g.c <= {max_cost}) GROUP BY x, y)"
+        )
+    last = f"l{rounds}"
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f", gc AS (SELECT x, y, CAST({res << 52} AS BIGINT) | ({spread_x}) "
+        f"| (({spread_y}) << 1) AS cell FROM grid), "
+        f"scc AS (SELECT x, y, CAST({res << 52} AS BIGINT) | ({spread_x}) "
+        f"| (({spread_y}) << 1) AS cell FROM sc) "
+        f"SELECT coalesce(gc.cell, scc.cell) AS cell, "
+        f"CAST(min(d) AS BIGINT) AS cost_dist FROM {last} l "
+        "LEFT JOIN gc ON l.x = gc.x AND l.y = gc.y "
+        "LEFT JOIN scc ON l.x = scc.x AND l.y = scc.y "
+        "WHERE coalesce(gc.cell, scc.cell) IS NOT NULL "
+        "GROUP BY coalesce(gc.cell, scc.cell)"
+    )
+
+
+def _q_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-integer IPF raking (sampling.ipf_weights, 3 rounds): rake the
+    documents lang × source contingency table to uniform margins with
+    scaled-integer weights and exact floor-division — deterministic,
+    order-free, bit-exact vs the oracle's unrolled half-round CTEs."""
+    return sampling.ipf_weights(
+        _t(spark, sf_dir, "documents"), "lang", "source", rounds=3
+    )
+
+
+def _ipf_sql(rounds: int = 3, scale: int = 1_000_000) -> str:
+    parts = [
+        "c0 AS MATERIALIZED (SELECT lang, source, "
+        f"CAST(count(*) AS BIGINT) AS n, CAST({scale} AS BIGINT) AS w "
+        "FROM documents GROUP BY lang, source)",
+        "t AS (SELECT sum(n * w) AS t0, "
+        "(SELECT count(DISTINCT lang) FROM c0) AS nr, "
+        "(SELECT count(DISTINCT source) FROM c0) AS nc FROM c0)",
+    ]
+    i = 0
+    for _ in range(rounds):
+        for key, tcol in (("lang", "t0 // nr"), ("source", "t0 // nc")):
+            p = f"c{i}"
+            i += 1
+            parts.append(
+                f"m{i} AS (SELECT {key}, sum(n * w) AS m FROM {p} GROUP BY {key})"
+            )
+            parts.append(
+                f"c{i} AS MATERIALIZED (SELECT c.lang, c.source, c.n, "
+                f"(c.w * (SELECT {tcol} FROM t) - (((c.w * (SELECT {tcol} "
+                f"FROM t)) % m.m + m.m) % m.m)) // m.m AS w "
+                f"FROM {p} c JOIN m{i} m ON c.{key} = m.{key})"
+            )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT lang, source, n, w FROM c{i}"
+    )
+
+
 # ---- wave 53: content-defined chunking, k-truss ----
 
 
@@ -7594,6 +7709,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 53
         "cdc_chunk_spans": _q_cdc,
         "ktruss_edges": _q_ktruss,
+        # wave 54
+        "cost_isochrone": _q_cost_dist,
+        "ipf_lang_source": _q_ipf,
     }
 
 
@@ -8803,6 +8921,9 @@ def oracle_sql() -> dict[str, str]:
     # wave-53 oracles
     sqls["cdc_chunk_spans"] = _cdc_sql()
     sqls["ktruss_edges"] = _ktruss_sql()
+    # wave-54 oracles
+    sqls["cost_isochrone"] = _cost_dist_sql()
+    sqls["ipf_lang_source"] = _ipf_sql()
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

@@ -352,3 +352,122 @@ def _distance_transform_impl(
         F.coalesce(F.col("dist"), F.lit(max_d + 1)).cast("int").alias("dist"),
     )
     return out
+
+
+def cost_distance(
+    cost_cells: DataFrame,
+    seeds: DataFrame,
+    res: int,
+    max_cost: int,
+    cell_col: str = "cell",
+    cost_col: str = "cost",
+) -> DataFrame:
+    """Weighted cost-distance raster (travel-time / isochrone layer):
+    the accumulated least cost to reach each grid cell from the nearest
+    seed, where entering cell v costs ``cost(v)`` (integer >= 1) and
+    moves use the 8-neighborhood. `distance_transform` is the uniform
+    special case (cost == 1 everywhere); with per-cell travel costs this
+    is the cost-surface analysis of classic raster GIS ("how long to
+    reach the nearest hospital over this terrain"), and at web scale the
+    geo-exposure weighting layer for documents binned to cells.
+
+    Algorithm: distributed Bellman–Ford relaxation on the implicit grid
+    graph — per round, every labeled cell offers dist+cost(v) to its 8
+    neighbors v (ONE explode ×8 → equi-join onto the cost table on
+    integer (x, y) → min-groupBy merged with the previous labels), so a
+    round is frontier-ish-sized work and labels only ever decrease.
+    Labels above ``max_cost`` are pruned each round — the cap both
+    bounds the wavefront (the isochrone boundary) and bounds the round
+    count: every step costs >= 1, so a shortest path under the cap has
+    <= max_cost hops and the fixpoint arrives within max_cost rounds
+    (the loop exits as soon as (count, sum) of labels is stable —
+    monotone labels make that an exact convergence test). Longitude
+    wraps via pmod on x; y clamps at the poles; cells absent from
+    ``cost_cells`` are impassable (never labeled).
+
+    Seeds start at distance 0 (their own cost is not paid — the classic
+    accumulated-cost convention); seed cells missing from the cost table
+    still label their neighbors. All integers → bit-exact unrolled-CTE
+    oracle.
+
+    Output: (cell, cost_dist int) for every reachable cost-table cell
+    (and seed) with cost_dist <= max_cost.
+    """
+    if max_cost < 0:
+        raise ValueError("max_cost must be >= 0")
+    n = 1 << res
+    cx, cy = _dt_xy(F.col(cell_col))
+    grid = (
+        cost_cells.select(
+            cx.alias("x"), cy.alias("y"), F.col(cost_col).cast("long").alias("c"),
+            F.col(cell_col).alias("cell"),
+        )
+        .groupBy("x", "y", "cell")
+        .agg(F.min("c").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    sx, sy = _dt_xy(F.col(cell_col))
+    labels = (
+        seeds.select(sx.alias("x"), sy.alias("y"))
+        .distinct()
+        .withColumn("d", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+    prev_sig = (labels.count(), 0)
+    for _ in range(max_cost + 1):
+        nb = labels.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.pmod(F.col("x") + dx, F.lit(n)).alias("x"),
+                            (F.col("y") + dy).alias("y"),
+                        )
+                        for dx, dy in offs
+                    ]
+                )
+            ).alias("_n"),
+            F.col("d"),
+        ).select("_n.x", "_n.y", "d").filter(
+            (F.col("y") >= 0) & (F.col("y") < n)
+        )
+        cand = (
+            nb.join(grid.select("x", "y", "c"), ["x", "y"])
+            .select("x", "y", (F.col("d") + F.col("c")).alias("d"))
+            .filter(F.col("d") <= max_cost)
+        )
+        merged = (
+            labels.unionByName(cand)
+            .groupBy("x", "y")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        row = merged.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("d").alias("s")
+        ).collect()[0]
+        sig = (row["n"], row["s"] or 0)
+        labels = merged
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # label set → cell ids: seeds may sit off the cost grid, so rebuild
+    # their cell id from (x, y) via the grid table where present, else
+    # from the seed frame itself
+    seed_cells = seeds.select(
+        sx.alias("x"), sy.alias("y"), F.col(cell_col).alias("cell")
+    ).distinct()
+    withcell = (
+        labels.join(grid.select("x", "y", "cell"), ["x", "y"], "left")
+        .join(
+            seed_cells.withColumnRenamed("cell", "_scell"), ["x", "y"], "left"
+        )
+        .select(
+            F.coalesce(F.col("cell"), F.col("_scell")).alias("cell"),
+            F.col("d").alias("cost_dist"),
+        )
+        .filter(F.col("cell").isNotNull())
+        .groupBy("cell")
+        .agg(F.min("cost_dist").alias("cost_dist"))
+    )
+    return withcell

@@ -340,3 +340,77 @@ def negative_pairs(
             F.col("slot").cast("long").alias("slot"),
         )
     )
+
+
+def ipf_weights(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    rounds: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Iterative proportional fitting (raking) to UNIFORM margins: the
+    dataset-mixture balancing step of a corpus release — reweight the
+    (row, col) contingency table (e.g. lang × source) so that, under the
+    weights, every row category and every column category carries an
+    equal share, while cell interactions stay as observed (the classic
+    survey-statistics rake, Deming & Stephan 1940).
+
+    ALL-INTEGER discipline: weights live as scaled integers (start at
+    ``scale``), each half-round rescales by the target/current margin
+    ratio via exact floor-division (the double-mod floor idiom) —
+    deterministic, order-free (margins are INTEGER sums), bit-exact in
+    any engine, and convergent to the float fixpoint within ~1e-6
+    relative (quantization only stops improving below the grain of
+    ``scale``, which is far past any practical raking tolerance).
+    Fixed ``rounds`` (not a fixpoint test) keeps the unrolled oracle
+    exact.
+
+    Shape at 10^12 rows: ONE combinable groupBy builds the contingency
+    table (|rows|×|cols| cells — metadata scale for categorical
+    dimensions); each half-round is a margin groupBy + a broadcast-size
+    join ON THE CELL TABLE, never touching the base rows again; apply
+    the final weights back with one broadcast join keyed (row, col).
+
+    Targets: uniform — target_row = total·scale div n_rows (etc.) in the
+    same scaled units. (Arbitrary target vectors would be a dict
+    argument compiled to a literal CASE; uniform is the common corpus-
+    balancing case and keeps the gate surface closed-form.)
+
+    Output: (row_col, col_col, n, w) — w the scaled-integer weight; the
+    weighted margins n·w per row/col category agree with the uniform
+    target to within |cells| quantization units.
+    """
+    r, c = F.col(row_col), F.col(col_col)
+    cells = (
+        df.groupBy(row_col, col_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("w", F.lit(scale).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+
+    # constant targets from the ORIGINAL mass (the classic rake): T0 =
+    # N·scale split evenly over each dimension's categories — two
+    # metadata-scale driver reads, once, not per round
+    t0 = cells.agg(F.sum(F.col("n") * F.col("w")).alias("t")).collect()[0]["t"]
+    n_r = cells.select(row_col).distinct().count()
+    n_c = cells.select(col_col).distinct().count()
+    targets = {row_col: t0 // n_r, col_col: t0 // n_c}
+
+    for _ in range(rounds):
+        for key in (row_col, col_col):
+            marg = cells.groupBy(key).agg(
+                F.sum(F.col("n") * F.col("w")).alias("_m")
+            )
+            j = cells.join(marg, key)
+            num = F.col("w") * F.lit(targets[key])
+            adj = num - ((num % F.col("_m") + F.col("_m")) % F.col("_m"))
+            cells = (
+                j.withColumn("_num", adj)
+                .withColumn("w", F.expr("_num div _m"))
+                .select(row_col, col_col, "n", "w")
+                .localCheckpoint(eager=True)
+            )
+    return cells.select(
+        r, c, F.col("n").cast("long").alias("n"), F.col("w").cast("long").alias("w")
+    )
