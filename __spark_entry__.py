@@ -4952,6 +4952,59 @@ _LINKAGE_SQL = (
 )
 
 
+# ---- wave 55: Soundex phonetic keys, Borůvka MST ----
+
+_SDX_NAMES = [
+    "meyer", "meier", "schmidt", "schmitt", "hansen", "hanson", "virtanen",
+    "korhonen", "nieminen", "makinen", "johansson", "jonsson", "andersson",
+    "lindqvist", "lindkvist", "oconnor", "o'connor", "washington", "robert",
+    "rupert",
+]
+
+
+def _q_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking keys (textops.soundex_key): customers get
+    surname variants from a literal 20-name pool (typo twins adjacent —
+    meyer/meier, schmidt/schmitt land in one block); the key is the
+    explicit translate/regexp Soundex ladder, bit-identical in DuckDB
+    (no engine soundex builtin anywhere in the plan)."""
+    c = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    name = F.element_at(
+        F.array(*[F.lit(n) for n in _SDX_NAMES]), (ck % 20 + 1).cast("int")
+    )
+    return c.select(
+        ck.alias("id"),
+        name.alias("name"),
+        textops.soundex_key(name).alias("sdx"),
+    )
+
+
+def _soundex_sql() -> str:
+    pool = "[" + ", ".join("'" + n.replace("'", "''") + "'" for n in _SDX_NAMES) + "]"
+    name = f"({pool})[(CAST(c_custkey AS BIGINT) % 20 + 1)::INT]"
+    return (
+        f"SELECT CAST(c_custkey AS BIGINT) AS id, {name} AS name, "
+        f"{textops.soundex_sql(name)} AS sdx FROM customer"
+    )
+
+
+def _q_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borůvka minimum spanning forest (graph.boruvka_mst) over the
+    kcore gate graph with deterministic integer weights — O(log n)
+    simultaneous min-edge election + pseudo-forest contraction. Value-
+    exactness is pinned by pytest vs Kruskal under the identical
+    (w, a, b) total order; rows-only here BY DESIGN (union-find /
+    multi-round contraction is not expressible as a fixed SQL unroll —
+    the pointer-jump depth is data-dependent)."""
+    e = _kcore_edges(spark, sf_dir)
+    w = (
+        (F.least("src", "dst") * 2654435761 + F.greatest("src", "dst") * 40503)
+        % 100000
+    ) + 1
+    return graph.boruvka_mst(e.withColumn("w", w)).orderBy("a", "b")
+
+
 # ---- wave 54: weighted cost-distance raster, all-integer IPF raking ----
 
 
@@ -7712,6 +7765,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 54
         "cost_isochrone": _q_cost_dist,
         "ipf_lang_source": _q_ipf,
+        # wave 55 (mst_forest is rows-only: data-dependent contraction depth)
+        "soundex_blocks": _q_soundex,
+        "mst_forest": _q_mst,
     }
 
 
@@ -8924,6 +8980,9 @@ def oracle_sql() -> dict[str, str]:
     # wave-54 oracles
     sqls["cost_isochrone"] = _cost_dist_sql()
     sqls["ipf_lang_source"] = _ipf_sql()
+    # wave-55 oracle (mst_forest: none by design — contraction depth is
+    # data-dependent; pytest pins it against Kruskal)
+    sqls["soundex_blocks"] = _soundex_sql()
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

@@ -1104,3 +1104,133 @@ def ktruss(
     if out is None:  # max_iters == 0 degenerate guard
         return e.withColumn("support", F.lit(0).cast("long")).limit(0)
     return out.select("a", "b", "support")
+
+
+def boruvka_mst(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Minimum spanning forest via distributed Borůvka — the O(log n)-
+    round MST algorithm that parallelizes (Kruskal's union-find is
+    inherently sequential): every round, EVERY component picks its
+    cheapest outgoing edge simultaneously, picked edges merge components
+    by pointer-jumping, and the component count at least halves. The
+    downstream payoff is single-linkage clustering: cut MST edges above
+    a threshold and the surviving forest's components ARE the
+    single-linkage clusters (compose with `connected_components`) —
+    the dendrogram backbone for spatial hotspot delineation over
+    geo-binned documents.
+
+    Determinism without an edge-id column: edges order by the total key
+    (w, a, b) — unique per edge — so ties in w break identically on any
+    partitioning/engine and the forest is THE unique minimum forest
+    under that order (equivalent to perturbing weights lexicographically).
+
+    Round shape at 10^10 edges: two broadcast-ish hash joins stamp
+    current component labels onto endpoints (the label table is
+    node-sized); min-edge election is ONE map-side-combinable
+    struct-min groupBy per direction; merging is the classic
+    pseudo-forest contraction — each component points at the component
+    it picked, 2-cycles break toward the smaller id (roots), then
+    pointer-jumping doubles to the root in O(log) tiny self-joins on
+    the COMPONENT table (component-sized, halving every round — never
+    edge-sized work). localCheckpoint pins each round.
+
+    Output: forest edges (a, b, w) — n_nodes − n_components rows.
+    """
+    e = (
+        edges.select(
+            F.least(src, dst).alias("a"),
+            F.greatest(src, dst).alias("b"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    comp = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    mst = None
+    for _ in range(max_rounds):
+        ca = comp.select(F.col("node").alias("a"), F.col("comp").alias("_ca"))
+        cb = comp.select(F.col("node").alias("b"), F.col("comp").alias("_cb"))
+        live = (
+            e.join(ca, "a").join(cb, "b").filter(F.col("_ca") != F.col("_cb"))
+        )
+        if live.limit(1).count() == 0:
+            break
+        pick = F.struct("w", "a", "b")
+        chosen = (
+            live.select(F.col("_ca").alias("c"), pick.alias("p"),
+                        F.col("_cb").alias("oc"))
+            .unionByName(
+                live.select(F.col("_cb").alias("c"), pick.alias("p"),
+                            F.col("_ca").alias("oc"))
+            )
+            .groupBy("c")
+            .agg(F.min(F.struct(F.col("p"), F.col("oc"))).alias("_m"))
+            .select(
+                "c",
+                F.col("_m.p.a").alias("a"),
+                F.col("_m.p.b").alias("b"),
+                F.col("_m.p.w").alias("w"),
+                F.col("_m.oc").alias("oc"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_edges = chosen.select("a", "b", "w").distinct()
+        mst = new_edges if mst is None else mst.unionByName(new_edges)
+        mst = mst.localCheckpoint(eager=True)
+        # pseudo-forest contraction: c -> oc; a 2-cycle (mutual pick —
+        # the only cycle shape under the unique (w,a,b) order) roots at
+        # the smaller id. tgt is keyed on par's UNIQUE c, so the join
+        # stays one row per component: _ocp = pointer of c's target.
+        par = chosen.select("c", "oc")
+        tgt = par.select(F.col("c").alias("oc"), F.col("oc").alias("_ocp"))
+        par = (
+            par.join(tgt, "oc", "left")
+            .select(
+                "c",
+                F.when(
+                    (F.col("_ocp") == F.col("c")) & (F.col("c") < F.col("oc")),
+                    F.col("c"),
+                )
+                .otherwise(F.col("oc"))
+                .alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # pointer jumping to roots
+        for _ in range(max_rounds):
+            g = par.select(F.col("c").alias("_pc"), F.col("p").alias("_pp"))
+            nxt = (
+                par.join(g, par["p"] == g["_pc"], "left")
+                .select("c", F.coalesce("_pp", "p").alias("p"))
+                .localCheckpoint(eager=True)
+            )
+            moved = (
+                nxt.join(par.withColumnRenamed("p", "_old"), "c")
+                .filter(F.col("p") != F.col("_old"))
+                .limit(1)
+                .count()
+            )
+            par = nxt
+            if moved == 0:
+                break
+        comp = (
+            comp.join(par.withColumnRenamed("c", "comp"), "comp", "left")
+            .select("node", F.coalesce("p", "comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+    if mst is None:
+        return e.limit(0)
+    return mst.select("a", "b", "w")

@@ -693,3 +693,49 @@ def cdc_chunks(
         )
     )
     return out
+
+
+# --- phonetic keys (American Soundex, engine-portable) -----------------------------
+
+_SOUNDEX_FROM = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_SOUNDEX_TO = "01230120022455012623010202"
+
+
+def soundex_key(col: Column) -> Column:
+    """American Soundex as an explicit translate/regexp ladder — NOT
+    Spark's built-in `soundex()`, deliberately: the oracle engine has no
+    soundex, so the key is built from primitives both engines share
+    (upper/translate/regexp_replace with RE2-safe patterns — no
+    backreferences: runs collapse via '<d>+' classes per digit), making
+    the blocking key bit-identical cross-engine. The classic use here:
+    the phonetic BLOCKING pass of record_linkage — "Smith"/"Smyth" land
+    in the same block where exact/prefix blocking splits them.
+
+    Simplified-variant rules (the common DBMS one): letters→digits
+    (BFPV→1 CGJKQSXZ→2 DT→3 L→4 MN→5 R→6, vowels+HWY→0), adjacent equal
+    digits collapse ONCE over the raw code string (H/W are not
+    transparent), zeros drop, the first letter is kept verbatim with its
+    own leading code removed, pad/truncate to letter+3. Non-alpha chars
+    are stripped first; empty/NULL → NULL.
+    """
+    s = F.regexp_replace(F.upper(col), "[^A-Z]", "")
+    code = F.translate(s, _SOUNDEX_FROM, _SOUNDEX_TO)
+    for d in "0123456":
+        code = F.regexp_replace(code, d + "+", d)
+    # drop the (already collapsed-into-one) leading code of the first letter
+    tail = F.substring(code, 2, 1000)
+    tail = F.regexp_replace(tail, "0", "")
+    key = F.concat(F.substring(s, 1, 1), F.rpad(F.substring(tail, 1, 3), 3, "0"))
+    return F.when(F.length(s) > 0, key)
+
+
+def soundex_sql(expr: str) -> str:
+    """DuckDB mirror of soundex_key over the SQL expression `expr` —
+    the same primitive ladder, composable into oracle queries."""
+    s = f"regexp_replace(upper({expr}), '[^A-Z]', '', 'g')"
+    code = f"translate({s}, '{_SOUNDEX_FROM}', '{_SOUNDEX_TO}')"
+    for d in "0123456":
+        code = f"regexp_replace({code}, '{d}+', '{d}', 'g')"
+    tail = f"replace(substr({code}, 2), '0', '')"
+    key = f"substr({s}, 1, 1) || rpad(substr({tail}, 1, 3), 3, '0')"
+    return f"CASE WHEN length({s}) > 0 THEN {key} END"
