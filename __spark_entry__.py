@@ -4952,6 +4952,119 @@ _LINKAGE_SQL = (
 )
 
 
+# ---- wave 56: golden-record survivorship, seasonal-naive MASE ----
+
+
+def _q_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (dedup.golden_records) COMPOSED with
+    record_linkage: the wave-51 customer-vs-perturbed-twin match pairs
+    (decision = 'match') merge into entity clusters (CC + singletons),
+    and each cluster publishes majority-vote canonical name/phone (ties
+    → smallest value). The full MDM chain — block → score → cluster →
+    survive — in one plan."""
+    pairs = _q_linkage(spark, sf_dir).filter(
+        F.col("decision") == "match"
+    ).select("id_l", "id_r")
+    c = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    phone = F.lpad(((ck * 48271) % 100000000).cast("string"), 8, "0")
+    left = c.select(
+        ck.alias("rid"), F.lower(F.col("c_name")).alias("name"),
+        phone.alias("phone"),
+    )
+    right = c.select(
+        (ck + 1000000).alias("rid"),
+        F.when(
+            ck % 3 == 0,
+            F.expr("substring(lower(c_name), 1, length(c_name) - 2)"),
+        ).otherwise(F.lower(F.col("c_name"))).alias("name"),
+        F.when(ck % 7 == 0, F.lit(None).cast("string")).otherwise(phone)
+        .alias("phone"),
+    )
+    recs = left.unionByName(right)
+    return dedup.golden_records(recs, "rid", pairs, ["name", "phone"])
+
+
+_GOLDEN_SQL = (
+    "WITH RECURSIVE "
+    "l AS (SELECT CAST(c_custkey AS BIGINT) AS id_l, "
+    "CAST(c_nationkey AS BIGINT) AS blk, lower(c_name) AS name_l, "
+    "lpad(CAST((CAST(c_custkey AS BIGINT) * 48271) % 100000000 AS VARCHAR), "
+    "8, '0') AS phone_l FROM customer), "
+    "r AS (SELECT CAST(c_custkey AS BIGINT) + 1000000 AS id_r, "
+    "CAST(c_nationkey AS BIGINT) AS blk, "
+    "CASE WHEN c_custkey % 3 = 0 THEN substr(lower(c_name), 1, "
+    "length(c_name) - 2) ELSE lower(c_name) END AS name_r, "
+    "CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE "
+    "lpad(CAST((CAST(c_custkey AS BIGINT) * 48271) % 100000000 AS VARCHAR), "
+    "8, '0') END AS phone_r FROM customer), "
+    "pairs AS (SELECT id_l, id_r FROM (SELECT id_l, id_r, "
+    "CAST(CASE WHEN levenshtein(name_l, name_r) <= 2 THEN 2400 "
+    "ELSE -1700 END AS BIGINT) + "
+    "CAST(CASE WHEN phone_l = phone_r THEN 1600 ELSE -900 END AS BIGINT) "
+    "AS score FROM l JOIN r USING(blk)) WHERE score >= 2500), "
+    "recs AS (SELECT id_l AS rid, name_l AS name, phone_l AS phone FROM l "
+    "UNION ALL SELECT id_r, name_r, phone_r FROM r), "
+    "e AS (SELECT id_l AS x, id_r AS y FROM pairs "
+    "UNION SELECT id_r, id_l FROM pairs), "
+    "walk(x, lab) AS (SELECT rid, rid FROM recs "
+    "UNION SELECT e.y, w.lab FROM e JOIN walk w ON e.x = w.x), "
+    "cc AS (SELECT x AS rid, min(lab) AS cluster_id FROM walk GROUP BY x), "
+    "m AS (SELECT recs.rid, recs.name, recs.phone, cc.cluster_id "
+    "FROM recs JOIN cc USING(rid)), "
+    "sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members "
+    "FROM m GROUP BY cluster_id), "
+    "nv AS (SELECT cluster_id, name, count(*) AS c FROM m "
+    "WHERE name IS NOT NULL GROUP BY cluster_id, name), "
+    "nb AS (SELECT cluster_id, name FROM (SELECT cluster_id, name, "
+    "row_number() OVER (PARTITION BY cluster_id ORDER BY c DESC, name) "
+    "AS rn FROM nv) WHERE rn = 1), "
+    "pv AS (SELECT cluster_id, phone, count(*) AS c FROM m "
+    "WHERE phone IS NOT NULL GROUP BY cluster_id, phone), "
+    "pb AS (SELECT cluster_id, phone FROM (SELECT cluster_id, phone, "
+    "row_number() OVER (PARTITION BY cluster_id ORDER BY c DESC, phone) "
+    "AS rn FROM pv) WHERE rn = 1) "
+    "SELECT sz.cluster_id, sz.n_members, nb.name, pb.phone FROM sz "
+    "LEFT JOIN nb USING(cluster_id) LEFT JOIN pb USING(cluster_id)"
+)
+
+
+def _q_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive MASE backtest (temporal.seasonal_naive_eval,
+    season 7, holdout 14) over per-type daily event counts — the
+    gap-correct equi-join lag (never a row-offset window), integer
+    error sums, fixed-tree mase."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", _ntz_epoch_us("ts").alias("_us")
+    ).select("event_type", F.expr("_us div 86400000000").alias("d"))
+    daily = e.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("v"))
+    return temporal.seasonal_naive_eval(daily, "event_type", "d", "v")
+
+
+_MASE_SQL = (
+    "WITH daily AS (SELECT event_type AS k, "
+    "CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d, "
+    "CAST(count(*) AS BIGINT) AS v FROM events GROUP BY k, d), "
+    "cut AS (SELECT max(d) - 13 AS c FROM daily), "
+    "j AS (SELECT a.k, a.d, a.v, b.v AS f FROM daily a "
+    "JOIN daily b ON a.k = b.k AND b.d = a.d - 7), "
+    "t AS (SELECT k, CAST(count(*) AS BIGINT) AS n_test, "
+    "CAST(sum(abs(v - f)) AS BIGINT) AS sae_test FROM j, cut "
+    "WHERE d >= c GROUP BY k), "
+    "n AS (SELECT k, CAST(count(*) AS BIGINT) AS n_naive, "
+    "CAST(sum(abs(v - f)) AS BIGINT) AS sae_naive FROM j, cut "
+    "WHERE d < c GROUP BY k) "
+    "SELECT coalesce(t.k, n.k) AS event_type, "
+    "coalesce(n_test, 0) AS n_test, coalesce(sae_test, 0) AS sae_test, "
+    "coalesce(n_naive, 0) AS n_naive, coalesce(sae_naive, 0) AS sae_naive, "
+    "CASE WHEN coalesce(n_test, 0) > 0 AND coalesce(n_naive, 0) > 0 "
+    "AND sae_naive > 0 THEN (CAST(sae_test AS DOUBLE) / "
+    "CAST(n_test AS DOUBLE)) / (CAST(sae_naive AS DOUBLE) / "
+    "CAST(n_naive AS DOUBLE)) END AS mase "
+    "FROM t FULL JOIN n ON t.k = n.k"
+)
+
+
 # ---- wave 55: Soundex phonetic keys, Borůvka MST ----
 
 _SDX_NAMES = [
@@ -7768,6 +7881,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 55 (mst_forest is rows-only: data-dependent contraction depth)
         "soundex_blocks": _q_soundex,
         "mst_forest": _q_mst,
+        # wave 56
+        "golden_recs": _q_golden,
+        "mase_event_days": _q_mase,
     }
 
 
@@ -8983,6 +9099,9 @@ def oracle_sql() -> dict[str, str]:
     # wave-55 oracle (mst_forest: none by design — contraction depth is
     # data-dependent; pytest pins it against Kruskal)
     sqls["soundex_blocks"] = _soundex_sql()
+    # wave-56 oracles
+    sqls["golden_recs"] = _GOLDEN_SQL
+    sqls["mase_event_days"] = _MASE_SQL
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

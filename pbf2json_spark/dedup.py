@@ -738,3 +738,58 @@ def record_linkage(
         .otherwise(F.lit("possible"))
         .alias("decision"),
     )
+
+
+def golden_records(
+    df: DataFrame,
+    id_col: str,
+    match_pairs: DataFrame,
+    attr_cols: list[str],
+    left_id: str = "id_l",
+    right_id: str = "id_r",
+) -> DataFrame:
+    """Golden-record survivorship — the master-data step AFTER
+    record_linkage: matched pairs merge into entity clusters (connected
+    components over the match graph; unmatched records stay singleton
+    clusters), and each cluster publishes ONE canonical row per
+    attribute by majority vote — the most frequent non-NULL value wins,
+    ties break toward the smallest value, so the golden row is a pure
+    function of the input (re-run / re-partition / cross-engine stable).
+
+    Shape at 10^9 records: the cluster labeling is `graph.
+    connected_components` (pointer-doubling, component-sized work);
+    singletons join in via ONE left join on the id; each attribute's
+    vote is a combinable groupBy(cluster, value) count + a struct-MIN
+    argmax — never a window over the full record set — and the |attrs|
+    slim vote frames join back on the cluster key. Match graphs are
+    near-forests (clusters of duplicate records are small), so every
+    join key is well-distributed; a pathological mega-cluster is a data
+    bug the n_members column surfaces immediately.
+
+    Output: (cluster_id = min member id, n_members, *attr_cols).
+    """
+    from pbf2json_spark.graph import connected_components
+
+    ids = df.select(F.col(id_col).alias("_id"))
+    cc = connected_components(
+        match_pairs.select(F.col(left_id).alias("a"), F.col(right_id).alias("b"))
+    )
+    labeled = (
+        ids.join(cc.withColumnRenamed("id", "_id"), "_id", "left")
+        .select("_id", F.coalesce("rep", "_id").alias("cluster_id"))
+    )
+    base = df.join(labeled, df[id_col] == labeled["_id"]).drop("_id")
+    out = base.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    for a in attr_cols:
+        votes = (
+            base.filter(F.col(a).isNotNull())
+            .groupBy("cluster_id", a)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .groupBy("cluster_id")
+            .agg(F.min(F.struct((-F.col("_c")).alias("nc"), F.col(a).alias("v"))).alias("_b"))
+            .select("cluster_id", F.col("_b.v").alias(a))
+        )
+        out = out.join(votes, "cluster_id", "left")
+    return out

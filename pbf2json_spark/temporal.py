@@ -898,3 +898,73 @@ def rolling_active_users(
         .groupBy("day_end")
         .agg(F.countDistinct("_u").alias("active_users"))
     )
+
+
+def seasonal_naive_eval(
+    df: DataFrame,
+    series_col: str,
+    day_col: str,
+    value_col: str,
+    season: int = 7,
+    holdout: int = 14,
+) -> DataFrame:
+    """Forecast backtest against the SEASONAL-NAIVE baseline with MASE
+    (Hyndman & Koehler's scale-free error) — the honesty check every
+    traffic/trend forecast needs: a model is only useful if it beats
+    "same value as `season` periods ago", and MASE expresses the test
+    error in units of that baseline's in-sample error (MASE < 1 beats
+    it, scale-free across series of wildly different volume — the web
+    corpus case).
+
+    The last `holdout` day-indices (global cutoff from the max day) are
+    the test window; forecast(t) = value(t − season). GAP-CORRECT by
+    construction: the lag is an EQUI-JOIN on (series, day − season),
+    never a row-offset window — a missing day simply contributes no
+    term, where lag(row) would silently misalign every series with
+    holes (the windowed_events class of bug, avoided by design).
+    Error sums are pure BIGINTs; mase is the fixed float tree
+    (sae_test/n_test)/(sae_naive/n_naive), NULL when either side is
+    empty or the baseline error is 0 (a perfectly periodic series).
+
+    Shape: two self-equi-joins on (series, day) — hash-partitioned,
+    combinable aggregates, no sorts, no windows.
+
+    Output: (series, n_test, sae_test, n_naive, sae_naive, mase).
+    """
+    s = df.select(
+        F.col(series_col).alias("k"),
+        F.col(day_col).cast("long").alias("d"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    cutoff = s.agg(F.max("d").alias("m")).select(
+        (F.col("m") - F.lit(holdout) + 1).alias("cut")
+    )
+    lagged = s.select(
+        F.col("k"), (F.col("d") + F.lit(season)).alias("d"), F.col("v").alias("f")
+    )
+    j = s.join(lagged, ["k", "d"]).crossJoin(F.broadcast(cutoff))
+    test = j.filter(F.col("d") >= F.col("cut"))
+    train = j.filter(F.col("d") < F.col("cut"))
+    t_agg = test.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(F.abs(F.col("v") - F.col("f"))).alias("sae_test"),
+    )
+    n_agg = train.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_naive"),
+        F.sum(F.abs(F.col("v") - F.col("f"))).alias("sae_naive"),
+    )
+    out = t_agg.join(n_agg, "k", "full")
+    mase = (
+        F.col("sae_test").cast("double") / F.col("n_test").cast("double")
+    ) / (F.col("sae_naive").cast("double") / F.col("n_naive").cast("double"))
+    return out.select(
+        F.col("k").alias(series_col),
+        F.coalesce("n_test", F.lit(0)).cast("long").alias("n_test"),
+        F.coalesce("sae_test", F.lit(0)).cast("long").alias("sae_test"),
+        F.coalesce("n_naive", F.lit(0)).cast("long").alias("n_naive"),
+        F.coalesce("sae_naive", F.lit(0)).cast("long").alias("sae_naive"),
+        F.when(
+            (F.col("n_test") > 0) & (F.col("n_naive") > 0) & (F.col("sae_naive") > 0),
+            mase,
+        ).alias("mase"),
+    )
