@@ -4952,6 +4952,76 @@ _LINKAGE_SQL = (
 )
 
 
+# ---- wave 57: quantile normalization, term dispersion ----
+
+
+def _q_qnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-group quantile normalization (stats.quantile_normalize):
+    per-language document lengths rank-mapped onto the pooled length
+    distribution — all-integer (doubled midranks, floor-div index,
+    SELECTED pooled order statistic, never interpolated). The cross-dump
+    score-calibration primitive."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return stats.quantile_normalize(d, "lang", "n_chars")
+
+
+_QNORM_SQL = (
+    "WITH d AS (SELECT doc_id, lang, n_chars FROM documents), "
+    "h AS (SELECT lang, n_chars, CAST(count(*) AS BIGINT) AS cnt FROM d "
+    "GROUP BY lang, n_chars), "
+    "rk AS (SELECT lang, n_chars, 2 * coalesce(sum(cnt) OVER ("
+    "PARTITION BY lang ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING "
+    "AND 1 PRECEDING), 0) + cnt + 1 AS two_r FROM h), "
+    "gs AS (SELECT lang, CAST(count(*) AS BIGINT) AS ng FROM d GROUP BY lang), "
+    "ph AS (SELECT n_chars AS pv, CAST(count(*) AS BIGINT) AS pc FROM d "
+    "GROUP BY n_chars), "
+    "pr AS (SELECT pv, coalesce(sum(pc) OVER (ORDER BY pv ROWS BETWEEN "
+    "UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS lo, "
+    "coalesce(sum(pc) OVER (ORDER BY pv ROWS BETWEEN UNBOUNDED PRECEDING "
+    "AND 1 PRECEDING), 0) + pc AS hi FROM ph), "
+    "np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d), "
+    "ix AS (SELECT rk.lang, rk.n_chars, greatest(1, least(np.n, "
+    "((rk.two_r - 1) * np.n) // (2 * gs.ng) + 1)) AS idx "
+    "FROM rk JOIN gs USING(lang), np), "
+    "mp AS (SELECT ix.lang, ix.n_chars, pr.pv AS norm_value FROM ix "
+    "JOIN pr ON ix.idx >= pr.lo AND ix.idx <= pr.hi) "
+    "SELECT d.doc_id, d.lang, d.n_chars, mp.norm_value FROM d "
+    "JOIN mp ON d.lang = mp.lang AND d.n_chars = mp.n_chars"
+)
+
+
+def _q_term_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gries DP term dispersion (corpus.term_dispersion) over source
+    parts — exact integer numerator/denominator + e6 fixed point; the
+    clumped-vocabulary screen complementing token_lift."""
+    d = _t(spark, sf_dir, "documents")
+    return corpus.term_dispersion(d, "source", min_freq=50)
+
+
+_TERM_DP_SQL = (
+    "WITH tok AS (SELECT source AS p, unnest(CASE WHEN "
+    "length(trim(text)) = 0 THEN [] "
+    r"ELSE string_split_regex(trim(text), '\s+') END) AS w FROM documents), "
+    "tc AS (SELECT p, w, CAST(count(*) AS BIGINT) AS f FROM tok "
+    "GROUP BY p, w), "
+    "parts AS (SELECT p, CAST(count(*) AS BIGINT) AS t FROM tok GROUP BY p), "
+    "tot AS (SELECT w, sum(f) AS ftot FROM tc GROUP BY w), "
+    "bt AS (SELECT sum(t) AS bigt FROM parts), "
+    "j AS (SELECT tc.w, tc.f, parts.t, tot.ftot, bt.bigt FROM tc "
+    "JOIN parts USING(p) JOIN tot USING(w), bt WHERE tot.ftot >= 50), "
+    "per AS (SELECT w, ftot, bigt, "
+    "sum(abs(f * bigt - ftot * t)) AS present, sum(ftot * t) AS mass "
+    "FROM j GROUP BY w, ftot, bigt) "
+    "SELECT w AS term, ftot AS f, "
+    "present + (ftot * bigt - mass) AS dp_num, "
+    "2 * ftot * bigt AS dp_den, "
+    "((present + (ftot * bigt - mass)) * 1000000) // (2 * ftot * bigt) "
+    "AS dp_e6, "
+    "CAST(present + (ftot * bigt - mass) AS DOUBLE) / "
+    "CAST(2 * ftot * bigt AS DOUBLE) AS dp FROM per"
+)
+
+
 # ---- wave 56: golden-record survivorship, seasonal-naive MASE ----
 
 
@@ -7884,6 +7954,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 56
         "golden_recs": _q_golden,
         "mase_event_days": _q_mase,
+        # wave 57
+        "qn_len_by_lang": _q_qnorm,
+        "term_dp": _q_term_dp,
     }
 
 
@@ -9102,6 +9175,9 @@ def oracle_sql() -> dict[str, str]:
     # wave-56 oracles
     sqls["golden_recs"] = _GOLDEN_SQL
     sqls["mase_event_days"] = _MASE_SQL
+    # wave-57 oracles
+    sqls["qn_len_by_lang"] = _QNORM_SQL
+    sqls["term_dp"] = _TERM_DP_SQL
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

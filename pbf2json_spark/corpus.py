@@ -1097,3 +1097,69 @@ def ranking_eval(
         ).otherwise(F.lit(0.0)).alias("ndcg_at_k"),
     )
     return out
+
+
+def term_dispersion(
+    df: DataFrame,
+    part_col: str,
+    text_col: str = "text",
+    min_freq: int = 10,
+) -> DataFrame:
+    """Gries' DP term dispersion: how evenly a term spreads over corpus
+    parts (dumps, sources, languages) — DP = ½·Σᵢ|vᵢ − sᵢ| where vᵢ is
+    the term's frequency share in part i and sᵢ the part's token share.
+    DP ≈ 0: distributed like the corpus itself (function words, safe
+    vocabulary); DP → 1: clumped in one part (topic burst, spam cluster,
+    dump-specific boilerplate) — the corpus-linguistics complement to
+    token_lift's association scoring.
+
+    Exact-integer surface over the common denominator: num = Σᵢ|fᵢ·T −
+    f·tᵢ| and den = 2·f·T are BIGINTs (fᵢ = term count in part, f = Σfᵢ,
+    tᵢ = part token count, T = Σtᵢ); dp itself is the one division,
+    emitted as an exactly-rounded e6 fixed-point integer (dp_e6 = num·10⁶
+    div den) plus an advisory double. Int64 bound: f·T < 2⁶³ needs
+    f·T ≲ 9·10¹⁸ — at larger corpora shard by time slice and average, or
+    pre-threshold f (min_freq already bounds the tail).
+
+    Shape: ONE tokenize-explode → combinable (part, term) count; part
+    totals are a metadata-scale broadcast; the per-term fold over parts
+    is a second combinable groupBy. Terms below ``min_freq`` total drop.
+
+    Output: (term, f, dp_num, dp_den, dp_e6, dp).
+    """
+    tok = df.select(
+        F.col(part_col).alias("_p"), F.explode(_words(text_col)).alias("_w")
+    )
+    tc = tok.groupBy("_p", "_w").agg(F.count(F.lit(1)).alias("_f"))
+    parts = tok.groupBy("_p").agg(F.count(F.lit(1)).alias("_t"))
+    totals = tc.groupBy("_w").agg(F.sum("_f").alias("_ftot"))
+    big_t = parts.agg(F.sum("_t").alias("_tot_t"))
+
+    j = (
+        tc.join(F.broadcast(parts), "_p")
+        .join(totals.filter(F.col("_ftot") >= min_freq), "_w")
+        .crossJoin(F.broadcast(big_t))
+    )
+    # per-(term, part) |f_i·T − f·t_i|; parts where the term is absent
+    # contribute f·t_i — folded in exactly as (f·T − Σ_present f·t_i)
+    # ... which equals Σ_absent f·t_i since Σ_i t_i = T
+    per = j.groupBy("_w", "_ftot", "_tot_t").agg(
+        F.sum(F.abs(F.col("_f") * F.col("_tot_t") - F.col("_ftot") * F.col("_t")))
+        .alias("_present"),
+        F.sum(F.col("_ftot") * F.col("_t")).alias("_mass"),
+    )
+    num = F.col("_present") + (F.col("_ftot") * F.col("_tot_t") - F.col("_mass"))
+    den = 2 * F.col("_ftot") * F.col("_tot_t")
+    e6num = num * F.lit(1_000_000)
+    out = per.select(
+        F.col("_w").alias("term"),
+        F.col("_ftot").alias("f"),
+        num.alias("dp_num"),
+        den.alias("dp_den"),
+    ).withColumn(
+        "dp_e6",
+        F.expr("(dp_num * 1000000) div dp_den"),
+    ).withColumn(
+        "dp", F.col("dp_num").cast("double") / F.col("dp_den").cast("double")
+    )
+    return out

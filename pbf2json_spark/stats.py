@@ -1100,3 +1100,82 @@ def spearman_rho(
         s_vy.alias("s_vary"),
         F.when((s_vx > 0) & (s_vy > 0), rho).alias("rho"),
     )
+
+
+# --- cross-group quantile normalization --------------------------------------------
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Cross-group quantile normalization: every value is replaced by the
+    POOLED distribution's order statistic at the same relative rank —
+    after which all groups share one distribution shape (the microarray
+    normalization classic, here the cross-dump calibration step: quality
+    scores from different crawl dumps stop being comparable the moment
+    the dumps' score distributions drift; rank-mapping them onto the
+    pooled empirical distribution makes one threshold mean one thing).
+
+    ALL-INTEGER, tie-correct: the in-group position is the DOUBLED
+    midrank 2r = 2·below + cnt + 1 (the spearman/auc identity), the
+    pooled target index is idx = ((2r − 1) · N) div (2·n_g) + 1 (exact
+    floor arithmetic, clamped to [1, N]), and the mapped value is the
+    idx-th smallest pooled value — SELECTED, never interpolated, so the
+    output stays in the value domain and bit-equal anywhere.
+
+    Shape: per-group and pooled DISTINCT-VALUE histograms (window over
+    distinct values only — never a global row sort); the idx → value
+    lookup joins against the pooled histogram's cumulative [lo, hi]
+    rank ranges — a range join against a METADATA-SCALE table (|distinct
+    values|; quantize continuous scores first, the calibration_bins
+    discipline), broadcast and AQE-safe.
+
+    Output: df columns + norm_value (same domain as value_col).
+    """
+    gs, v = F.col(group_col), F.col(value_col)
+
+    hist = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    wg = Window.partitionBy(group_col).orderBy(value_col)
+    below = F.coalesce(
+        F.sum("_cnt").over(wg.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    ranks = hist.select(
+        group_col,
+        value_col,
+        (2 * below + F.col("_cnt") + 1).alias("_2r"),
+    )
+    gsize = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_ng"))
+
+    pooled = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_pc"))
+    wp = Window.partitionBy(F.lit(1)).orderBy(value_col)
+    plo = F.coalesce(
+        F.sum("_pc").over(wp.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    ) + 1
+    pooled = pooled.select(
+        F.col(value_col).alias("_pv"),
+        plo.alias("_lo"),
+        (plo + F.col("_pc") - 1).alias("_hi"),
+    )
+    n_pool = df.count()
+
+    num = (F.col("_2r") - 1) * F.lit(n_pool)
+    den = 2 * F.col("_ng")
+    idx_raw = F.expr("_qn_num div _qn_den") + 1
+    r = (
+        ranks.join(F.broadcast(gsize), group_col)
+        .withColumn("_qn_num", num)
+        .withColumn("_qn_den", den)
+        .withColumn(
+            "_idx",
+            F.greatest(F.lit(1), F.least(F.lit(n_pool), idx_raw)),
+        )
+    )
+    mapped = r.join(
+        F.broadcast(pooled),
+        (F.col("_idx") >= F.col("_lo")) & (F.col("_idx") <= F.col("_hi")),
+    ).select(group_col, value_col, F.col("_pv").alias("norm_value"))
+    return df.join(mapped, [group_col, value_col])
