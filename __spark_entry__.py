@@ -4952,6 +4952,90 @@ _LINKAGE_SQL = (
 )
 
 
+# ---- wave 58: standard deviational ellipse, lag-k ACF ----
+
+
+def _q_sde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard deviational ellipse (stats.deviational_ellipse) of
+    customer microdegree point clouds per nation — BIGINT central
+    moments + IEEE-fixed-tree eigenvalues; the angle is deliberately
+    not emitted (atan2 is not correctly-rounded libm)."""
+    c = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    d = c.select(
+        F.col("c_nationkey").cast("long").alias("nat"),
+        ((ck * 2654435761) % 160000000 - 80000000).alias("x"),
+        ((ck * 40503) % 358000000 - 179000000).alias("y"),
+    )
+    return stats.deviational_ellipse(d, ["nat"], "x", "y")
+
+
+_SDE_SQL = (
+    "WITH d AS (SELECT CAST(c_nationkey AS BIGINT) AS nat, "
+    "(CAST(c_custkey AS BIGINT) * 2654435761) % 160000000 - 80000000 AS x, "
+    "(CAST(c_custkey AS BIGINT) * 40503) % 358000000 - 179000000 AS y "
+    "FROM customer), "
+    "m AS (SELECT nat, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, "
+    "sum(y) AS sy, sum(CAST(x AS HUGEINT) * x) AS sxx, "
+    "sum(CAST(y AS HUGEINT) * y) AS syy, "
+    "sum(CAST(x AS HUGEINT) * y) AS sxy FROM d GROUP BY nat), "
+    "c AS (SELECT nat, n, sx, sy, "
+    "CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS BIGINT) "
+    "AS cxx, "
+    "CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS BIGINT) "
+    "AS cyy, "
+    "CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS BIGINT) "
+    "AS cxy FROM m) "
+    "SELECT nat, n, sx, sy, cxx, cyy, cxy, "
+    "(CAST(cxx AS DOUBLE) + CAST(cyy AS DOUBLE) + sqrt((CAST(cxx AS DOUBLE) "
+    "- CAST(cyy AS DOUBLE)) * (CAST(cxx AS DOUBLE) - CAST(cyy AS DOUBLE)) "
+    "+ 4.0 * CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE))) / 2.0 "
+    "AS eig_major, "
+    "(CAST(cxx AS DOUBLE) + CAST(cyy AS DOUBLE) - sqrt((CAST(cxx AS DOUBLE) "
+    "- CAST(cyy AS DOUBLE)) * (CAST(cxx AS DOUBLE) - CAST(cyy AS DOUBLE)) "
+    "+ 4.0 * CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE))) / 2.0 "
+    "AS eig_minor FROM c"
+)
+
+
+def _q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation (temporal.acf_lags, lags 1/2/7) of per-type
+    daily event counts — gap-correct equi-join lags, BIGINT Pearson
+    moments, fixed-tree r."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", _ntz_epoch_us("ts").alias("_us")
+    ).select("event_type", F.expr("_us div 86400000000").alias("d"))
+    daily = e.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("v"))
+    return temporal.acf_lags(daily, "event_type", "d", "v", lags=[1, 2, 7])
+
+
+def _acf_sql(lags=(1, 2, 7)) -> str:
+    unions = []
+    for k in lags:
+        unions.append(
+            "SELECT a.k, CAST({lag} AS BIGINT) AS lag, "
+            "CAST(count(*) AS BIGINT) AS m, sum(a.v) AS sa, sum(b.v) AS sb, "
+            "sum(a.v * b.v) AS sab, sum(a.v * a.v) AS saa, "
+            "sum(b.v * b.v) AS sbb "
+            "FROM daily a JOIN daily b ON a.k = b.k AND b.d = a.d - {lag} "
+            "GROUP BY a.k".format(lag=k)
+        )
+    return (
+        "WITH daily AS (SELECT event_type AS k, "
+        "CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d, "
+        "CAST(count(*) AS BIGINT) AS v FROM events GROUP BY k, d), "
+        "moms AS (" + " UNION ALL ".join(unions) + ") "
+        "SELECT k AS event_type, lag, m, "
+        "m * sab - sa * sb AS s_cov, m * saa - sa * sa AS s_vara, "
+        "m * sbb - sb * sb AS s_varb, "
+        "CASE WHEN m >= 2 AND m * saa - sa * sa > 0 AND "
+        "m * sbb - sb * sb > 0 THEN "
+        "CAST(m * sab - sa * sb AS DOUBLE) / "
+        "sqrt(CAST(m * saa - sa * sa AS DOUBLE) * "
+        "CAST(m * sbb - sb * sb AS DOUBLE)) END AS r FROM moms"
+    )
+
+
 # ---- wave 57: quantile normalization, term dispersion ----
 
 
@@ -7957,6 +8041,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 57
         "qn_len_by_lang": _q_qnorm,
         "term_dp": _q_term_dp,
+        # wave 58
+        "sde_nation": _q_sde,
+        "acf_event_lags": _q_acf,
     }
 
 
@@ -9178,6 +9265,9 @@ def oracle_sql() -> dict[str, str]:
     # wave-57 oracles
     sqls["qn_len_by_lang"] = _QNORM_SQL
     sqls["term_dp"] = _TERM_DP_SQL
+    # wave-58 oracles
+    sqls["sde_nation"] = _SDE_SQL
+    sqls["acf_event_lags"] = _acf_sql()
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

@@ -1179,3 +1179,68 @@ def quantile_normalize(
         (F.col("_idx") >= F.col("_lo")) & (F.col("_idx") <= F.col("_hi")),
     ).select(group_col, value_col, F.col("_pv").alias("norm_value"))
     return df.join(mapped, [group_col, value_col])
+
+
+# --- standard deviational ellipse ---------------------------------------------------
+
+
+def deviational_ellipse(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Standard deviational ellipse (Lefever 1926) — the classic
+    centrographic summary of a point cloud's directional spread: where
+    is a user's/topic's activity centered, how anisotropic is it, along
+    which axis does it stretch (commute corridors, coastline-hugging
+    crawls). Complements radius_of_gyration (isotropic spread) with the
+    directional second-moment structure.
+
+    Exact-integer moment surface: n, Σx, Σy and the CENTRAL second
+    moments cxx = n·Σx² − (Σx)², cyy, cxy as DECIMAL(38,0)-accumulated
+    BIGINTs (the linear_trend discipline) — order-free, engine-exact.
+    The eigenvalues of the (scaled) covariance are
+
+        eig± = ((cxx+cyy) ± sqrt((cxx−cyy)² + 4·cxy²)) / 2
+
+    — a fixed tree of IEEE-correctly-rounded ops (±, ×, sqrt), so the
+    eig columns are bit-identical cross-engine (the spearman-rho
+    precedent). The ellipse ANGLE needs atan2, which libm does NOT
+    guarantee correctly rounded — it is deliberately NOT emitted here;
+    derive it downstream from (cxx − cyy, 2·cxy) when a display needs it
+    (the sign pair is exact).
+
+    Shape: ONE map-side-combinable groupBy of six moments. Inputs are
+    integer coordinates (microdegrees / cell indices — the house
+    convention); int64/decimal38 bounds as in linear_trend.
+
+    Output: group_cols + (n, sx, sy, cxx, cyy, cxy BIGINT-exact,
+    eig_major, eig_minor double fixed-tree).
+    """
+    d38 = "DECIMAL(38,0)"
+    m = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(x_col).cast("long")).alias("sx"),
+        F.sum(F.col(y_col).cast("long")).alias("sy"),
+        F.sum(F.expr(f"CAST({x_col} AS {d38}) * {x_col}")).alias("_sxx"),
+        F.sum(F.expr(f"CAST({y_col} AS {d38}) * {y_col}")).alias("_syy"),
+        F.sum(F.expr(f"CAST({x_col} AS {d38}) * {y_col}")).alias("_sxy"),
+    )
+    c = m.select(
+        *group_cols, "n", "sx", "sy",
+        F.expr(f"CAST(CAST(n AS {d38}) * _sxx - CAST(sx AS {d38}) * sx "
+               "AS BIGINT)").alias("cxx"),
+        F.expr(f"CAST(CAST(n AS {d38}) * _syy - CAST(sy AS {d38}) * sy "
+               "AS BIGINT)").alias("cyy"),
+        F.expr(f"CAST(CAST(n AS {d38}) * _sxy - CAST(sx AS {d38}) * sy "
+               "AS BIGINT)").alias("cxy"),
+    )
+    tr = F.col("cxx").cast("double") + F.col("cyy").cast("double")
+    dd = F.col("cxx").cast("double") - F.col("cyy").cast("double")
+    disc = F.sqrt(dd * dd + 4.0 * F.col("cxy").cast("double") * F.col("cxy").cast("double"))
+    return c.select(
+        *group_cols, "n", "sx", "sy", "cxx", "cyy", "cxy",
+        ((tr + disc) / 2.0).alias("eig_major"),
+        ((tr - disc) / 2.0).alias("eig_minor"),
+    )

@@ -968,3 +968,72 @@ def seasonal_naive_eval(
             mase,
         ).alias("mase"),
     )
+
+
+def acf_lags(
+    df: DataFrame,
+    series_col: str,
+    day_col: str,
+    value_col: str,
+    lags: list[int] = (1, 2, 7),
+) -> DataFrame:
+    """Lag-k autocorrelation per series over an integer day index — the
+    periodicity profile behind seasonal-naive forecasting and the
+    mann_kendall/periodicity family: r(7) ≈ 1 says weekly structure,
+    r(1) ≈ 0 says day-to-day noise.
+
+    Tie-correct, GAP-CORRECT: each lag's pairs come from an EQUI-JOIN on
+    (series, day − k) — missing days contribute no pair, where a
+    row-offset window lag would silently misalign every series with
+    holes (the seasonal_naive_eval discipline). Per (series, lag) the
+    Pearson moment set over matched pairs (m, Σa, Σb, Σab, Σa², Σb²)
+    reduces to n·Σab − ΣaΣb numerator and two variance terms — ALL
+    BIGINT; r itself is the fixed cast/multiply/sqrt/divide tree
+    (IEEE-correctly-rounded ops only — the spearman-rho precedent),
+    NULL when either side is constant or fewer than 2 pairs matched.
+
+    Shape: one self-equi-join + one combinable groupBy PER LAG over the
+    (series, day, value) frame — |lags| is a small constant; unioned
+    into a single tall result.
+
+    Output: (series, lag, m, s_cov, s_vara, s_varb, r).
+    """
+    s = df.select(
+        F.col(series_col).alias("k"),
+        F.col(day_col).cast("long").alias("d"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    outs = []
+    for k_lag in lags:
+        lagged = s.select(
+            "k", (F.col("d") + F.lit(int(k_lag))).alias("d"),
+            F.col("v").alias("b"),
+        )
+        j = s.join(lagged, ["k", "d"]).select("k", F.col("v").alias("a"), "b")
+        agg = j.groupBy("k").agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum("a").alias("_sa"),
+            F.sum("b").alias("_sb"),
+            F.sum(F.col("a") * F.col("b")).alias("_sab"),
+            F.sum(F.col("a") * F.col("a")).alias("_saa"),
+            F.sum(F.col("b") * F.col("b")).alias("_sbb"),
+        )
+        cov = F.col("m") * F.col("_sab") - F.col("_sa") * F.col("_sb")
+        va = F.col("m") * F.col("_saa") - F.col("_sa") * F.col("_sa")
+        vb = F.col("m") * F.col("_sbb") - F.col("_sb") * F.col("_sb")
+        r = cov.cast("double") / F.sqrt(va.cast("double") * vb.cast("double"))
+        outs.append(
+            agg.select(
+                F.col("k").alias(series_col),
+                F.lit(int(k_lag)).cast("long").alias("lag"),
+                "m",
+                cov.alias("s_cov"),
+                va.alias("s_vara"),
+                vb.alias("s_varb"),
+                F.when((F.col("m") >= 2) & (va > 0) & (vb > 0), r).alias("r"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
