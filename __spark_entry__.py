@@ -4964,16 +4964,19 @@ def _q_sde(spark: SparkSession, sf_dir: str) -> DataFrame:
     ck = F.col("c_custkey").cast("long")
     d = c.select(
         F.col("c_nationkey").cast("long").alias("nat"),
-        ((ck * 2654435761) % 160000000 - 80000000).alias("x"),
-        ((ck * 40503) % 358000000 - 179000000).alias("y"),
+        # millidegree scale: cxx <= n^2*range^2 must stay inside int64
+        # (the operator docstring's bound) -- microdegrees overflow at
+        # 60 points/nation
+        ((ck * 2654435761) % 160000 - 80000).alias("x"),
+        ((ck * 40503) % 358000 - 179000).alias("y"),
     )
     return stats.deviational_ellipse(d, ["nat"], "x", "y")
 
 
 _SDE_SQL = (
     "WITH d AS (SELECT CAST(c_nationkey AS BIGINT) AS nat, "
-    "(CAST(c_custkey AS BIGINT) * 2654435761) % 160000000 - 80000000 AS x, "
-    "(CAST(c_custkey AS BIGINT) * 40503) % 358000000 - 179000000 AS y "
+    "(CAST(c_custkey AS BIGINT) * 2654435761) % 160000 - 80000 AS x, "
+    "(CAST(c_custkey AS BIGINT) * 40503) % 358000 - 179000 AS y "
     "FROM customer), "
     "m AS (SELECT nat, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, "
     "sum(y) AS sy, sum(CAST(x AS HUGEINT) * x) AS sxx, "
