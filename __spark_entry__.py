@@ -4952,6 +4952,56 @@ _LINKAGE_SQL = (
 )
 
 
+# ---- wave 59: Flesch-Kincaid readability, Cohen's kappa ----
+
+
+def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid readability (textops.readability): pure-Column
+    regexp counts + e3 fixed-point grades via exact floor-division —
+    the classic complexity screen of a corpus release."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.readability(d).select(
+        "doc_id", "n_words", "n_sents", "n_syll", "fk_grade_e3", "flesch_e3"
+    )
+
+
+def _q_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (stats.cohens_kappa) between a 'rater' that labels
+    language and a perturbed twin (every 7th doc mislabeled 'und'),
+    per source — the annotation/LLM-judge agreement gate with exact
+    integer k_num/k_den."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.col("lang").alias("ra"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("und"))
+        .otherwise(F.col("lang"))
+        .alias("rb"),
+    )
+    return stats.cohens_kappa(d, "ra", "rb", ["source"])
+
+
+_KAPPA_SQL = (
+    "WITH d AS (SELECT source, lang AS ra, CASE WHEN doc_id % 7 = 0 "
+    "THEN 'und' ELSE lang END AS rb FROM documents), "
+    "base AS (SELECT source, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT) AS agree "
+    "FROM d GROUP BY source), "
+    "ma AS (SELECT source, ra AS c, CAST(count(*) AS BIGINT) AS na "
+    "FROM d GROUP BY source, ra), "
+    "mb AS (SELECT source, rb AS c, CAST(count(*) AS BIGINT) AS nb "
+    "FROM d GROUP BY source, rb), "
+    "pe AS (SELECT ma.source, sum(na * nb) AS chance FROM ma "
+    "JOIN mb ON ma.source = mb.source AND ma.c = mb.c GROUP BY ma.source) "
+    "SELECT b.source, b.n, b.agree, "
+    "b.n * b.agree - coalesce(pe.chance, 0) AS k_num, "
+    "b.n * b.n - coalesce(pe.chance, 0) AS k_den, "
+    "CASE WHEN b.n * b.n - coalesce(pe.chance, 0) <> 0 THEN "
+    "CAST(b.n * b.agree - coalesce(pe.chance, 0) AS DOUBLE) / "
+    "CAST(b.n * b.n - coalesce(pe.chance, 0) AS DOUBLE) END AS kappa "
+    "FROM base b LEFT JOIN pe ON b.source = pe.source"
+)
+
+
 # ---- wave 58: standard deviational ellipse, lag-k ACF ----
 
 
@@ -8047,6 +8097,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 58
         "sde_nation": _q_sde,
         "acf_event_lags": _q_acf,
+        # wave 59
+        "readability_docs": _q_readability,
+        "kappa_judges": _q_kappa,
     }
 
 
@@ -9271,6 +9324,12 @@ def oracle_sql() -> dict[str, str]:
     # wave-58 oracles
     sqls["sde_nation"] = _SDE_SQL
     sqls["acf_event_lags"] = _acf_sql()
+    # wave-59 oracles
+    sqls["readability_docs"] = (
+        "SELECT doc_id, n_words, n_sents, n_syll, fk_grade_e3, flesch_e3 "
+        f"FROM ({textops.readability_sql()})"
+    )
+    sqls["kappa_judges"] = _KAPPA_SQL
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

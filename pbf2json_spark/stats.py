@@ -1244,3 +1244,63 @@ def deviational_ellipse(
         ((tr + disc) / 2.0).alias("eig_major"),
         ((tr - disc) / 2.0).alias("eig_minor"),
     )
+
+
+# --- Cohen's kappa -----------------------------------------------------------------
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Cohen's kappa inter-rater agreement — the label-quality gate for
+    annotation pipelines (two human annotators, or an LLM judge vs a
+    gold set): raw percent-agreement flatters raters who both say
+    "clean" 95% of the time; kappa subtracts the chance-agreement floor
+    pe = Σ_c P_a(c)·P_b(c).
+
+    Exact rational surface: po = agree/n and pe = Σ_c na_c·nb_c / n² are
+    ratios of BIGINTs, so kappa = (po − pe)/(1 − pe) reduces to
+
+        k_num = n·agree − Σ_c na_c·nb_c
+        k_den = n² − Σ_c na_c·nb_c
+
+    — both exact integers (emitted), kappa = ONE division (fixed float
+    tree), NULL when k_den = 0 (both raters constant and identical —
+    chance agreement is total, kappa undefined). int64 bound: n² < 2⁶³
+    → n per group below ~3·10⁹; shard larger groups by time slice.
+
+    Shape: two combinable groupBys — (group, label-pair) agreement
+    counts collapse to scalars; per-label marginals meet in ONE
+    broadcast-size join on (group, label). Labels are categorical
+    (bounded domain) by contract.
+
+    Output: group_cols + (n, agree, k_num, k_den, kappa).
+    """
+    gs = list(group_cols or [])
+    a, b = F.col(rater_a), F.col(rater_b)
+    base = df.groupBy(*gs).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((a == b).cast("long")).alias("agree"),
+    )
+    ma = df.groupBy(*gs, a.alias("_c")).agg(F.count(F.lit(1)).alias("_na"))
+    mb = df.groupBy(*gs, b.alias("_c")).agg(F.count(F.lit(1)).alias("_nb"))
+    pe = (
+        ma.join(mb, gs + ["_c"])
+        .groupBy(*gs)
+        .agg(F.sum(F.col("_na") * F.col("_nb")).alias("_chance"))
+    )
+    j = base.join(pe, gs, "left").withColumn(
+        "_chance", F.coalesce("_chance", F.lit(0))
+    )
+    k_num = F.col("n") * F.col("agree") - F.col("_chance")
+    k_den = F.col("n") * F.col("n") - F.col("_chance")
+    return j.select(
+        *gs, "n", "agree",
+        k_num.alias("k_num"),
+        k_den.alias("k_den"),
+        F.when(k_den != 0, k_num.cast("double") / k_den.cast("double"))
+        .alias("kappa"),
+    )

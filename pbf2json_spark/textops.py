@@ -739,3 +739,82 @@ def soundex_sql(expr: str) -> str:
     tail = f"replace(substr({code}, 2), '0', '')"
     key = f"substr({s}, 1, 1) || rpad(substr({tail}, 1, 3), 3, '0')"
     return f"CASE WHEN length({s}) > 0 THEN {key} END"
+
+
+# --- readability (Flesch / Flesch-Kincaid) -----------------------------------------
+
+
+def readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch-Kincaid readability surface — the classic text-complexity
+    quality signal (a pre-LLM heuristic still run by every corpus
+    pipeline: too-low grade = boilerplate lists, too-high = OCR noise /
+    legalese). Counts are pure Column regexps, scan-stage, zero Python:
+
+      n_words  whitespace-delimited tokens
+      n_sents  sentence-final punctuation runs [.!?]+ (min 1 when any
+               text exists — the headline-without-period convention)
+      n_syll   vowel-group runs [aeiouy]+ per lowercased word, the
+               standard syllable proxy (min 1 per word is NOT applied —
+               the raw vowel-group count keeps the surface exact and
+               cross-engine; consumers wanting per-word flooring can
+               count words with zero vowels separately)
+
+    The two classic scores are emitted as e3 fixed-point INTEGERS via
+    exact floor-division over the integer counts (no float path):
+
+      fk_grade_e3  = (390·w·1000 div s + 11800·y·1000 div w)/1000 − 15590
+                     …assembled exactly as below
+      flesch_e3    = 206835 − 1015·(w·1000 div s)/1000 − 84600·y div w …
+
+    concretely: fk_grade_e3 = (390·(w·1000 div s) + 11800·(y·1000 div w))
+    div 1000 − 15590, flesch_e3 = 206835 − (1015·(w·1000 div s)) div
+    1000 − (84600·(y·1000 div w)) div 1000 — every step an integer op,
+    bit-exact in any engine. Empty/NULL texts emit NULLs.
+
+    Output: df columns + n_words, n_sents, n_syll, fk_grade_e3,
+    flesch_e3.
+    """
+    t = F.col(text_col)
+    has = t.isNotNull() & (F.length(F.trim(t)) > 0)
+    w = F.when(has, F.size(F.split(F.trim(t), r"\s+"))).cast("long")
+    s = F.when(has, F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))).cast("long")
+    y = F.when(has, F.regexp_count(F.lower(t), F.lit("[aeiouy]+"))).cast("long")
+    out = (
+        df.withColumn("n_words", w)
+        .withColumn("n_sents", s)
+        .withColumn("n_syll", y)
+        .withColumn("_wps", F.expr("n_words * 1000 div n_sents"))
+        .withColumn("_spw", F.expr("n_syll * 1000 div n_words"))
+        .withColumn(
+            "fk_grade_e3",
+            F.expr("(390 * _wps + 11800 * _spw) div 1000 - 15590"),
+        )
+        .withColumn(
+            "flesch_e3",
+            F.expr("206835 - (1015 * _wps) div 1000 - (84600 * _spw) div 1000"),
+        )
+        .drop("_wps", "_spw")
+    )
+    return out
+
+
+def readability_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB mirror of `readability` (composable oracle fragment)."""
+    t = text_col
+    has = f"({t} IS NOT NULL AND length(trim({t})) > 0)"
+    w = (f"CASE WHEN {has} THEN len(string_split_regex(trim({t}), '\\s+')) END")
+    s = (f"CASE WHEN {has} THEN greatest(len(regexp_extract_all({t}, "
+         f"'[.!?]+')), 1) END")
+    y = (f"CASE WHEN {has} THEN len(regexp_extract_all(lower({t}), "
+         f"'[aeiouy]+')) END")
+    return (
+        f"WITH r0 AS (SELECT *, CAST({w} AS BIGINT) AS n_words, "
+        f"CAST({s} AS BIGINT) AS n_sents, CAST({y} AS BIGINT) AS n_syll "
+        f"FROM {table}), "
+        "r1 AS (SELECT *, n_words * 1000 // n_sents AS wps, "
+        "n_syll * 1000 // n_words AS spw FROM r0) "
+        "SELECT * EXCLUDE (wps, spw), "
+        "(390 * wps + 11800 * spw) // 1000 - 15590 AS fk_grade_e3, "
+        "206835 - (1015 * wps) // 1000 - (84600 * spw) // 1000 AS flesch_e3 "
+        "FROM r1"
+    )
