@@ -4952,6 +4952,72 @@ _LINKAGE_SQL = (
 )
 
 
+# ---- wave 60: burstiness, mojibake screen ----
+
+
+def _q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness (temporal.burstiness) of inter-event
+    gaps per event type — (ts, event_id)-total-ordered lag, BIGINT/
+    DECIMAL(38,0) gap moments, fixed-tree B."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", _ntz_epoch_us("ts").alias("_us"), "event_id"
+    )
+    out = temporal.burstiness(e, "event_type", "_us", "event_id")
+    return out.select(
+        "event_type", "n_gaps", "sum_gap",
+        F.col("sum_gap2").cast("double").alias("sum_gap2_d"), "b",
+    )
+
+
+_BURST_SQL = (
+    "WITH e AS (SELECT event_type AS k, CAST(epoch_us(ts) AS BIGINT) AS us, "
+    "event_id FROM events), "
+    "g AS (SELECT k, us - lag(us) OVER (PARTITION BY k ORDER BY us, "
+    "event_id) AS gap FROM e), "
+    "m AS (SELECT k, CAST(count(*) AS BIGINT) AS n_gaps, "
+    "CAST(sum(gap) AS BIGINT) AS sum_gap, "
+    "sum(CAST(gap AS HUGEINT) * gap) AS sum_gap2 FROM g "
+    "WHERE gap IS NOT NULL GROUP BY k) "
+    "SELECT k AS event_type, n_gaps, sum_gap, "
+    "CAST(sum_gap2 AS DOUBLE) AS sum_gap2_d, "
+    "CASE WHEN n_gaps >= 2 AND sum_gap > 0 THEN "
+    "(sqrt(CAST(CAST(n_gaps AS HUGEINT) * sum_gap2 "
+    "- CAST(sum_gap AS HUGEINT) * sum_gap AS DOUBLE)) "
+    "/ CAST(sum_gap AS DOUBLE) - 1.0) / "
+    "(sqrt(CAST(CAST(n_gaps AS HUGEINT) * sum_gap2 "
+    "- CAST(sum_gap AS HUGEINT) * sum_gap AS DOUBLE)) "
+    "/ CAST(sum_gap AS DOUBLE) + 1.0) END AS b FROM m"
+)
+
+
+def _q_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake screen (textops.mojibake_screen) over documents with
+    deterministic artifact injection (every 11th doc gets the classic
+    double-encoding fingerprints appended) — pure Column length-replace
+    counts, identical in the oracle."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" Ã©â€™Â ï»¿")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return textops.mojibake_screen(d).select(
+        "doc_id", "mojibake_hits", "mojibake_flag"
+    )
+
+
+def _mojibake_sql() -> str:
+    inj = ("CASE WHEN doc_id % 11 = 0 THEN text || ' Ã©â€™Â ï»¿' "
+           "ELSE text END")
+    hits = textops.mojibake_sql("t2")
+    return (
+        f"WITH d AS (SELECT doc_id, {inj} AS t2 FROM documents) "
+        f"SELECT doc_id, CAST({hits} AS BIGINT) AS mojibake_hits, "
+        f"{hits} > 0 AS mojibake_flag FROM d"
+    )
+
+
 # ---- wave 59: Flesch-Kincaid readability, Cohen's kappa ----
 
 
@@ -8100,6 +8166,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 59
         "readability_docs": _q_readability,
         "kappa_judges": _q_kappa,
+        # wave 60
+        "burstiness_types": _q_burstiness,
+        "mojibake_docs": _q_mojibake,
     }
 
 
@@ -9330,6 +9399,9 @@ def oracle_sql() -> dict[str, str]:
         f"FROM ({textops.readability_sql()})"
     )
     sqls["kappa_judges"] = _KAPPA_SQL
+    # wave-60 oracles
+    sqls["burstiness_types"] = _BURST_SQL
+    sqls["mojibake_docs"] = _mojibake_sql()
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

@@ -1037,3 +1037,61 @@ def acf_lags(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def burstiness(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Goh–Barabási burstiness of inter-event gaps per key: B =
+    (σ − μ)/(σ + μ) over the gaps between consecutive events — B → −1
+    for clockwork periodicity (bots, cron crawlers), ≈ 0 for Poisson
+    arrivals (organic traffic), → +1 for heavy-tailed bursts (flash
+    crowds, retry storms). The behavioral-fingerprint complement of
+    rate_anomaly's level shifts.
+
+    Gaps come from ONE lag window per key ordered by (ts, tiebreak) —
+    the tiebreak column makes equal timestamps a total order, so the
+    gap multiset is a pure function of the input (the determinism
+    contract; every engine sorts the same). Gap moments n, Σg, Σg² are
+    BIGINTs (gaps in integer microseconds; Σg² bounds int64 while
+    n·gap² < 2⁶³ — quantize to seconds for decade-long spans). B is the
+    fixed tree sqrt(n·Σg²−(Σg)²)·? … concretely σ/μ reduce to
+    cv = sqrt(n·Σg² − (Σg)²) / Σg (one sqrt, one divide) and
+    B = (cv − 1)/(cv + 1) — correctly-rounded ops only (the
+    spearman-rho precedent), NULL for keys with < 2 gaps or zero mean.
+
+    Output: (key, n_gaps, sum_gap, sum_gap2, b).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    g = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(ts_col).alias("_ts"),
+            F.col(tiebreak_col).alias("_tb"),
+        )
+        .withColumn("_prev", F.lag("_ts").over(
+            Window.partitionBy("k").orderBy("_ts", "_tb")
+        ))
+        .filter(F.col("_prev").isNotNull())
+        .select("k", (F.col("_ts") - F.col("_prev")).cast("long").alias("_g"))
+    )
+    # Σg² accumulates in DECIMAL(38,0) (the linear_trend discipline):
+    # one hour-long gap in microseconds already squares past int64
+    agg = g.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("_g").alias("sum_gap"),
+        F.sum(F.expr("CAST(_g AS DECIMAL(38,0)) * _g")).alias("sum_gap2"),
+    )
+    var_n = F.expr(
+        "CAST(n_gaps AS DECIMAL(38,0)) * sum_gap2 "
+        "- CAST(sum_gap AS DECIMAL(38,0)) * sum_gap"
+    )
+    cv = F.sqrt(var_n.cast("double")) / F.col("sum_gap").cast("double")
+    b = (cv - 1.0) / (cv + 1.0)
+    return agg.select(
+        F.col("k").alias(key_col), "n_gaps", "sum_gap", "sum_gap2",
+        F.when((F.col("n_gaps") >= 2) & (F.col("sum_gap") > 0), b).alias("b"),
+    )

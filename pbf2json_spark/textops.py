@@ -818,3 +818,47 @@ def readability_sql(table: str = "documents", text_col: str = "text") -> str:
         "206835 - (1015 * wps) // 1000 - (84600 * spw) // 1000 AS flesch_e3 "
         "FROM r1"
     )
+
+
+# --- encoding-artifact (mojibake) screen -------------------------------------------
+
+# the canonical UTF-8-decoded-as-Latin-1 fingerprints + hard errors:
+# 'Ã' leads every mangled non-ASCII Latin char, 'â€' every mangled
+# punctuation, 'Â' precedes mangled NBSP/degree, U+FFFD is a decoder
+# giving up, and 'ï»¿' is a BOM that leaked into body text
+MOJIBAKE_MARKERS = ["Ã", "â€", "Â", "�", "ï»¿"]
+
+
+def mojibake_screen(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encoding-artifact screen — the data-cleaning gate for crawled
+    text: double-encoded UTF-8 (the classic 'Ã©' for 'é'), replacement
+    characters, leaked BOMs. Pure Column length-replace counting (the
+    lang_score idiom), scan-stage, zero regex backtracking; per-marker
+    counts sum into mojibake_hits and a boolean flag.
+
+    Output: df columns + mojibake_hits (BIGINT), mojibake_flag.
+    """
+    t = F.col(text_col)
+    total = None
+    for m in MOJIBAKE_MARKERS:
+        c = (
+            (F.length(t) - F.length(F.replace(t, F.lit(m), F.lit(""))))
+            / F.lit(len(m))
+        ).cast("long")
+        total = c if total is None else total + c
+    return df.withColumn("mojibake_hits", total).withColumn(
+        "mojibake_flag", F.col("mojibake_hits") > 0
+    )
+
+
+def mojibake_sql(text_expr: str = "text") -> str:
+    """DuckDB mirror: the summed length-replace counts over the same
+    marker list (composable fragment yielding the hits expression)."""
+    parts = []
+    for m in MOJIBAKE_MARKERS:
+        lit = m.replace("'", "''")
+        parts.append(
+            f"(length({text_expr}) - length(replace({text_expr}, '{lit}', "
+            f"''))) // {len(m)}"
+        )
+    return "(" + " + ".join(parts) + ")"
