@@ -4952,6 +4952,79 @@ _LINKAGE_SQL = (
 )
 
 
+# ---- wave 61: TextTiling segmentation, tempered negative sampling ----
+
+
+def _q_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling topic segmentation (corpus.text_tiles, block 20):
+    integer multiset-overlap gap curve + local-minimum boundaries per
+    document — no floats anywhere on the surface."""
+    return corpus.text_tiles(_t(spark, sf_dir, "documents"), block=20)
+
+
+_TILES_SQL = (
+    "WITH d AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] "
+    r"ELSE string_split_regex(trim(text), '\s+') END AS ws FROM documents), "
+    "tok AS (SELECT doc_id, pos - 1 AS pos0, ws[pos] AS w FROM d, "
+    "unnest(generate_series(1, len(ws))) AS t(pos)), "
+    "bc AS (SELECT doc_id, pos0 // 20 AS b, w, CAST(count(*) AS BIGINT) "
+    "AS c FROM tok GROUP BY doc_id, b, w), "
+    "ov AS (SELECT a.doc_id, a.b, sum(least(a.c, x.c)) AS ov FROM bc a "
+    "JOIN bc x ON a.doc_id = x.doc_id AND x.b = a.b + 1 AND a.w = x.w "
+    "GROUP BY a.doc_id, a.b), "
+    "nb AS (SELECT doc_id, max(b) + 1 AS nb FROM bc GROUP BY doc_id), "
+    "spine AS (SELECT doc_id, unnest(generate_series(0, nb - 2)) AS b "
+    "FROM nb WHERE nb >= 2), "
+    "dense AS (SELECT s.doc_id, s.b, CAST(coalesce(ov.ov, 0) AS BIGINT) "
+    "AS ov FROM spine s LEFT JOIN ov ON s.doc_id = ov.doc_id "
+    "AND s.b = ov.b), "
+    "lg AS (SELECT doc_id AS id, CAST(b AS BIGINT) AS gap, ov AS overlap, "
+    "lag(ov) OVER (PARTITION BY doc_id ORDER BY b) AS prev_overlap, "
+    "lead(ov) OVER (PARTITION BY doc_id ORDER BY b) AS next_overlap "
+    "FROM dense) "
+    "SELECT id, gap, overlap, prev_overlap, next_overlap, "
+    "(prev_overlap IS NOT NULL AND next_overlap IS NOT NULL AND "
+    "overlap < prev_overlap AND overlap <= next_overlap) AS is_boundary "
+    "FROM lg"
+)
+
+
+def _q_tempered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Popularity-tempered negative sampling (sampling.
+    tempered_negatives): nation catalog with synthetic frequencies,
+    order-key queries — f^0.75 via nested IEEE sqrt (pow() is not
+    portable), md5 draws into cumulative integer ranges."""
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("item"),
+        ((F.col("n_nationkey").cast("long") + 1) * 7 % 50 + 1).alias("f"),
+    )
+    q = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey").cast("long") % 200).alias("qid")
+    ).distinct()
+    return sampling.tempered_negatives(n, q, k=3, seed=2)
+
+
+_TEMPERED_SQL = (
+    "WITH cat AS (SELECT n_name AS it, CAST(floor(sqrt("
+    "CAST((CAST(n_nationkey AS BIGINT) + 1) * 7 % 50 + 1 AS DOUBLE) * "
+    "sqrt(CAST((CAST(n_nationkey AS BIGINT) + 1) * 7 % 50 + 1 AS DOUBLE)))"
+    " * 64.0) AS BIGINT) AS w FROM nation), "
+    "c2 AS (SELECT it, w FROM cat WHERE w > 0), "
+    "r AS (SELECT it, coalesce(sum(w) OVER (ORDER BY it ROWS BETWEEN "
+    "UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo, w FROM c2), "
+    "rg AS (SELECT it, lo, lo + w - 1 AS hi FROM r), "
+    "tot AS (SELECT sum(w) AS t FROM c2), "
+    "q AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT) % 200 AS qid "
+    "FROM orders), "
+    "s AS (SELECT qid, unnest(generate_series(0, 2)) AS slot FROM q), "
+    "u AS (SELECT qid, slot, ('0x' || substr(md5(CAST(qid AS VARCHAR) || "
+    "':2:' || CAST(slot AS VARCHAR)), 1, 15))::BIGINT % (SELECT t FROM tot) "
+    "AS uu FROM s) "
+    "SELECT u.qid AS query, CAST(u.slot AS BIGINT) AS slot, rg.it AS item "
+    "FROM u JOIN rg ON u.uu >= rg.lo AND u.uu <= rg.hi"
+)
+
+
 # ---- wave 60: burstiness, mojibake screen ----
 
 
@@ -8169,6 +8242,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 60
         "burstiness_types": _q_burstiness,
         "mojibake_docs": _q_mojibake,
+        # wave 61
+        "text_tile_gaps": _q_tiles,
+        "neg_tempered": _q_tempered,
     }
 
 
@@ -9402,6 +9478,9 @@ def oracle_sql() -> dict[str, str]:
     # wave-60 oracles
     sqls["burstiness_types"] = _BURST_SQL
     sqls["mojibake_docs"] = _mojibake_sql()
+    # wave-61 oracles
+    sqls["text_tile_gaps"] = _TILES_SQL
+    sqls["neg_tempered"] = _TEMPERED_SQL
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

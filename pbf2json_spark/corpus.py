@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _words(text_col: str) -> Column:
@@ -1163,3 +1164,79 @@ def term_dispersion(
         "dp", F.col("dp_num").cast("double") / F.col("dp_den").cast("double")
     )
     return out
+
+
+def text_tiles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block: int = 20,
+) -> DataFrame:
+    """TextTiling-style topic segmentation (Hearst 1997, integerized):
+    split each document into fixed ``block``-token blocks, score every
+    gap between adjacent blocks by lexical overlap, and mark topic
+    boundaries at interior LOCAL MINIMA of the overlap curve — where
+    the vocabulary before and after stops being shared. The document-
+    structure primitive for chunking long pages at topic shifts instead
+    of blind fixed windows (the RAG-chunking upgrade to
+    chunk_documents).
+
+    Integer discipline: overlap(g) = Σ_t min(count_t(block g),
+    count_t(block g+1)) — multiset intersection size, a BIGINT; the
+    boundary test is lag/lead comparison (strictly below the previous
+    gap, at-most the next — the asymmetry makes plateaus yield exactly
+    one boundary, deterministically). No cosine, no floats — Hearst's
+    normalized similarity only changes WHICH minima win ties; the
+    integer overlap keeps the surface engine-exact.
+
+    Shape: posexplode → (doc, block, term) counts (ONE combinable
+    groupBy); adjacent-pair overlap is an equi-join on (doc, term,
+    block+1); the dense gap spine (gaps with ZERO shared terms must
+    still appear) comes from a per-doc sequence explode; lag/lead run
+    per doc over its gap count — partitions are gap-count-sized, never
+    corpus-sized.
+
+    Output: (id, gap, overlap, prev_overlap, next_overlap, is_boundary)
+    — gap g sits between blocks g and g+1; docs with < 2 blocks emit
+    nothing.
+    """
+    d, t = F.col(id_col), F.col(text_col)
+    toks = df.select(
+        d.alias("_id"), F.posexplode(_words(text_col)).alias("_pos", "_w")
+    )
+    bc = (
+        toks.select("_id", F.expr(f"_pos div {block}").alias("_b"), "_w")
+        .groupBy("_id", "_b", "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    nxt = bc.select(
+        "_id", (F.col("_b") - 1).alias("_b"), F.col("_w"),
+        F.col("_c").alias("_c2"),
+    )
+    ov = (
+        bc.join(nxt, ["_id", "_b", "_w"])
+        .groupBy("_id", "_b")
+        .agg(F.sum(F.least("_c", "_c2")).alias("_ov"))
+    )
+    nblocks = bc.groupBy("_id").agg((F.max("_b") + 1).alias("_nb"))
+    spine = nblocks.filter(F.col("_nb") >= 2).select(
+        "_id", F.explode(F.sequence(F.lit(0), F.col("_nb") - 2)).alias("_b")
+    )
+    dense = spine.join(ov, ["_id", "_b"], "left").select(
+        "_id", "_b", F.coalesce("_ov", F.lit(0)).cast("long").alias("_ov")
+    )
+    w = Window.partitionBy("_id").orderBy("_b")
+    out = dense.select(
+        F.col("_id").alias("id"),
+        F.col("_b").cast("long").alias("gap"),
+        F.col("_ov").alias("overlap"),
+        F.lag("_ov").over(w).alias("prev_overlap"),
+        F.lead("_ov").over(w).alias("next_overlap"),
+    )
+    ib = (
+        F.col("prev_overlap").isNotNull()
+        & F.col("next_overlap").isNotNull()
+        & (F.col("overlap") < F.col("prev_overlap"))
+        & (F.col("overlap") <= F.col("next_overlap"))
+    )
+    return out.withColumn("is_boundary", ib)

@@ -414,3 +414,83 @@ def ipf_weights(
     return cells.select(
         r, c, F.col("n").cast("long").alias("n"), F.col("w").cast("long").alias("w")
     )
+
+
+def tempered_negatives(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int,
+    item_col: str = "item",
+    freq_col: str = "f",
+    query_col: str = "qid",
+    seed: int = 0,
+) -> DataFrame:
+    """Popularity-tempered negative sampling — the word2vec unigram^0.75
+    distribution, distributed and DETERMINISTIC: each query draws k
+    negatives from the item catalog with probability ∝ f^0.75 (raw
+    frequency over-samples stop-items; uniform under-trains the head;
+    3/4 tempering is the empirical sweet spot carried from word2vec to
+    contrastive retrieval training).
+
+    Determinism without RNG state: tempered weights are INTEGERS w =
+    floor(sqrt(f·sqrt(f)) · 64) — f^{3/4} computed as nested sqrt, both
+    IEEE-correctly-rounded, so floor is engine-exact (the pow() path is
+    NOT portable and deliberately avoided); the catalog becomes
+    cumulative [lo, hi] ranges over Σw, each (query, slot) hashes via
+    md5 to u ∈ [0, Σw), and the draw is the range containing u — the
+    cidr_lookup prefix-bucketing shape: a broadcast-size catalog (item
+    dims are metadata-scale next to 10^12 queries) joined by range
+    containment, equi-joinable on a bucket prefix when the catalog ever
+    outgrows broadcast.
+
+    Output: (query, slot, item) — k rows per query; collisions with the
+    query's own positive are the caller's filter (the negative_pairs
+    margin idiom).
+    """
+    w = F.floor(
+        F.sqrt(F.col(freq_col).cast("double")
+               * F.sqrt(F.col(freq_col).cast("double"))) * F.lit(64.0)
+    ).cast("long")
+    cat = items.select(F.col(item_col).alias("_it"), w.alias("_w")).filter(
+        F.col("_w") > 0
+    )
+    wnd = Window.partitionBy(F.lit(1)).orderBy("_it")
+    ranged = cat.select(
+        "_it",
+        (F.coalesce(
+            F.sum("_w").over(wnd.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        )).alias("_lo"),
+        F.col("_w"),
+    ).select("_it", "_lo", (F.col("_lo") + F.col("_w") - 1).alias("_hi"))
+    total = cat.agg(F.sum("_w")).collect()[0][0] or 0
+    if total == 0:
+        return queries.select(
+            F.col(query_col).alias("query"),
+            F.lit(0).cast("long").alias("slot"),
+            F.lit(None).cast("string").alias("item"),
+        ).limit(0)
+    slots = queries.select(
+        F.col(query_col).alias("query"),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("slot"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("query").cast("string"), F.lit(f":{seed}:"),
+                    F.col("slot").cast("string"),
+                ).cast("binary")
+            ),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long") % F.lit(total)
+    drawn = slots.withColumn("_u", u).join(
+        F.broadcast(ranged),
+        (F.col("_u") >= F.col("_lo")) & (F.col("_u") <= F.col("_hi")),
+    )
+    return drawn.select(
+        "query", F.col("slot").cast("long").alias("slot"),
+        F.col("_it").alias("item"),
+    )
