@@ -4952,6 +4952,110 @@ _LINKAGE_SQL = (
 )
 
 
+# ---- wave 62: HyperANF neighborhood function, dyad census ----
+
+_ANF_P = 4
+_ANF_ROUNDS = 3
+_ANF_MOD = 20
+
+
+def _q_hyperanf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF (graph.hyperanf, p=4, 3 rounds) over the kcore gate
+    graph: per-node HLL balls merged along out-edges; sampled nodes'
+    integer register surface + est_raw fixed tree (est's ln branch is
+    advisory and excluded)."""
+    out = graph.hyperanf(
+        _kcore_edges(spark, sf_dir),
+        rounds=_ANF_ROUNDS, p=_ANF_P, sample_mod=_ANF_MOD,
+    )
+    return out.select("round", "node", "n_regs", "n_zero", "z_scaled",
+                      "est_raw")
+
+
+def _hyperanf_sql() -> str:
+    p, rounds, mod = _ANF_P, _ANF_ROUNDS, _ANF_MOD
+    m = 1 << p
+    q = 60 - p
+    s = 1 << (q + 1)
+    c = sketch._hll_alpha(m) * float(m) * float(m) * float(s)
+    mm = "(SELECT (count(*) + 6) // 7 FROM documents)"
+    dense = " UNION ALL ".join(
+        f"SELECT doc_id AS src, ((doc_id // 7 + {sft}) % {mm}) * 7 AS dst "
+        "FROM documents WHERE doc_id % 7 = 0"
+        for sft in (1, 2, 3)
+    )
+    parts = [
+        f"ke AS MATERIALIZED ({_EDGES_SQL} UNION ALL {dense})",
+        "n0 AS (SELECT DISTINCT node FROM (SELECT src AS node FROM ke "
+        "UNION ALL SELECT dst FROM ke))",
+        "h AS (SELECT node, ('0x' || substr(md5(node::VARCHAR || ':0'), "
+        "1, 15))::BIGINT AS h FROM n0)",
+        f"c0 AS MATERIALIZED (SELECT node, (h >> {q}) AS reg_idx, "
+        f"CASE WHEN (h & ((1::BIGINT << {q}) - 1)) = 0 THEN {q + 1} "
+        f"ELSE {q + 1} - length(bin(h & ((1::BIGINT << {q}) - 1))) END "
+        "AS r FROM h)",
+    ]
+    for rr in range(1, rounds + 1):
+        pv = f"c{rr - 1}"
+        parts.append(
+            f"c{rr} AS MATERIALIZED (SELECT node, reg_idx, max(r) AS r "
+            f"FROM (SELECT node, reg_idx, r FROM {pv} UNION ALL "
+            f"SELECT ke.src AS node, c.reg_idx, c.r FROM ke "
+            f"JOIN {pv} c ON c.node = ke.dst) GROUP BY node, reg_idx)"
+        )
+    rounds_sql = []
+    for rr in range(rounds + 1):
+        rounds_sql.append(
+            f"SELECT CAST({rr} AS BIGINT) AS round, node, "
+            "CAST(count(*) AS BIGINT) AS n_regs, "
+            f"CAST({m} - count(*) AS BIGINT) AS n_zero, "
+            f"CAST(sum((1::BIGINT << ({q + 1} - r))) + "
+            f"({m} - count(*)) * (1::BIGINT << {q + 1}) AS BIGINT) "
+            "AS z_scaled "
+            f"FROM c{rr} WHERE node % {mod} = 0 GROUP BY node"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + ", allr AS (" + " UNION ALL ".join(rounds_sql) + ") "
+        "SELECT round, node, n_regs, n_zero, z_scaled, "
+        f"{c!r} / CAST(z_scaled AS DOUBLE) AS est_raw FROM allr"
+    )
+
+
+def _q_dyads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holland-Leinhardt dyad census (graph.dyad_census) of the
+    DIRECTED kcore gate graph — mutual/asym/null counts + exact
+    reciprocity_e6, one row."""
+    return graph.dyad_census(_kcore_edges(spark, sf_dir))
+
+
+def _dyads_sql() -> str:
+    mm = "(SELECT (count(*) + 6) // 7 FROM documents)"
+    dense = " UNION ALL ".join(
+        f"SELECT doc_id AS src, ((doc_id // 7 + {sft}) % {mm}) * 7 AS dst "
+        "FROM documents WHERE doc_id % 7 = 0"
+        for sft in (1, 2, 3)
+    )
+    return (
+        f"WITH ke AS MATERIALIZED ({_EDGES_SQL} UNION ALL {dense}), "
+        "e AS (SELECT DISTINCT src AS a, dst AS b FROM ke WHERE src <> dst), "
+        "pair AS (SELECT least(a, b) AS x, greatest(a, b) AS y, "
+        "CAST(count(*) AS BIGINT) AS dirs FROM e GROUP BY x, y), "
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (SELECT DISTINCT "
+        "node FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e))), "
+        "agg AS (SELECT CAST(sum(CASE WHEN dirs = 2 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS mutual, CAST(sum(CASE WHEN dirs = 1 THEN 1 ELSE 0 "
+        "END) AS BIGINT) AS asym, CAST(count(*) AS BIGINT) AS pairs "
+        "FROM pair) "
+        "SELECT nn.n AS n_nodes, agg.mutual, agg.asym, "
+        "CAST(nn.n * (nn.n - 1) / 2 - agg.pairs AS BIGINT) AS nulls, "
+        "2 * agg.mutual + agg.asym AS n_edges, "
+        "CASE WHEN 2 * agg.mutual + agg.asym > 0 THEN "
+        "(2 * agg.mutual * 1000000) // (2 * agg.mutual + agg.asym) "
+        "ELSE 0 END AS reciprocity_e6 FROM agg, nn"
+    )
+
+
 # ---- wave 61: TextTiling segmentation, tempered negative sampling ----
 
 
@@ -8245,6 +8349,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 61
         "text_tile_gaps": _q_tiles,
         "neg_tempered": _q_tempered,
+        # wave 62
+        "hyperanf_balls": _q_hyperanf,
+        "dyads": _q_dyads,
     }
 
 
@@ -9481,6 +9588,9 @@ def oracle_sql() -> dict[str, str]:
     # wave-61 oracles
     sqls["text_tile_gaps"] = _TILES_SQL
     sqls["neg_tempered"] = _TEMPERED_SQL
+    # wave-62 oracles
+    sqls["hyperanf_balls"] = _hyperanf_sql()
+    sqls["dyads"] = _dyads_sql()
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

@@ -1234,3 +1234,122 @@ def boruvka_mst(
     if mst is None:
         return e.limit(0)
     return mst.select("a", "b", "w")
+
+
+def hyperanf(
+    edges: DataFrame,
+    rounds: int = 3,
+    p: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    seed: int = 0,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """HyperANF (Boldi–Vigna 2011): the neighborhood function N(u, r) —
+    how many nodes are within r hops of u — for EVERY node at once, via
+    one HLL counter per node merged along edges each round. The exact
+    ball computation is O(n²) at web scale; HyperANF is how effective
+    diameter / average distance are actually measured on web graphs
+    (each round is one edge-sized join + a register max-merge, and the
+    counters are 2^p registers per node — metadata next to the graph).
+
+    Fully deterministic here: the HLL is the portable md5-register
+    sketch (sketch.hll_build — no RNG), and register max-merge is
+    associative/commutative/idempotent, so duplicate edges, self-loops,
+    any partitioning, and any engine produce the SAME registers —
+    which is what makes an unrolled SQL oracle exact. Balls follow
+    OUT-edges (u→v merges v's ball into u's).
+
+    Per round the gate surface is integer-exact per node: (n_regs,
+    n_zero, z_scaled) with est_raw the one-division fixed tree; `est`'s
+    linear-counting branch uses ln → advisory (the hll_estimate
+    contract).
+
+    Output: (round, node, n_regs, n_zero, z_scaled, est_raw, est) for
+    nodes with node % sample_mod == 0, rounds 0..rounds.
+    """
+    from pbf2json_spark.sketch import hll_build, hll_estimate
+
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    cur = hll_build(
+        nodes.withColumn("_k", F.col("node")), "_k", ["node"], p=p, seed=seed
+    ).localCheckpoint(eager=True)
+
+    def snapshot(c: DataFrame, r: int) -> DataFrame:
+        est = hll_estimate(c, p, ["node"])
+        if sample_mod > 1:
+            est = est.filter(F.col("node") % sample_mod == 0)
+        return est.select(
+            F.lit(r).cast("long").alias("round"), "node",
+            "n_regs", "n_zero", "z_scaled", "est_raw", "est",
+        )
+
+    out = snapshot(cur, 0)
+    for r in range(1, rounds + 1):
+        pulled = e.join(cur, cur["node"] == e["_d"]).select(
+            F.col("_s").alias("node"), "reg_idx", "r"
+        )
+        cur = (
+            cur.unionByName(pulled)
+            .groupBy("node", "reg_idx")
+            .agg(F.max("r").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(snapshot(cur, r))
+    return out
+
+
+def dyad_census(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Holland–Leinhardt dyad census of a directed graph: every node
+    pair is Mutual (both directions), Asymmetric (one), or Null — the
+    base rates behind reciprocity ("do pages link back?"), the first
+    structural statistic of any directed web/social graph and the null
+    model that triad-level statistics are read against.
+
+    One combinable groupBy on the unordered pair key counts directions
+    (post-distinct: 1 or 2 — self-loops dropped); nulls come from
+    C(n,2) arithmetic, never enumeration. reciprocity_e6 = 2M·10⁶ div
+    (2M + A), exact floor (= reciprocated fraction of directed edges).
+
+    Output: one row (n_nodes, mutual, asym, nulls, n_edges,
+    reciprocity_e6).
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    pair = e.groupBy(
+        F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+    ).agg(F.count(F.lit(1)).alias("_dirs"))
+    nodes = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .distinct()
+        .count()
+    )
+    agg = pair.agg(
+        F.sum((F.col("_dirs") == 2).cast("long")).alias("mutual"),
+        F.sum((F.col("_dirs") == 1).cast("long")).alias("asym"),
+        F.count(F.lit(1)).alias("_pairs"),
+    )
+    n = F.lit(nodes).cast("long")
+    return agg.select(
+        n.alias("n_nodes"),
+        F.coalesce("mutual", F.lit(0)).alias("mutual"),
+        F.coalesce("asym", F.lit(0)).alias("asym"),
+        (n * (n - 1) / 2 - F.col("_pairs")).cast("long").alias("nulls"),
+        (2 * F.coalesce(F.col("mutual"), F.lit(0))
+         + F.coalesce(F.col("asym"), F.lit(0))).alias("n_edges"),
+        F.when(
+            (2 * F.col("mutual") + F.col("asym")) > 0,
+            F.expr("(2 * mutual * 1000000) div (2 * mutual + asym)"),
+        ).otherwise(F.lit(0)).cast("long").alias("reciprocity_e6"),
+    )
