@@ -4952,6 +4952,94 @@ _LINKAGE_SQL = (
 )
 
 
+# ---- wave 63: Holt smoothing, cross-correlation lead-lag ----
+
+
+def _q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer Holt smoothing (temporal.holt_smooth, α=0.3 β=0.1
+    e3) of per-type daily event counts — the sequential recurrence runs
+    as an in-row fold on Spark and a RECURSIVE CTE in the oracle; both
+    are the identical floor-div arithmetic."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", _ntz_epoch_us("ts").alias("_us")
+    ).select("event_type", F.expr("_us div 86400000000").alias("d"))
+    daily = e.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("v"))
+    return temporal.holt_smooth(daily, "event_type", "d", "v")
+
+
+_HOLT_LNEW = (
+    "CAST(floor((300 * o.v * 1000 + 700 * (st.l + st.b)) / 1000.0) "
+    "AS BIGINT)"
+)
+
+_HOLT_SQL = (
+    "WITH RECURSIVE daily AS (SELECT event_type AS k, "
+    "CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d, "
+    "CAST(count(*) AS BIGINT) AS v FROM events GROUP BY k, d), "
+    "ord AS (SELECT k, d, v, CAST(row_number() OVER (PARTITION BY k "
+    "ORDER BY d) AS BIGINT) AS rn FROM daily), "
+    "st(k, rn, l, b) AS ("
+    "SELECT k, rn, v * 1000, CAST(0 AS BIGINT) FROM ord WHERE rn = 1 "
+    "UNION ALL "
+    f"SELECT o.k, o.rn, {_HOLT_LNEW}, "
+    f"CAST(floor((100 * ({_HOLT_LNEW} - st.l) + 900 * st.b) / 1000.0) "
+    "AS BIGINT) "
+    "FROM st JOIN ord o ON o.k = st.k AND o.rn = st.rn + 1), "
+    "fin AS (SELECT k, max(rn) AS n FROM ord GROUP BY k) "
+    "SELECT st.k AS event_type, fin.n AS n, st.l AS level_e3, "
+    "st.b AS trend_e3, st.l + 7 * st.b AS forecast_e3 "
+    "FROM st JOIN fin ON st.k = fin.k AND st.rn = fin.n"
+)
+
+
+def _q_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation lead-lag (temporal.ccf_lags, lags ±3) between
+    daily 'view' and 'click' volumes — gap-correct join lags, BIGINT
+    moments, fixed-tree r."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", _ntz_epoch_us("ts").alias("_us")
+    ).select("event_type", F.expr("_us div 86400000000").alias("d"))
+    daily = (
+        e.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("d")
+        .agg(
+            F.sum((F.col("event_type") == "view").cast("long")).alias("x"),
+            F.sum((F.col("event_type") == "click").cast("long")).alias("y"),
+        )
+        .withColumn("k", F.lit("view_click"))
+    )
+    return temporal.ccf_lags(daily, "k", "d", "x", "y", max_lag=3)
+
+
+def _ccf_sql(max_lag: int = 3) -> str:
+    unions = []
+    for lag in range(-max_lag, max_lag + 1):
+        unions.append(
+            "SELECT a.k, CAST({lag} AS BIGINT) AS lag, "
+            "CAST(count(*) AS BIGINT) AS m, sum(a.x) AS sx, "
+            "sum(b.y) AS sy, sum(a.x * b.y) AS sxy, "
+            "sum(a.x * a.x) AS sxx, sum(b.y * b.y) AS syy "
+            "FROM daily a JOIN daily b ON a.k = b.k AND b.d = a.d + {lag} "
+            "GROUP BY a.k".format(lag=lag)
+        )
+    return (
+        "WITH daily AS (SELECT 'view_click' AS k, "
+        "CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d, "
+        "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS x, "
+        "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS y FROM events "
+        "WHERE event_type IN ('view', 'click') GROUP BY d), "
+        "moms AS (" + " UNION ALL ".join(unions) + ") "
+        "SELECT k, lag, m, m * sxy - sx * sy AS s_cov, "
+        "m * sxx - sx * sx AS s_varx, m * syy - sy * sy AS s_vary, "
+        "CASE WHEN m >= 2 AND m * sxx - sx * sx > 0 AND "
+        "m * syy - sy * sy > 0 THEN CAST(m * sxy - sx * sy AS DOUBLE) / "
+        "sqrt(CAST(m * sxx - sx * sx AS DOUBLE) * "
+        "CAST(m * syy - sy * sy AS DOUBLE)) END AS r FROM moms"
+    )
+
+
 # ---- wave 62: HyperANF neighborhood function, dyad census ----
 
 _ANF_P = 4
@@ -8352,6 +8440,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 62
         "hyperanf_balls": _q_hyperanf,
         "dyads": _q_dyads,
+        # wave 63
+        "holt_event_forecast": _q_holt,
+        "ccf_view_click": _q_ccf,
     }
 
 
@@ -9591,6 +9682,9 @@ def oracle_sql() -> dict[str, str]:
     # wave-62 oracles
     sqls["hyperanf_balls"] = _hyperanf_sql()
     sqls["dyads"] = _dyads_sql()
+    # wave-63 oracles
+    sqls["holt_event_forecast"] = _HOLT_SQL
+    sqls["ccf_view_click"] = _ccf_sql()
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

@@ -1095,3 +1095,137 @@ def burstiness(
         F.col("k").alias(key_col), "n_gaps", "sum_gap", "sum_gap2",
         F.when((F.col("n_gaps") >= 2) & (F.col("sum_gap") > 0), b).alias("b"),
     )
+
+
+def holt_smooth(
+    df: DataFrame,
+    series_col: str,
+    day_col: str,
+    value_col: str,
+    alpha_e3: int = 300,
+    beta_e3: int = 100,
+    horizon: int = 7,
+) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend), EXACT-INTEGER:
+    the workhorse short-range forecaster for per-host / per-topic daily
+    volumes — one smoothed level and trend per series, extrapolated
+    ``horizon`` steps. α/β are e3 fixed-point rationals and every
+    recurrence step is floor-division arithmetic on e3-scaled BIGINTs:
+
+        l' = (α·v·1000 + (1000−α)·(l + b)) div 1000
+        b' = (β·(l' − l) + (1000−β)·b) div 1000
+
+    (state seeded l₀ = v₀·1000, b₀ = 0) — deterministic, engine-exact;
+    a float EWMA would drift by summation order. The recurrence is
+    INHERENTLY sequential per series, so the fold runs in-row over the
+    day-sorted value array (collect_list + sort_array + aggregate);
+    the documented contract is bounded per-series length (daily series
+    = thousands of observations — the per-key-imperative case the
+    mapInPandas escape hatch exists for, kept as a pure Column fold so
+    the oracle can replay it as a recursive CTE instead). Day gaps are
+    treated as consecutive observations (the irregular-series EWMA
+    convention; resample first for strict calendar smoothing).
+
+    Output: (series, n, level_e3, trend_e3, forecast_e3 = level +
+    horizon·trend).
+    """
+    s = df.select(
+        F.col(series_col).alias("k"),
+        F.col(day_col).cast("long").alias("d"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    arr = s.groupBy("k").agg(
+        F.sort_array(F.collect_list(F.struct("d", "v"))).alias("_a")
+    )
+    a, b1000 = alpha_e3, 1000 - alpha_e3
+    g, g1000 = beta_e3, 1000 - beta_e3
+
+    def step(acc, x):
+        l_new = F.floor(
+            (F.lit(a) * x["v"] * 1000 + F.lit(b1000) * (acc["l"] + acc["b"]))
+            / 1000
+        ).cast("long")
+        b_new = F.floor(
+            (F.lit(g) * (l_new - acc["l"]) + F.lit(g1000) * acc["b"]) / 1000
+        ).cast("long")
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    folded = arr.select(
+        "k",
+        F.size("_a").cast("long").alias("n"),
+        F.aggregate(
+            F.slice("_a", 2, 1_000_000),
+            F.struct(
+                (F.element_at("_a", 1)["v"] * 1000).alias("l"),
+                F.lit(0).cast("long").alias("b"),
+            ),
+            step,
+        ).alias("_st"),
+    )
+    return folded.select(
+        F.col("k").alias(series_col),
+        "n",
+        F.col("_st.l").alias("level_e3"),
+        F.col("_st.b").alias("trend_e3"),
+        (F.col("_st.l") + F.lit(horizon) * F.col("_st.b")).alias("forecast_e3"),
+    )
+
+
+def ccf_lags(
+    df: DataFrame,
+    series_col: str,
+    day_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Cross-correlation function between two aligned daily series per
+    key, lags −max_lag..+max_lag: "does x LEAD y" (positive-lag peak)
+    or lag it — the lead-lag screen for causal ordering hypotheses
+    (news volume vs search volume, crawl rate vs error rate).
+
+    r(lag) correlates x_t with y_{t+lag}; pairs come from a GAP-CORRECT
+    equi-join on (key, day + lag) — the acf_lags discipline — with the
+    identical BIGINT Pearson moment surface and fixed-tree r.
+
+    Output: (series, lag, m, s_cov, s_varx, s_vary, r) — one row per
+    key per lag.
+    """
+    s = df.select(
+        F.col(series_col).alias("k"),
+        F.col(day_col).cast("long").alias("d"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    outs = []
+    for lag in range(-max_lag, max_lag + 1):
+        ys = s.select("k", (F.col("d") - F.lit(lag)).alias("d"),
+                      F.col("y").alias("_y2"))
+        j = s.join(ys, ["k", "d"]).select("k", "x", F.col("_y2").alias("y2"))
+        agg = j.groupBy("k").agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum("x").alias("_sx"),
+            F.sum("y2").alias("_sy"),
+            F.sum(F.col("x") * F.col("y2")).alias("_sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("_sxx"),
+            F.sum(F.col("y2") * F.col("y2")).alias("_syy"),
+        )
+        cov = F.col("m") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+        vx = F.col("m") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+        vy = F.col("m") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+        r = cov.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double"))
+        outs.append(
+            agg.select(
+                F.col("k").alias(series_col),
+                F.lit(lag).cast("long").alias("lag"),
+                "m",
+                cov.alias("s_cov"),
+                vx.alias("s_varx"),
+                vy.alias("s_vary"),
+                F.when((F.col("m") >= 2) & (vx > 0) & (vy > 0), r).alias("r"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
