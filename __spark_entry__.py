@@ -4952,6 +4952,112 @@ _LINKAGE_SQL = (
 )
 
 
+# ---- wave 64: Kaplan-Meier survival, SCAN structural clustering ----
+
+
+def _q_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival (stats.kaplan_meier): synthetic document
+    lifetimes (dur = n_chars % 25 + 1 dumps; every 5th doc censored) per
+    language — e6 floor-exact survival curve at event times."""
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        (F.col("n_chars") % 25 + 1).alias("dur"),
+        (F.col("doc_id") % 5 != 0).cast("long").alias("ev"),
+    )
+    return stats.kaplan_meier(d, "dur", "ev", ["lang"])
+
+
+_KM_SQL = (
+    "WITH RECURSIVE d AS (SELECT lang, CAST(n_chars % 25 + 1 AS BIGINT) "
+    "AS t, CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END AS e "
+    "FROM documents), "
+    "pt AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(e) AS BIGINT) AS dd FROM d GROUP BY lang, t), "
+    "tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS total FROM d "
+    "GROUP BY lang), "
+    "rk AS (SELECT pt.lang, pt.t, pt.dd, tot.total - "
+    "coalesce(sum(pt.n) OVER (PARTITION BY pt.lang ORDER BY pt.t "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS risk "
+    "FROM pt JOIN tot USING (lang)), "
+    "st0 AS (SELECT lang, t, risk, dd, CAST(row_number() OVER ("
+    "PARTITION BY lang ORDER BY t) AS BIGINT) AS rn FROM rk "
+    "WHERE dd > 0), "
+    "walk(lang, rn, t, risk, dd, s) AS ("
+    "SELECT lang, rn, t, risk, dd, "
+    "(1000000 * (risk - dd)) // risk FROM st0 WHERE rn = 1 "
+    "UNION ALL "
+    "SELECT o.lang, o.rn, o.t, o.risk, o.dd, "
+    "(walk.s * (o.risk - o.dd)) // o.risk "
+    "FROM walk JOIN st0 o ON o.lang = walk.lang AND o.rn = walk.rn + 1) "
+    "SELECT lang, t, risk AS n_risk, dd AS n_event, s AS surv_e6 FROM walk"
+)
+
+
+_SCAN_EPS = 600
+_SCAN_MU = 3
+
+
+def _q_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCAN structural clustering (graph.scan_clusters, ε=0.6 μ=3) on
+    the kcore gate graph — integer ε-test (no sqrt), triangle-based
+    common neighbors, pointer-doubling core components, deterministic
+    border attachment."""
+    return graph.scan_clusters(
+        _kcore_edges(spark, sf_dir), eps_e3=_SCAN_EPS, mu=_SCAN_MU
+    )
+
+
+def _scan_sql() -> str:
+    eps, mu = _SCAN_EPS, _SCAN_MU
+    mm = "(SELECT (count(*) + 6) // 7 FROM documents)"
+    dense = " UNION ALL ".join(
+        f"SELECT doc_id AS src, ((doc_id // 7 + {sft}) % {mm}) * 7 AS dst "
+        "FROM documents WHERE doc_id % 7 = 0"
+        for sft in (1, 2, 3)
+    )
+    return (
+        "WITH RECURSIVE "
+        f"ke AS MATERIALIZED ({_EDGES_SQL} UNION ALL {dense}), "
+        "e AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM ke WHERE src <> dst), "
+        "deg AS (SELECT n, CAST(count(*) AS BIGINT) AS dg FROM ("
+        "SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n), "
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 "
+        "JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a "
+        "AND e3.b = e2.b), "
+        "sup AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn FROM ("
+        "SELECT x AS a, y AS b FROM tri UNION ALL "
+        "SELECT y, z FROM tri UNION ALL SELECT x, z FROM tri) "
+        "GROUP BY a, b), "
+        "sc AS (SELECT e.a, e.b, coalesce(sup.cn, 0) + 2 AS inter, "
+        "da.dg + 1 AS na, db.dg + 1 AS nb FROM e "
+        "LEFT JOIN sup ON e.a = sup.a AND e.b = sup.b "
+        "JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b), "
+        "sim AS MATERIALIZED (SELECT a, b FROM sc "
+        f"WHERE inter * inter * 1000000 >= {eps * eps} * na * nb), "
+        "sdeg AS (SELECT n, CAST(count(*) AS BIGINT) AS sd FROM ("
+        "SELECT a AS n FROM sim UNION ALL SELECT b FROM sim) GROUP BY n), "
+        f"cores AS (SELECT n FROM sdeg WHERE sd >= {mu - 1}), "
+        "cce AS (SELECT sim.a AS x, sim.b AS y FROM sim "
+        "JOIN cores ca ON ca.n = sim.a JOIN cores cb ON cb.n = sim.b "
+        "UNION SELECT sim.b, sim.a FROM sim "
+        "JOIN cores ca ON ca.n = sim.a JOIN cores cb ON cb.n = sim.b), "
+        "walk(x, lab) AS (SELECT n, n FROM cores "
+        "UNION SELECT cce.y, w.lab FROM cce JOIN walk w ON cce.x = w.x), "
+        "clab AS (SELECT x AS n, min(lab) AS cluster_id FROM walk "
+        "GROUP BY x), "
+        "half AS (SELECT a, b FROM sim UNION ALL SELECT b, a FROM sim), "
+        "border AS (SELECT half.a AS n, min(clab.cluster_id) AS cluster_id "
+        "FROM half JOIN clab ON clab.n = half.b "
+        "WHERE half.a NOT IN (SELECT n FROM cores) GROUP BY half.a) "
+        "SELECT deg.n AS node, CASE WHEN clab.n IS NOT NULL THEN 'core' "
+        "WHEN border.n IS NOT NULL THEN 'border' ELSE 'noise' END AS role, "
+        "coalesce(clab.cluster_id, border.cluster_id) AS cluster_id "
+        "FROM deg LEFT JOIN clab ON clab.n = deg.n "
+        "LEFT JOIN border ON border.n = deg.n"
+    )
+
+
 # ---- wave 63: Holt smoothing, cross-correlation lead-lag ----
 
 
@@ -8443,6 +8549,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 63
         "holt_event_forecast": _q_holt,
         "ccf_view_click": _q_ccf,
+        # wave 64
+        "km_survival": _q_km,
+        "scan_roles": _q_scan,
     }
 
 
@@ -9685,6 +9794,9 @@ def oracle_sql() -> dict[str, str]:
     # wave-63 oracles
     sqls["holt_event_forecast"] = _HOLT_SQL
     sqls["ccf_view_click"] = _ccf_sql()
+    # wave-64 oracles
+    sqls["km_survival"] = _KM_SQL
+    sqls["scan_roles"] = _scan_sql()
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

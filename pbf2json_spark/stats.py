@@ -1304,3 +1304,112 @@ def cohens_kappa(
         F.when(k_den != 0, k_num.cast("double") / k_den.cast("double"))
         .alias("kappa"),
     )
+
+
+# --- Kaplan-Meier survival ----------------------------------------------------------
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols: list[str] | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Kaplan-Meier survival estimator with right censoring — content
+    lifetime analysis for the crawl world: "what fraction of pages
+    survive k dumps", where a page still live at the last crawl is
+    CENSORED, not dead (naively dropping censored rows biases survival
+    down; KM is the standard fix). Also user retention, link rot,
+    domain churn.
+
+    Exact-integer discipline: at each distinct event time t (ascending)
+    the survival multiplies by (n_risk − d)/n_risk; kept as an e6
+    scaled-integer with exact floor at EVERY step — S' = (S·(n−d)) div
+    n — so the curve is a pure function of the input (a float product
+    would drift by evaluation order only in ill-posed engines, but the
+    floor chain removes even rounding-mode doubt and gives the oracle a
+    recursive-CTE replay). n_risk at t = rows with duration ≥ t
+    (computed by cumulative arithmetic, not a scan per t).
+
+    The per-group step sequence is inherently sequential (like
+    holt_smooth) and runs as an in-row fold over the sorted distinct
+    event times — bounded by |distinct durations| per group (the
+    documented contract; quantize durations first when continuous).
+
+    Output: one row per (group, event time): (t, n_risk, n_event,
+    surv_e6) — censoring times appear only through n_risk.
+    """
+    gs = list(group_cols or [])
+    d = df.select(
+        *[F.col(c) for c in gs],
+        F.col(duration_col).cast("long").alias("_t"),
+        (F.col(event_col).cast("long") > 0).cast("long").alias("_e"),
+    )
+    per_t = d.groupBy(*gs, "_t").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_e").alias("_d"),
+    )
+    totals = d.groupBy(*gs).agg(F.count(F.lit(1)).alias("_tot"))
+    w = (
+        Window.partitionBy(*[F.col(c) for c in gs]).orderBy("_t")
+        if gs
+        else Window.partitionBy(F.lit(1)).orderBy("_t")
+    )
+    # n_risk(t) = total − (rows with duration < t)
+    risk = per_t.withColumn(
+        "_before",
+        F.coalesce(
+            F.sum("_n").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        ),
+    ).join(totals, gs) if gs else per_t.withColumn(
+        "_before",
+        F.coalesce(
+            F.sum("_n").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        ),
+    ).crossJoin(totals)
+    steps = risk.filter(F.col("_d") > 0).select(
+        *gs, "_t", (F.col("_tot") - F.col("_before")).alias("_risk"), "_d"
+    )
+    arr = steps.groupBy(*gs).agg(
+        F.sort_array(
+            F.collect_list(F.struct("_t", "_risk", F.col("_d").alias("_dd")))
+        ).alias("_a")
+    )
+    # fold: acc = struct(s, rows array); each step appends its row
+    zero = F.struct(
+        F.lit(scale).cast("long").alias("s"),
+        F.array().cast(
+            "array<struct<t:bigint,n_risk:bigint,n_event:bigint,surv_e6:bigint>>"
+        ).alias("rows"),
+    )
+
+    def step(acc, x):
+        s_new = F.expr("0").cast("long") + (
+            (acc["s"] * (x["_risk"] - x["_dd"])) - (
+                ((acc["s"] * (x["_risk"] - x["_dd"])) % x["_risk"]
+                 + x["_risk"]) % x["_risk"]
+            )
+        )
+        # exact floor multiple, then exact division
+        s_new = (s_new / x["_risk"]).cast("long")
+        row = F.struct(
+            x["_t"].alias("t"),
+            x["_risk"].alias("n_risk"),
+            x["_dd"].alias("n_event"),
+            s_new.alias("surv_e6"),
+        )
+        return F.struct(
+            s_new.alias("s"), F.concat(acc["rows"], F.array(row)).alias("rows")
+        )
+
+    folded = arr.select(*gs, F.aggregate("_a", zero, step).alias("_f"))
+    return folded.select(*gs, F.explode("_f.rows").alias("_r")).select(
+        *gs,
+        F.col("_r.t").alias("t"),
+        F.col("_r.n_risk").alias("n_risk"),
+        F.col("_r.n_event").alias("n_event"),
+        F.col("_r.surv_e6").alias("surv_e6"),
+    )
