@@ -4952,6 +4952,124 @@ _LINKAGE_SQL = (
 )
 
 
+# ---- wave 65: POI conflation, address-range interpolation ----
+
+
+def _q_conflate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POI conflation (spatial.poi_conflate, res 10, 2000 µdeg L1, lev
+    ≤ 2): customer-derived POIs vs a perturbed directory twin (typo'd
+    names, jittered coords) — cell-blocked candidates, mutual-best
+    match under the (dist, lev, id) total order."""
+    c = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    name = F.element_at(
+        F.array(*[F.lit(n) for n in _SDX_NAMES]), (ck % 20 + 1).cast("int")
+    )
+    lat = (ck * 2654435761) % 4000000 - 2000000
+    lon = (ck * 40503) % 4000000 - 2000000
+    left = c.select(
+        ck.alias("id_l"), name.alias("name"),
+        lat.alias("lat_e6"), lon.alias("lon_e6"),
+    )
+    right = c.select(ck.alias("_ck"), name.alias("name0")).select(
+        (F.col("_ck") + 1000000).alias("id_r"),
+        F.when(
+            F.col("_ck") % 4 == 0,
+            F.expr("substring(name0, 1, length(name0) - 1)"),
+        ).otherwise(F.col("name0")).alias("name"),
+        ((F.col("_ck") * 2654435761) % 4000000 - 2000000
+         + (F.col("_ck") % 7 - 3) * 100).alias("lat_e6"),
+        ((F.col("_ck") * 40503) % 4000000 - 2000000
+         + (F.col("_ck") % 5 - 2) * 100).alias("lon_e6"),
+    )
+    return spatial.poi_conflate(left, right, res=10, max_dist_e6=2000)
+
+
+def _conflate_sql() -> str:
+    pool = "[" + ", ".join("'" + n.replace("'", "''") + "'" for n in _SDX_NAMES) + "]"
+    nm = f"({pool})[(CAST(c_custkey AS BIGINT) % 20 + 1)::INT]"
+    return (
+        "WITH l AS (SELECT CAST(c_custkey AS BIGINT) AS id_l, "
+        f"{nm} AS name_l, "
+        "(CAST(c_custkey AS BIGINT) * 2654435761) % 4000000 - 2000000 AS lat_l, "
+        "(CAST(c_custkey AS BIGINT) * 40503) % 4000000 - 2000000 AS lon_l "
+        "FROM customer), "
+        "r AS (SELECT CAST(c_custkey AS BIGINT) + 1000000 AS id_r, "
+        f"CASE WHEN c_custkey % 4 = 0 THEN substr({nm}, 1, length({nm}) - 1) "
+        f"ELSE {nm} END AS name_r, "
+        "(CAST(c_custkey AS BIGINT) * 2654435761) % 4000000 - 2000000 "
+        "+ (CAST(c_custkey AS BIGINT) % 7 - 3) * 100 AS lat_r, "
+        "(CAST(c_custkey AS BIGINT) * 40503) % 4000000 - 2000000 "
+        "+ (CAST(c_custkey AS BIGINT) % 5 - 2) * 100 AS lon_r FROM customer), "
+        "cand AS (SELECT id_l, id_r, name_l, name_r, "
+        "abs(lat_l - lat_r) + abs(lon_l - lon_r) AS dist_e6, "
+        "CAST(levenshtein(name_l, name_r) AS BIGINT) AS lev FROM l, r "
+        "WHERE abs(CAST(floor(lat_l / 65536.0) AS BIGINT) - "
+        "CAST(floor(lat_r / 65536.0) AS BIGINT)) <= 1 "
+        "AND abs(CAST(floor(lon_l / 65536.0) AS BIGINT) - "
+        "CAST(floor(lon_r / 65536.0) AS BIGINT)) <= 1 "
+        "AND abs(lat_l - lat_r) + abs(lon_l - lon_r) <= 2000 "
+        "AND levenshtein(name_l, name_r) <= 2), "
+        "bl AS (SELECT id_l, id_r FROM (SELECT id_l, id_r, row_number() "
+        "OVER (PARTITION BY id_l ORDER BY dist_e6, lev, id_r) AS rn "
+        "FROM cand) WHERE rn = 1), "
+        "br AS (SELECT id_l, id_r FROM (SELECT id_l, id_r, row_number() "
+        "OVER (PARTITION BY id_r ORDER BY dist_e6, lev, id_l) AS rn "
+        "FROM cand) WHERE rn = 1) "
+        "SELECT cand.* FROM cand JOIN bl USING (id_l, id_r) "
+        "JOIN br USING (id_l, id_r)"
+    )
+
+
+def _q_addr_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Address-range interpolation (spatial.address_interpolate,
+    step 2): customer-derived interpolation ways (even anchors, some
+    reversed/degenerate) densified into exact-integer address points —
+    rational position, one floor per coordinate."""
+    c = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    na = (ck % 40) * 2 + 2
+    ways = c.select(
+        ck.alias("way_id"),
+        na.alias("num_a"),
+        (na + ((ck * 7) % 30 - 15) * 2).alias("num_b"),
+        ((ck * 48271) % 2000000 - 1000000).alias("lat_a_e6"),
+        ((ck * 69621) % 2000000 - 1000000).alias("lon_a_e6"),
+        ((ck * 16807) % 2000000 - 1000000).alias("lat_b_e6"),
+        ((ck * 39373) % 2000000 - 1000000).alias("lon_b_e6"),
+    )
+    return spatial.address_interpolate(ways, step=2)
+
+
+_ADDR_INTERP_SQL = (
+    "WITH w AS (SELECT CAST(c_custkey AS BIGINT) AS way_id, "
+    "(CAST(c_custkey AS BIGINT) % 40) * 2 + 2 AS num_a, "
+    "(CAST(c_custkey AS BIGINT) % 40) * 2 + 2 "
+    "+ ((CAST(c_custkey AS BIGINT) * 7) % 30 - 15) * 2 AS num_b, "
+    "(CAST(c_custkey AS BIGINT) * 48271) % 2000000 - 1000000 AS lat_a, "
+    "(CAST(c_custkey AS BIGINT) * 69621) % 2000000 - 1000000 AS lon_a, "
+    "(CAST(c_custkey AS BIGINT) * 16807) % 2000000 - 1000000 AS lat_b, "
+    "(CAST(c_custkey AS BIGINT) * 39373) % 2000000 - 1000000 AS lon_b "
+    "FROM customer), "
+    "o AS (SELECT way_id, least(num_a, num_b) AS lo, "
+    "greatest(num_a, num_b) AS hi, "
+    "CASE WHEN num_a <= num_b THEN lat_a ELSE lat_b END AS lat_lo, "
+    "CASE WHEN num_a <= num_b THEN lon_a ELSE lon_b END AS lon_lo, "
+    "CASE WHEN num_a <= num_b THEN lat_b ELSE lat_a END AS lat_hi, "
+    "CASE WHEN num_a <= num_b THEN lon_b ELSE lon_a END AS lon_hi "
+    "FROM w WHERE greatest(num_a, num_b) - least(num_a, num_b) > 2), "
+    "e AS (SELECT o.*, unnest(generate_series(lo + 2, hi - 1, 2)) AS n "
+    "FROM o) "
+    "SELECT way_id, CAST(n AS BIGINT) AS housenumber, "
+    "lat_lo + ((lat_hi - lat_lo) * (n - lo) - (((lat_hi - lat_lo) * "
+    "(n - lo)) % (hi - lo) + (hi - lo)) % (hi - lo)) // (hi - lo) "
+    "AS lat_e6, "
+    "lon_lo + ((lon_hi - lon_lo) * (n - lo) - (((lon_hi - lon_lo) * "
+    "(n - lo)) % (hi - lo) + (hi - lo)) % (hi - lo)) // (hi - lo) "
+    "AS lon_e6 FROM e"
+)
+
+
 # ---- wave 64: Kaplan-Meier survival, SCAN structural clustering ----
 
 
@@ -8552,6 +8670,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 64
         "km_survival": _q_km,
         "scan_roles": _q_scan,
+        # wave 65
+        "poi_matches": _q_conflate,
+        "addr_interp": _q_addr_interp,
     }
 
 
@@ -9797,6 +9918,9 @@ def oracle_sql() -> dict[str, str]:
     # wave-64 oracles
     sqls["km_survival"] = _KM_SQL
     sqls["scan_roles"] = _scan_sql()
+    # wave-65 oracles
+    sqls["poi_matches"] = _conflate_sql()
+    sqls["addr_interp"] = _ADDR_INTERP_SQL
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

@@ -2870,3 +2870,161 @@ def k_anonymity_cells(
             F.col("n").cast("long").alias("n"),
         )
     )
+
+
+def poi_conflate(
+    left: DataFrame,
+    right: DataFrame,
+    res: int,
+    max_dist_e6: int,
+    max_lev: int = 2,
+    id_l: str = "id_l",
+    id_r: str = "id_r",
+    name_col: str = "name",
+    lat_col: str = "lat_e6",
+    lon_col: str = "lon_e6",
+) -> DataFrame:
+    """POI conflation — merge two place datasets (an OSM extract vs a
+    business directory, two crawl-derived gazetteers) by MUTUAL BEST
+    fuzzy match: candidates must fall in the same-or-adjacent grid cell
+    (blocking — never all-pairs), agree on name within ``max_lev`` edits
+    and position within ``max_dist_e6`` (planar L1 microdegrees), and
+    each side must be the other's best candidate under the total order
+    (L1 distance, levenshtein, id_l, id_r) — mutuality kills the
+    one-to-many chains a greedy nearest-name join produces, and the
+    total order makes the match set a pure function of the input
+    (the wave-49 mutual_topk discipline applied to entity conflation —
+    pbf2json's J6/J7 dictionary joins are the exact-name special case).
+
+    Shape: cell blocking = each left point joins the 3×3 neighborhood
+    of its cell (the knn/within_distance disk idiom, 9 integer cell
+    keys); per-side best = struct-MIN groupBy, never a window over the
+    candidate set; mutuality = one equi-join of the two best tables.
+
+    Output: (id_l, id_r, name_l, name_r, dist_e6, lev) — matched pairs.
+    """
+    cell = 1 << (26 - res)
+
+    def prep(df, idc, suffix):
+        return df.select(
+            F.col(idc),
+            F.col(name_col).alias(f"name_{suffix}"),
+            F.col(lat_col).alias(f"lat_{suffix}"),
+            F.col(lon_col).alias(f"lon_{suffix}"),
+            F.floor(F.col(lat_col) / cell).cast("long").alias(f"cy_{suffix}"),
+            F.floor(F.col(lon_col) / cell).cast("long").alias(f"cx_{suffix}"),
+        )
+
+    l = prep(left, id_l, "l")
+    r = prep(right, id_r, "r")
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    l9 = l.select(
+        "*",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.col("cx_l") + dx).alias("cx"),
+                    (F.col("cy_l") + dy).alias("cy"),
+                )
+                for dx, dy in offs
+            ])
+        ).alias("_c"),
+    ).select(l["*"], F.col("_c.cx"), F.col("_c.cy"))
+    r2 = r.withColumn("cx", F.col("cx_r")).withColumn("cy", F.col("cy_r"))
+    cand = (
+        l9.join(r2, ["cx", "cy"])
+        .withColumn(
+            "dist_e6",
+            F.abs(F.col("lat_l") - F.col("lat_r"))
+            + F.abs(F.col("lon_l") - F.col("lon_r")),
+        )
+        .withColumn("lev", F.levenshtein("name_l", "name_r").cast("long"))
+        .filter(
+            (F.col("dist_e6") <= max_dist_e6) & (F.col("lev") <= max_lev)
+        )
+        .select(id_l, id_r, "name_l", "name_r", "dist_e6", "lev")
+    )
+    key = F.struct("dist_e6", "lev", F.col(id_l), F.col(id_r))
+    best_l = (
+        cand.groupBy(id_l)
+        .agg(F.min(key).alias("_b"))
+        .select(id_l, F.col(f"_b.{id_r}").alias(id_r))
+    )
+    best_r = (
+        cand.groupBy(id_r)
+        .agg(F.min(key).alias("_b"))
+        .select(F.col(f"_b.{id_l}").alias(id_l), id_r)
+    )
+    mutual = best_l.join(best_r, [id_l, id_r])
+    return cand.join(mutual, [id_l, id_r])
+
+
+def address_interpolate(
+    ways: DataFrame,
+    step: int = 2,
+    id_col: str = "way_id",
+    a_num: str = "num_a",
+    b_num: str = "num_b",
+    a_lat: str = "lat_a_e6",
+    a_lon: str = "lon_a_e6",
+    b_lat: str = "lat_b_e6",
+    b_lon: str = "lon_b_e6",
+) -> DataFrame:
+    """OSM-style address-range interpolation (`addr:interpolation`):
+    a way whose endpoints carry house numbers A and B generates the
+    intermediate address points — number n at the proportional position
+    along the segment. The geocoding densifier: one interpolation way
+    replaces dozens of address nodes, and the geocoder materializes
+    them on demand (reference-adjacent: pbf2json emits the endpoint
+    address nodes this op interpolates between; denorm.py P7/P8 handle
+    the unit/number tags).
+
+    step = 2 (even/odd — the OSM default: the generated numbers keep
+    A's parity) or 1 (`all`). EXACT integer geometry: point n sits at
+    the rational fraction (n − A)/(B − A) along the segment, and the
+    coordinate is floor-divided once — lat = lat_a + (Δlat·(n−A)) div
+    (B−A) — never a float, so generated points are engine-exact.
+    Degenerate ranges (B == A, reversed, parity-empty) emit nothing;
+    endpoints themselves are NOT re-emitted (they exist as real nodes).
+
+    One `sequence` explode per way — output is range-length bounded, the
+    way table never shuffles.
+
+    Output: (way_id, housenumber, lat_e6, lon_e6).
+    """
+    lo = F.least(F.col(a_num), F.col(b_num))
+    hi = F.greatest(F.col(a_num), F.col(b_num))
+    # generated numbers anchor on lo's parity grid: lo+step, lo+2·step, …
+    # strictly inside (lo, hi)
+    w = ways.withColumn("_lo", lo).withColumn("_hi", hi).filter(
+        F.col("_hi") - F.col("_lo") > step
+    )
+    nums = F.sequence(
+        F.col("_lo") + F.lit(step), F.col("_hi") - 1, F.lit(step)
+    )
+    e = w.select(
+        F.col(id_col),
+        F.col(a_num), F.col(b_num),
+        F.col(a_lat), F.col(a_lon), F.col(b_lat), F.col(b_lon),
+        "_lo", "_hi",
+        F.explode(nums).alias("housenumber"),
+    )
+    # orient the segment so interpolation runs lo → hi
+    lat_lo = F.when(F.col(a_num) <= F.col(b_num), F.col(a_lat)).otherwise(F.col(b_lat))
+    lon_lo = F.when(F.col(a_num) <= F.col(b_num), F.col(a_lon)).otherwise(F.col(b_lon))
+    lat_hi = F.when(F.col(a_num) <= F.col(b_num), F.col(b_lat)).otherwise(F.col(a_lat))
+    lon_hi = F.when(F.col(a_num) <= F.col(b_num), F.col(b_lon)).otherwise(F.col(a_lon))
+    span = F.col("_hi") - F.col("_lo")
+    off = F.col("housenumber") - F.col("_lo")
+
+    def interp(c_lo, c_hi):
+        delta = (c_hi - c_lo) * off
+        adj = delta - ((delta % span + span) % span)
+        return c_lo + (adj / span).cast("long")
+
+    return e.select(
+        F.col(id_col),
+        F.col("housenumber").cast("long").alias("housenumber"),
+        interp(lat_lo, lat_hi).alias("lat_e6"),
+        interp(lon_lo, lon_hi).alias("lon_e6"),
+    )
