@@ -4952,6 +4952,96 @@ _LINKAGE_SQL = (
 )
 
 
+# ---- wave 66: kNN label consensus, bow-tie decomposition ----
+
+
+def _q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-consensus noise detection (ann.knn_label_consensus,
+    k=5): synthetic labels on the embedding table (vec_id % 4; every
+    17th mislabeled) — neighbors by the exact (cos DESC, id) order with
+    self excluded BEFORE ranking; integer vote surface."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding",
+        F.concat(
+            F.lit("l"),
+            F.when(F.col("vec_id") % 17 == 0, (F.col("vec_id") + 1) % 4)
+            .otherwise(F.col("vec_id") % 4)
+            .cast("string"),
+        ).alias("label"),
+    )
+    return ann.knn_label_consensus(e, k=5)
+
+
+_LABEL_NOISE_SQL = (
+    "WITH l AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
+    "'l' || CAST(CASE WHEN vec_id % 17 = 0 THEN (vec_id + 1) % 4 "
+    "ELSE vec_id % 4 END AS VARCHAR) AS lab FROM embeddings), "
+    "s AS (SELECT q.vec_id AS qid, q.lab AS qlab, p.vec_id AS pid, "
+    "p.lab AS plab, list_cosine_similarity(p.v, q.v) AS cos "
+    "FROM l p, l q WHERE p.vec_id <> q.vec_id), "
+    "nn AS (SELECT qid, qlab, plab FROM (SELECT qid, qlab, plab, "
+    "row_number() OVER (PARTITION BY qid ORDER BY cos DESC, pid) AS rn "
+    "FROM s) WHERE rn <= 5), "
+    "v AS (SELECT qid, qlab, plab, CAST(count(*) AS BIGINT) AS nv "
+    "FROM nn GROUP BY qid, qlab, plab), "
+    "b AS (SELECT qid, qlab, plab AS consensus_label FROM (SELECT qid, "
+    "qlab, plab, row_number() OVER (PARTITION BY qid ORDER BY nv DESC, "
+    "plab) AS rn FROM v) WHERE rn = 1), "
+    "agg AS (SELECT qid, qlab, CAST(sum(nv) AS BIGINT) AS n_neighbors, "
+    "CAST(sum(CASE WHEN plab = qlab THEN nv ELSE 0 END) AS BIGINT) "
+    "AS n_agree FROM v GROUP BY qid, qlab) "
+    "SELECT agg.qid AS vec_id, agg.qlab AS label, b.consensus_label, "
+    "agg.n_agree, agg.n_neighbors, b.consensus_label <> agg.qlab "
+    "AS flagged FROM agg JOIN b ON agg.qid = b.qid"
+)
+
+
+def _q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder bow-tie decomposition (graph.bowtie) of the DIRECTED
+    kcore gate graph — deterministic max-degree pivot, FW/BW frontier
+    BFS fixpoints, weak CC for the tendril/disconnected split."""
+    return graph.bowtie(_kcore_edges(spark, sf_dir))
+
+
+def _bowtie_sql() -> str:
+    mm = "(SELECT (count(*) + 6) // 7 FROM documents)"
+    dense = " UNION ALL ".join(
+        f"SELECT doc_id AS src, ((doc_id // 7 + {sft}) % {mm}) * 7 AS dst "
+        "FROM documents WHERE doc_id % 7 = 0"
+        for sft in (1, 2, 3)
+    )
+    return (
+        "WITH RECURSIVE "
+        f"ke AS MATERIALIZED ({_EDGES_SQL} UNION ALL {dense}), "
+        "e AS MATERIALIZED (SELECT DISTINCT src AS s, dst AS d FROM ke "
+        "WHERE src <> dst), "
+        "deg AS (SELECT n, CAST(count(*) AS BIGINT) AS dg FROM ("
+        "SELECT s AS n FROM e UNION ALL SELECT d FROM e) GROUP BY n), "
+        "pv AS (SELECT n FROM deg ORDER BY dg DESC, n LIMIT 1), "
+        "fw(n) AS (SELECT n FROM pv UNION SELECT e.d FROM e "
+        "JOIN fw ON e.s = fw.n), "
+        "bw(n) AS (SELECT n FROM pv UNION SELECT e.s FROM e "
+        "JOIN bw ON e.d = bw.n), "
+        "core AS (SELECT fw.n FROM fw JOIN bw ON fw.n = bw.n), "
+        "ue AS (SELECT s AS x, d AS y FROM e UNION SELECT d, s FROM e), "
+        "walk(x, lab) AS (SELECT n, n FROM deg "
+        "UNION SELECT ue.y, w.lab FROM ue JOIN walk w ON ue.x = w.x), "
+        "cc AS (SELECT x AS n, min(lab) AS rep FROM walk GROUP BY x), "
+        "crep AS (SELECT DISTINCT cc.rep FROM cc JOIN core "
+        "ON cc.n = core.n) "
+        "SELECT deg.n AS node, CASE "
+        "WHEN core.n IS NOT NULL THEN 'core' "
+        "WHEN bw.n IS NOT NULL THEN 'in' "
+        "WHEN fw.n IS NOT NULL THEN 'out' "
+        "WHEN crep.rep IS NOT NULL THEN 'tendril' "
+        "ELSE 'disconnected' END AS role "
+        "FROM deg LEFT JOIN core ON core.n = deg.n "
+        "LEFT JOIN fw ON fw.n = deg.n LEFT JOIN bw ON bw.n = deg.n "
+        "LEFT JOIN cc ON cc.n = deg.n "
+        "LEFT JOIN crep ON crep.rep = cc.rep"
+    )
+
+
 # ---- wave 65: POI conflation, address-range interpolation ----
 
 
@@ -8673,6 +8763,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 65
         "poi_matches": _q_conflate,
         "addr_interp": _q_addr_interp,
+        # wave 66
+        "label_noise": _q_label_noise,
+        "bowtie_roles": _q_bowtie,
     }
 
 
@@ -9921,6 +10014,9 @@ def oracle_sql() -> dict[str, str]:
     # wave-65 oracles
     sqls["poi_matches"] = _conflate_sql()
     sqls["addr_interp"] = _ADDR_INTERP_SQL
+    # wave-66 oracles
+    sqls["label_noise"] = _LABEL_NOISE_SQL
+    sqls["bowtie_roles"] = _bowtie_sql()
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

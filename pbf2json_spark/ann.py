@@ -888,3 +888,75 @@ def mutual_topk(
             ),
         )
     )
+
+
+def knn_label_consensus(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN label-consensus noise detection ("confident learning lite"):
+    each labeled point is checked against the MAJORITY label of its k
+    nearest neighbors in embedding space — a point whose neighborhood
+    votes against its own label is a mislabeled/contaminated candidate,
+    the first-pass filter before training on weak labels (LLM-judge
+    outputs, distant supervision).
+
+    Determinism: neighbors rank by (cos DESC, id) — the cosine_topk
+    total order — with SELF EXCLUDED BEFORE ranking (excluding "rank 1"
+    after the fact breaks when an exact-duplicate vector with a smaller
+    id outranks the point itself — near-dup corpora make that real);
+    the consensus pick is (vote count DESC, label ASC) — a pure
+    function of the input.
+
+    Shape note: this exact form cross-joins the broadcast point set
+    against itself (the cosine_topk plan with queries == points) — the
+    bounded-labeled-set regime (eval/seed sets, ≤ ~10⁵). For corpus-
+    scale label audit swap the candidate generator for lsh_cosine_topk
+    and keep the vote/consensus tail unchanged.
+
+    Output: (id, label, consensus_label, n_agree, n_neighbors, flagged).
+    """
+    pts = df.select(
+        F.col(id_col).alias("_qid"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+        F.col(label_col).alias("_qlab"),
+    )
+    p = df.select(
+        F.col(id_col).alias("_pid"),
+        F.col(vec_col).cast("array<double>").alias("_pv"),
+        F.col(label_col).alias("_plab"),
+    )
+    scored = (
+        p.crossJoin(F.broadcast(pts))
+        .filter(F.col("_pid") != F.col("_qid"))
+        .withColumn("cos", cosine(F.col("_pv"), F.col("_qv")))
+    )
+    nn = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("_qid").orderBy(F.desc("cos"), F.col("_pid"))
+        ),
+    ).filter(F.col("rank") <= k)
+    votes = nn.groupBy("_qid", "_qlab", "_plab").agg(
+        F.count(F.lit(1)).alias("_v")
+    )
+    best = votes.groupBy("_qid", "_qlab").agg(
+        F.min(
+            F.struct((-F.col("_v")).alias("nv"), F.col("_plab").alias("lab"))
+        ).alias("_b"),
+        F.sum("_v").alias("n_neighbors"),
+        F.sum(
+            F.when(F.col("_plab") == F.col("_qlab"), F.col("_v")).otherwise(0)
+        ).alias("n_agree"),
+    )
+    return best.select(
+        F.col("_qid").alias(id_col),
+        F.col("_qlab").alias(label_col),
+        F.col("_b.lab").alias("consensus_label"),
+        F.col("n_agree").cast("long").alias("n_agree"),
+        F.col("n_neighbors").cast("long").alias("n_neighbors"),
+        (F.col("_b.lab") != F.col("_qlab")).alias("flagged"),
+    )

@@ -1474,3 +1474,102 @@ def scan_clusters(
         )
     )
     return out
+
+
+def bowtie(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Broder bow-tie decomposition of a directed graph (the classic
+    "Graph structure in the Web"): a strongly-connected CORE, the IN
+    set that reaches it, the OUT set it reaches, and the weakly-
+    connected remainder (tendrils/tubes) vs fully DISCONNECTED pieces —
+    the first macro-structural question asked of any crawl graph, and
+    the frontier-health readout of a crawler (a bloated IN means seeds
+    never reach the core).
+
+    Deterministic pivot: the node with maximum total degree, ties to
+    the smallest id — a pure function of the input. The CORE is the SCC
+    containing that pivot, computed as FW(pivot) ∩ BW(pivot) — two
+    frontier-BFS fixpoints (each round ONE semi-join-shaped expansion +
+    anti-join against the visited set, frontier-sized work, the
+    distance_transform discipline); weak connectivity for the remainder
+    comes from `connected_components` (pointer doubling). The pivot
+    almost always lands in the giant SCC on web graphs (max degree);
+    callers needing THE largest SCC regardless of degree should iterate
+    pivots over unassigned nodes — the macro structure rarely changes.
+
+    Output: (node, role ∈ {core, in, out, tendril, disconnected}).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).filter(
+        F.col("s") != F.col("d")
+    ).distinct().localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("s").alias("n"))
+        .unionByName(e.select(F.col("d").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    pivot_row = deg.orderBy(F.desc("_deg"), F.col("n")).limit(1).collect()
+    if not pivot_row:
+        return e.select(F.col("s").alias("node")).limit(0).withColumn(
+            "role", F.lit("disconnected")
+        )
+    pivot = pivot_row[0]["n"]
+
+    def reach(adj: DataFrame) -> DataFrame:
+        """BFS fixpoint from the pivot over (frm, to) adjacency."""
+        spark = adj.sparkSession
+        visited = spark.createDataFrame([(pivot,)], "n long").localCheckpoint(
+            eager=True
+        )
+        frontier = visited
+        for _ in range(max_rounds):
+            nxt = (
+                adj.join(frontier.withColumnRenamed("n", "frm"), "frm")
+                .select(F.col("to").alias("n"))
+                .distinct()
+                .join(visited, "n", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.limit(1).count() == 0:
+                break
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        return visited
+
+    fw = reach(e.select(F.col("s").alias("frm"), F.col("d").alias("to")))
+    bw = reach(e.select(F.col("d").alias("frm"), F.col("s").alias("to")))
+    core = fw.join(bw, "n")
+    cc = connected_components(e.select(F.col("s").alias("a"),
+                                       F.col("d").alias("b")))
+    core_rep = (
+        cc.join(core.withColumnRenamed("n", "id"), "id")
+        .select("rep")
+        .distinct()
+    )
+    nodes = deg.select("n")
+    out = (
+        nodes.join(core.withColumn("_core", F.lit(1)), "n", "left")
+        .join(fw.withColumn("_fw", F.lit(1)), "n", "left")
+        .join(bw.withColumn("_bw", F.lit(1)), "n", "left")
+        .join(
+            cc.withColumnRenamed("id", "n").join(
+                core_rep.withColumn("_wk", F.lit(1)), "rep", "left"
+            ).select("n", "_wk"),
+            "n",
+            "left",
+        )
+        .select(
+            F.col("n").alias("node"),
+            F.when(F.col("_core").isNotNull(), F.lit("core"))
+            .when(F.col("_bw").isNotNull(), F.lit("in"))
+            .when(F.col("_fw").isNotNull(), F.lit("out"))
+            .when(F.col("_wk").isNotNull(), F.lit("tendril"))
+            .otherwise(F.lit("disconnected"))
+            .alias("role"),
+        )
+    )
+    return out
