@@ -4952,6 +4952,75 @@ _LINKAGE_SQL = (
 )
 
 
+# ---- wave 67: blocking-quality metrics, contiguous sequence triples ----
+
+
+def _q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-strategy evaluation (dedup.blocking_quality): the
+    wave-51 nationkey blocker's candidate pairs judged against the
+    known twin gold pairs (k ↔ k+10⁶) — RR/PC/PQ as exact e6 floors."""
+    c = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    n = c.count()
+    left = c.select(ck.alias("id_l"),
+                    F.col("c_nationkey").cast("long").alias("blk"))
+    right = c.select((ck + 1000000).alias("id_r"),
+                     F.col("c_nationkey").cast("long").alias("blk"))
+    cand = left.join(right, "blk").select("id_l", "id_r")
+    gold = c.select(ck.alias("id_l"), (ck + 1000000).alias("id_r"))
+    return dedup.blocking_quality(cand, gold, n_left=n, n_right=n)
+
+
+def _blocking_eval_sql() -> str:
+    return (
+        "WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer), "
+        "cand AS (SELECT DISTINCT l.id_l, r.id_r FROM "
+        "(SELECT CAST(c_custkey AS BIGINT) AS id_l, c_nationkey AS blk "
+        "FROM customer) l JOIN "
+        "(SELECT CAST(c_custkey AS BIGINT) + 1000000 AS id_r, "
+        "c_nationkey AS blk FROM customer) r USING (blk)), "
+        "gold AS (SELECT CAST(c_custkey AS BIGINT) AS id_l, "
+        "CAST(c_custkey AS BIGINT) + 1000000 AS id_r FROM customer), "
+        "hit AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM cand "
+        "JOIN gold USING (id_l, id_r)), "
+        "agg AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand) "
+        "AS n_cand, (SELECT CAST(count(*) AS BIGINT) FROM gold) AS n_gold, "
+        "hit.n_hit, n.n * n.n AS total FROM hit, n) "
+        "SELECT n_cand, n_gold, n_hit, "
+        "((total - n_cand) * 1000000) // total AS rr_e6, "
+        "CASE WHEN n_gold > 0 THEN (n_hit * 1000000) // n_gold END AS pc_e6, "
+        "CASE WHEN n_cand > 0 THEN (n_hit * 1000000) // n_cand END AS pq_e6 "
+        "FROM agg"
+    )
+
+
+def _q_seq_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous behavior triples (temporal.seq_triples, support ≥ 3
+    users): per-user event streams in (ts, event_id) total order; the
+    support-vs-occurrences split separates bot loops from population
+    behavior."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", _ntz_epoch_us("ts").alias("_us"), "event_id", "event_type"
+    )
+    return temporal.seq_triples(
+        e, "user_id", "_us", "event_id", "event_type", min_support=3
+    )
+
+
+_SEQ_TRIPLES_SQL = (
+    "WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, "
+    "event_id, event_type FROM events), "
+    "t AS (SELECT user_id, event_type AS t1, "
+    "lead(event_type, 1) OVER w AS t2, lead(event_type, 2) OVER w AS t3 "
+    "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), "
+    "f AS (SELECT * FROM t WHERE t2 IS NOT NULL AND t3 IS NOT NULL), "
+    "agg AS (SELECT t1, t2, t3, CAST(count(DISTINCT user_id) AS BIGINT) "
+    "AS support, CAST(count(*) AS BIGINT) AS occurrences FROM f "
+    "GROUP BY t1, t2, t3) "
+    "SELECT * FROM agg WHERE support >= 3"
+)
+
+
 # ---- wave 66: kNN label consensus, bow-tie decomposition ----
 
 
@@ -8766,6 +8835,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 66
         "label_noise": _q_label_noise,
         "bowtie_roles": _q_bowtie,
+        # wave 67
+        "blocking_eval": _q_blocking_eval,
+        "event_triples": _q_seq_triples,
     }
 
 
@@ -10017,6 +10089,9 @@ def oracle_sql() -> dict[str, str]:
     # wave-66 oracles
     sqls["label_noise"] = _LABEL_NOISE_SQL
     sqls["bowtie_roles"] = _bowtie_sql()
+    # wave-67 oracles
+    sqls["blocking_eval"] = _blocking_eval_sql()
+    sqls["event_triples"] = _SEQ_TRIPLES_SQL
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

@@ -793,3 +793,47 @@ def golden_records(
         )
         out = out.join(votes, "cluster_id", "left")
     return out
+
+
+def blocking_quality(
+    candidates: DataFrame,
+    gold: DataFrame,
+    n_left: int,
+    n_right: int,
+    id_l: str = "id_l",
+    id_r: str = "id_r",
+) -> DataFrame:
+    """Blocking-strategy evaluation (the record-linkage literature's
+    standard triple): a blocking pass (nationkey equi-join, soundex,
+    SNM, cell disks …) is judged by
+
+      reduction_ratio    1 − |candidates| / (n_left·n_right) — how much
+                         of the quadratic comparison space it removed
+      pair_completeness  |candidates ∩ gold| / |gold| — recall of true
+                         matches into the candidate set
+      pair_quality       |candidates ∩ gold| / |candidates| — precision
+                         of the candidate set
+
+    A good blocker has RR ≈ 1 AND PC ≈ 1; either alone is trivial.
+    Exact integer surface: counts + e6 floor ratios (one div each);
+    the candidate∩gold hit count is ONE equi-join on the pair key.
+    Duplicate candidate/gold pairs are deduped first (a blocker that
+    emits a pair twice shouldn't double-count).
+
+    Output: one row (n_cand, n_gold, n_hit, rr_e6, pc_e6, pq_e6).
+    """
+    c = candidates.select(id_l, id_r).distinct()
+    g = gold.select(id_l, id_r).distinct()
+    hit = c.join(g, [id_l, id_r], "left_semi")
+    stats_df = c.agg(F.count(F.lit(1)).alias("n_cand")).crossJoin(
+        g.agg(F.count(F.lit(1)).alias("n_gold"))
+    ).crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    total = n_left * n_right
+    return stats_df.select(
+        "n_cand", "n_gold", "n_hit",
+        F.expr(f"(({total} - n_cand) * 1000000) div {total}").alias("rr_e6"),
+        F.when(F.col("n_gold") > 0,
+               F.expr("(n_hit * 1000000) div n_gold")).alias("pc_e6"),
+        F.when(F.col("n_cand") > 0,
+               F.expr("(n_hit * 1000000) div n_cand")).alias("pq_e6"),
+    )

@@ -1229,3 +1229,43 @@ def ccf_lags(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def seq_triples(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    type_col: str,
+    min_support: int = 5,
+) -> DataFrame:
+    """Frequent CONTIGUOUS behavior triples (a → b → c in immediate
+    succession within a key's event stream) with support counts — the
+    order-3 extension of markov_transitions and the "what do users DO"
+    primitive behind funnel design and bot-pattern mining (a bot is a
+    loop: view→view→view at clockwork gaps; a buyer is
+    view→click→purchase).
+
+    The stream's order is the (ts, tiebreak) TOTAL order per key (the
+    burstiness discipline — equal timestamps cannot reorder patterns);
+    successors come from two lead() windows over per-key partitions;
+    support = distinct KEYS exhibiting the triple (the sequence-mining
+    convention — a single user looping 10^6 times is support 1, which
+    is exactly what separates bot loops from population behavior; the
+    raw occurrence count is emitted alongside).
+
+    Output: (t1, t2, t3, support, occurrences) for triples with
+    support >= min_support.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    t = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(type_col).alias("t1"),
+        F.lead(type_col, 1).over(w).alias("t2"),
+        F.lead(type_col, 2).over(w).alias("t3"),
+    ).filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    agg = t.groupBy("t1", "t2", "t3").agg(
+        F.countDistinct("_k").alias("support"),
+        F.count(F.lit(1)).alias("occurrences"),
+    )
+    return agg.filter(F.col("support") >= min_support)
