@@ -4952,6 +4952,120 @@ _LINKAGE_SQL = (
 )
 
 
+# ---- wave 68: directed triad census, attribute assortativity ----
+
+
+def _q_triads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed triad census (graph.triad_census, igraph exemplar
+    conventions) of the kcore gate graph — connected triples enumerated
+    from wedges, disconnected types by closed-form dyad arithmetic;
+    16 exact counts."""
+    return graph.triad_census(_kcore_edges(spark, sf_dir)).orderBy("triad")
+
+
+def _triads_sql() -> str:
+    from pbf2json_spark.graph import _TRIAD_EXEMPLARS, triad_type_map
+
+    tmap = triad_type_map()
+    case = "CASE code " + " ".join(
+        f"WHEN {c} THEN '{t}'" for c, t in sorted(tmap.items())
+    ) + " END"
+    names = ", ".join(f"('{t}')" for t in _TRIAD_EXEMPLARS)
+    mm = "(SELECT (count(*) + 6) // 7 FROM documents)"
+    dense = " UNION ALL ".join(
+        f"SELECT doc_id AS src, ((doc_id // 7 + {sft}) % {mm}) * 7 AS dst "
+        "FROM documents WHERE doc_id % 7 = 0"
+        for sft in (1, 2, 3)
+    )
+    return (
+        f"WITH ke AS MATERIALIZED ({_EDGES_SQL} UNION ALL {dense}), "
+        "e AS MATERIALIZED (SELECT DISTINCT src AS s, dst AS d FROM ke "
+        "WHERE src <> dst), "
+        "dy AS MATERIALIZED (SELECT least(s, d) AS a, greatest(s, d) AS b, "
+        "CAST(sum(CASE WHEN s < d THEN 1 ELSE 2 END) AS INT) AS st "
+        "FROM e GROUP BY a, b), "
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (SELECT DISTINCT "
+        "x FROM (SELECT s AS x FROM e UNION ALL SELECT d FROM e))), "
+        "sym AS (SELECT a AS c, b AS nbr FROM dy UNION ALL "
+        "SELECT b, a FROM dy), "
+        "wedge AS (SELECT l.nbr AS u, l.c, r.nbr AS w FROM sym l "
+        "JOIN sym r ON l.c = r.c AND l.nbr < r.nbr), "
+        "tri AS (SELECT DISTINCT least(u, least(c, w)) AS a, "
+        "u + c + w - least(u, least(c, w)) - greatest(u, greatest(c, w)) "
+        "AS b, greatest(u, greatest(c, w)) AS cc FROM wedge), "
+        "t AS (SELECT coalesce(ab.st, 0) * 16 + coalesce(ac.st, 0) * 4 + "
+        "coalesce(bc.st, 0) AS code, "
+        "CAST(CASE WHEN ab.st = 3 THEN 1 ELSE 0 END + "
+        "CASE WHEN ac.st = 3 THEN 1 ELSE 0 END + "
+        "CASE WHEN bc.st = 3 THEN 1 ELSE 0 END AS BIGINT) AS muts, "
+        "CAST(CASE WHEN ab.st IN (1, 2) THEN 1 ELSE 0 END + "
+        "CASE WHEN ac.st IN (1, 2) THEN 1 ELSE 0 END + "
+        "CASE WHEN bc.st IN (1, 2) THEN 1 ELSE 0 END AS BIGINT) AS asyms "
+        "FROM tri LEFT JOIN dy ab ON ab.a = tri.a AND ab.b = tri.b "
+        "LEFT JOIN dy ac ON ac.a = tri.a AND ac.b = tri.cc "
+        "LEFT JOIN dy bc ON bc.a = tri.b AND bc.b = tri.cc), "
+        f"cls AS (SELECT {case} AS triad, CAST(count(*) AS BIGINT) AS cnt, "
+        "sum(muts) AS sm, sum(asyms) AS sa FROM t GROUP BY 1), "
+        "sums AS (SELECT coalesce(sum(cnt), 0) AS n_conn, "
+        "coalesce(sum(sm), 0) AS sm, coalesce(sum(sa), 0) AS sa FROM cls), "
+        "dyc AS (SELECT coalesce(sum(CASE WHEN st = 3 THEN 1 ELSE 0 END), "
+        "0) AS m, coalesce(sum(CASE WHEN st IN (1, 2) THEN 1 ELSE 0 END), "
+        "0) AS a FROM dy), "
+        "consts AS (SELECT nn.n * (nn.n - 1) * (nn.n - 2) // 6 AS c3, "
+        "dyc.a * (nn.n - 2) - sums.sa AS n012, "
+        "dyc.m * (nn.n - 2) - sums.sm AS n102, sums.n_conn "
+        "FROM nn, dyc, sums), "
+        f"base(triad) AS (SELECT * FROM (VALUES {names})) "
+        "SELECT base.triad, CAST(CASE base.triad "
+        "WHEN '003' THEN (SELECT c3 - n_conn - n012 - n102 FROM consts) "
+        "WHEN '012' THEN (SELECT n012 FROM consts) "
+        "WHEN '102' THEN (SELECT n102 FROM consts) "
+        "ELSE coalesce(cls.cnt, 0) END AS BIGINT) AS count "
+        "FROM base LEFT JOIN cls ON cls.triad = base.triad"
+    )
+
+
+def _q_homophily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute assortativity (graph.attribute_assortativity): do
+    documents link within their own language? Exact rational r over the
+    kcore gate graph with lang labels — one row."""
+    attrs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node"), F.col("lang").alias("attr")
+    )
+    return graph.attribute_assortativity(_kcore_edges(spark, sf_dir), attrs)
+
+
+def _homophily_sql() -> str:
+    mm = "(SELECT (count(*) + 6) // 7 FROM documents)"
+    dense = " UNION ALL ".join(
+        f"SELECT doc_id AS src, ((doc_id // 7 + {sft}) % {mm}) * 7 AS dst "
+        "FROM documents WHERE doc_id % 7 = 0"
+        for sft in (1, 2, 3)
+    )
+    return (
+        f"WITH ke AS MATERIALIZED ({_EDGES_SQL} UNION ALL {dense}), "
+        "a AS (SELECT doc_id AS n, lang FROM documents), "
+        "e2 AS (SELECT la.lang AS als, lb.lang AS ald FROM ke "
+        "JOIN a la ON la.n = ke.src JOIN a lb ON lb.n = ke.dst), "
+        "mix AS (SELECT als, ald, CAST(count(*) AS BIGINT) AS c FROM e2 "
+        "GROUP BY als, ald), "
+        "oa AS (SELECT als, sum(c) AS oc FROM mix GROUP BY als), "
+        "ib AS (SELECT ald, sum(c) AS ic FROM mix GROUP BY ald), "
+        "ab AS (SELECT coalesce(sum(oa.oc * ib.ic), 0) AS ab FROM oa "
+        "JOIN ib ON oa.als = ib.ald), "
+        "tot AS (SELECT sum(c) AS E, sum(CASE WHEN als = ald THEN c "
+        "ELSE 0 END) AS eii FROM mix) "
+        "SELECT CAST(tot.E AS BIGINT) AS n_edges, "
+        "CAST(tot.eii AS BIGINT) AS same_attr, "
+        "CAST(tot.E * tot.eii - ab.ab AS BIGINT) AS r_num, "
+        "CAST(tot.E * tot.E - ab.ab AS BIGINT) AS r_den, "
+        "CASE WHEN tot.E * tot.E - ab.ab <> 0 THEN "
+        "CAST(tot.E * tot.eii - ab.ab AS DOUBLE) / "
+        "CAST(tot.E * tot.E - ab.ab AS DOUBLE) END AS r "
+        "FROM tot, ab"
+    )
+
+
 # ---- wave 67: blocking-quality metrics, contiguous sequence triples ----
 
 
@@ -8838,6 +8952,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 67
         "blocking_eval": _q_blocking_eval,
         "event_triples": _q_seq_triples,
+        # wave 68
+        "triads": _q_triads,
+        "homophily": _q_homophily,
     }
 
 
@@ -10092,6 +10209,9 @@ def oracle_sql() -> dict[str, str]:
     # wave-67 oracles
     sqls["blocking_eval"] = _blocking_eval_sql()
     sqls["event_triples"] = _SEQ_TRIPLES_SQL
+    # wave-68 oracles
+    sqls["triads"] = _triads_sql()
+    sqls["homophily"] = _homophily_sql()
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

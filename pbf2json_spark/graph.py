@@ -1573,3 +1573,271 @@ def bowtie(
         )
     )
     return out
+
+
+# --- triad census -----------------------------------------------------------------
+
+# igraph's documented exemplars for the 16 MAN triad types (public,
+# unambiguous): each is an edge set over nodes (0, 1, 2) = (A, B, C).
+_TRIAD_EXEMPLARS = {
+    "003": [],
+    "012": [(0, 1)],
+    "102": [(0, 1), (1, 0)],
+    "021D": [(1, 0), (1, 2)],            # A<-B->C
+    "021U": [(0, 1), (2, 1)],            # A->B<-C
+    "021C": [(0, 1), (1, 2)],            # A->B->C
+    "111D": [(0, 1), (1, 0), (2, 1)],    # A<->B<-C
+    "111U": [(0, 1), (1, 0), (1, 2)],    # A<->B->C
+    "030T": [(0, 1), (2, 1), (0, 2)],    # A->B<-C, A->C
+    "030C": [(1, 0), (2, 1), (0, 2)],    # A<-B<-C, A->C
+    "201": [(0, 1), (1, 0), (1, 2), (2, 1)],
+    "120D": [(1, 0), (1, 2), (0, 2), (2, 0)],
+    "120U": [(0, 1), (2, 1), (0, 2), (2, 0)],
+    "120C": [(0, 1), (1, 2), (0, 2), (2, 0)],
+    "210": [(0, 1), (1, 2), (2, 1), (0, 2), (2, 0)],
+    "300": [(0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1)],
+}
+
+
+def _triad_code(states: tuple[int, int, int]) -> int:
+    """Pack the 3 dyad states (ab, ac, bc), each 0..3, into one int."""
+    return states[0] * 16 + states[1] * 4 + states[2]
+
+
+def triad_type_map() -> dict[int, str]:
+    """code → MAN type name for all 64 dyad-state combinations, built by
+    canonicalizing each combination over the 6 node permutations and
+    matching the canonicalized igraph exemplars — convention-correct by
+    construction, not by hand-enumerated cases."""
+    import itertools
+
+    def canon(edges):
+        best = None
+        for p in itertools.permutations(range(3)):
+            m = tuple(sorted((p[a], p[b]) for a, b in edges))
+            if best is None or m < best:
+                best = m
+        return best
+
+    by_canon = {canon(es): name for name, es in _TRIAD_EXEMPLARS.items()}
+    out = {}
+    for ab in range(4):
+        for ac in range(4):
+            for bc in range(4):
+                edges = []
+                if ab & 1:
+                    edges.append((0, 1))
+                if ab & 2:
+                    edges.append((1, 0))
+                if ac & 1:
+                    edges.append((0, 2))
+                if ac & 2:
+                    edges.append((2, 0))
+                if bc & 1:
+                    edges.append((1, 2))
+                if bc & 2:
+                    edges.append((2, 1))
+                out[_triad_code((ab, ac, bc))] = by_canon[canon(edges)]
+    return out
+
+
+def triad_census(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Full 16-type directed triad census (Holland-Leinhardt MAN
+    classification, igraph's exemplar conventions) — the structural
+    signature of a directed web/social graph: hierarchy shows as 030T
+    dominance, reciprocity-driven cohesion as 201/300 mass, and the
+    census is the standard input to triad-significance profiles.
+
+    Scale shape (Batagelj-Mrvar): only CONNECTED triples are ever
+    touched — they are enumerated from undirected wedges (center ×
+    neighbor-pair via ONE self-join of the neighbor list), deduped on
+    the sorted triple (a wedge triple appears once, a triangle three
+    times → ONE distinct), and classified by packing the 3 dyad states
+    into a 6-bit code mapped through a 64-entry literal CASE (built by
+    permutation canonicalization, not hand enumeration). The
+    DISCONNECTED types never materialize: per enumerated triple the
+    mutual/asym dyad tallies are aggregated, and
+
+        012 = A·(n−2) − Σ_connected asym_dyads_in_triple
+        102 = M·(n−2) − Σ_connected mutual_dyads_in_triple
+        003 = C(n,3) − |connected| − 012 − 102
+
+    — pure integer arithmetic from the dyad census. Output: one row per
+    triad type with its exact count (16 rows, zeros included).
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).filter(
+        F.col("s") != F.col("d")
+    ).distinct().localCheckpoint(eager=True)
+    # dyad state per unordered pair: bit1 = min->max, bit2 = max->min
+    dy = (
+        e.select(
+            F.least("s", "d").alias("a"),
+            F.greatest("s", "d").alias("b"),
+            F.when(F.col("s") < F.col("d"), F.lit(1)).otherwise(F.lit(2)).alias("_bit"),
+        )
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("_bit")).cast("int").alias("st"))
+        .localCheckpoint(eager=True)
+    )
+    n = (
+        e.select(F.col("s").alias("x"))
+        .unionByName(e.select(F.col("d").alias("x")))
+        .distinct()
+        .count()
+    )
+    und = dy.select("a", "b")
+    sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # wedges centered at c: neighbors u < w
+    nb = sym.select(F.col("a").alias("c"), F.col("b").alias("nbr"))
+    wedge = (
+        nb.alias("l")
+        .join(nb.alias("r"), "c")
+        .filter(F.col("l.nbr") < F.col("r.nbr"))
+        .select(
+            F.col("l.nbr").alias("u"), F.col("c"), F.col("r.nbr").alias("w")
+        )
+    )
+    triples = wedge.select(
+        F.least(F.least("u", "c"), "w").alias("a"),
+        F.expr("u + c + w - least(u, least(c, w)) - greatest(u, greatest(c, w))")
+        .alias("b"),
+        F.greatest(F.greatest("u", "c"), "w").alias("cc"),
+    ).distinct()
+    # gather the 3 dyad states (0 when the pair has no edges)
+    t = (
+        triples.join(
+            dy.select(F.col("a"), F.col("b"), F.col("st").alias("_ab")),
+            ["a", "b"], "left",
+        )
+        .join(
+            dy.select(F.col("a"), F.col("b").alias("cc"), F.col("st").alias("_ac")),
+            ["a", "cc"], "left",
+        )
+        .join(
+            dy.select(F.col("a").alias("b"), F.col("b").alias("cc"),
+                      F.col("st").alias("_bc")),
+            ["b", "cc"], "left",
+        )
+        .select(
+            (F.coalesce("_ab", F.lit(0)) * 16
+             + F.coalesce("_ac", F.lit(0)) * 4
+             + F.coalesce("_bc", F.lit(0))).alias("code"),
+            *[
+                (F.coalesce(c, F.lit(0)) == 3).cast("long").alias(f"_m{i}")
+                for i, c in enumerate(["_ab", "_ac", "_bc"])
+            ],
+            *[
+                F.coalesce(c, F.lit(0)).isin(1, 2).cast("long").alias(f"_a{i}")
+                for i, c in enumerate(["_ab", "_ac", "_bc"])
+            ],
+        )
+    )
+    tmap = triad_type_map()
+    type_expr = F.lit("003")
+    # build a literal CASE over the 64 codes (connected codes only matter)
+    mapping = None
+    for code, name in sorted(tmap.items()):
+        cond = F.col("code") == code
+        mapping = F.when(cond, F.lit(name)) if mapping is None else mapping.when(cond, F.lit(name))
+    counted = (
+        t.withColumn("_type", mapping)
+        .groupBy("_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("_m0") + F.col("_m1") + F.col("_m2")).alias("_muts"),
+            F.sum(F.col("_a0") + F.col("_a1") + F.col("_a2")).alias("_asyms"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sums = counted.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_conn"),
+        F.coalesce(F.sum("_muts"), F.lit(0)).alias("sm"),
+        F.coalesce(F.sum("_asyms"), F.lit(0)).alias("sa"),
+    ).collect()[0]
+    dyr = dy.agg(
+        F.coalesce(F.sum((F.col("st") == 3).cast("long")), F.lit(0)).alias("m"),
+        F.coalesce(F.sum(F.col("st").isin(1, 2).cast("long")), F.lit(0)).alias("a"),
+    ).collect()[0]
+    c3 = n * (n - 1) * (n - 2) // 6
+    n_012 = dyr["a"] * (n - 2) - sums["sa"]
+    n_102 = dyr["m"] * (n - 2) - sums["sm"]
+    n_003 = c3 - sums["n_conn"] - n_012 - n_102
+    base = spark.createDataFrame(
+        [(name,) for name in _TRIAD_EXEMPLARS], "triad string"
+    )
+    out = base.join(
+        counted.select(F.col("_type").alias("triad"), "cnt"), "triad", "left"
+    ).select(
+        "triad",
+        F.coalesce("cnt", F.lit(0)).cast("long").alias("count"),
+    )
+    fixes = {"003": n_003, "012": n_012, "102": n_102}
+    fix_expr = F.col("count")
+    for name, v in fixes.items():
+        fix_expr = F.when(F.col("triad") == name, F.lit(int(v))).otherwise(fix_expr)
+    return out.select("triad", fix_expr.cast("long").alias("count"))
+
+
+def attribute_assortativity(
+    edges: DataFrame,
+    attrs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    attr_col: str = "attr",
+) -> DataFrame:
+    """Newman's attribute (categorical) assortativity — homophily of a
+    directed edge set over a node attribute (language links to itself?
+    TLDs interlink?): r = (Σe_ii − Σa_i·b_i) / (1 − Σa_i·b_i) over the
+    normalized mixing matrix; r = 1 perfect homophily, 0 random, < 0
+    disassortative. The attribute companion of the degree
+    `assortativity` operator.
+
+    EXACT RATIONAL surface: with integer edge counts E (total), e_ii
+    (same-attr edges), and per-category out/in marginals oa_i, ib_i,
+
+        r_num = E·Σe_ii − Σ_i oa_i·ib_i
+        r_den = E·E − Σ_i oa_i·ib_i
+
+    — both BIGINT (multiply the textbook's probabilities through by
+    E²); r itself is ONE division. Degenerate (r_den = 0: every edge in
+    one category on both margins) → NULL. Edges whose endpoint misses
+    an attribute are dropped (inner joins — the conservative policy).
+
+    Shape: two label joins (attrs is node-sized — broadcastable for
+    dimension-like attributes), one combinable mixing-matrix groupBy,
+    one marginal product join.
+
+    Output: one row (n_edges, same_attr, r_num, r_den, r).
+    """
+    a = attrs.select(F.col(node_col).alias("_n"), F.col(attr_col).alias("_at"))
+    e2 = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .join(a.withColumnRenamed("_n", "s").withColumnRenamed("_at", "_as"), "s")
+        .join(a.withColumnRenamed("_n", "d").withColumnRenamed("_at", "_ad"), "d")
+    )
+    mix = e2.groupBy("_as", "_ad").agg(F.count(F.lit(1)).alias("c"))
+    oa = mix.groupBy("_as").agg(F.sum("c").alias("oa"))
+    ib = mix.groupBy("_ad").agg(F.sum("c").alias("ib"))
+    cross = oa.join(ib, oa["_as"] == ib["_ad"]).agg(
+        F.coalesce(F.sum(F.col("oa") * F.col("ib")), F.lit(0)).alias("ab")
+    )
+    tot = mix.agg(
+        F.sum("c").alias("E"),
+        F.sum(F.when(F.col("_as") == F.col("_ad"), F.col("c")).otherwise(0))
+        .alias("eii"),
+    )
+    j = tot.crossJoin(cross)
+    r_num = F.col("E") * F.col("eii") - F.col("ab")
+    r_den = F.col("E") * F.col("E") - F.col("ab")
+    return j.select(
+        F.col("E").cast("long").alias("n_edges"),
+        F.col("eii").cast("long").alias("same_attr"),
+        r_num.cast("long").alias("r_num"),
+        r_den.cast("long").alias("r_den"),
+        F.when(r_den != 0, r_num.cast("double") / r_den.cast("double"))
+        .alias("r"),
+    )
