@@ -4952,6 +4952,63 @@ _LINKAGE_SQL = (
 )
 
 
+# ---- wave 69: windowed co-occurrence lift, l-diversity audit ----
+
+
+def _q_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed co-occurrence lift (corpus.cooccurrence_lift, ±3,
+    min_pair 20): collocation mining with an exact-integer lift surface
+    (= monotone PMI, no log on the gate)."""
+    return corpus.cooccurrence_lift(
+        _t(spark, sf_dir, "documents"), "doc_id", window=3, min_pair=20
+    )
+
+
+_COOC_SQL = (
+    "WITH d AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN [] "
+    r"ELSE string_split_regex(trim(text), '\s+') END AS ws FROM documents), "
+    "tok AS (SELECT doc_id, pos - 1 AS p, ws[pos] AS w FROM d, "
+    "unnest(generate_series(1, len(ws))) AS t(pos)), "
+    "tot AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w), "
+    "tp AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tok), "
+    "lft AS (SELECT doc_id, p + o AS p2, w FROM tok, "
+    "unnest(generate_series(1, 3)) AS t(o)), "
+    "pr AS (SELECT least(l.w, r.w) AS a, greatest(l.w, r.w) AS b, "
+    "CAST(count(*) AS BIGINT) AS n_pair FROM lft l "
+    "JOIN tok r ON l.doc_id = r.doc_id AND l.p2 = r.p "
+    "GROUP BY a, b HAVING count(*) >= 20), "
+    "j AS (SELECT pr.a, pr.b, pr.n_pair, ta.c AS n_a, tb.c AS n_b, "
+    "pr.n_pair * tp.t * 1000000 AS num, 3 * ta.c * tb.c AS den "
+    "FROM pr JOIN tot ta ON ta.w = pr.a JOIN tot tb ON tb.w = pr.b, tp) "
+    "SELECT a AS term_a, b AS term_b, n_pair, n_a, n_b, "
+    "(num - ((num % den + den) % den)) // den AS lift_e6 FROM j"
+)
+
+
+def _q_ldiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (spatial.l_diversity_audit, l=3): published
+    quasi-identifier groups = (lang, source); sensitive value = length
+    decile — group size, distinct sensitive values, homogeneity-attack
+    top share, pass flag."""
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", "source", (F.col("n_chars") % 10).alias("dx")
+    )
+    return spatial.l_diversity_audit(d, ["lang", "source"], "dx", l_min=3)
+
+
+_LDIV_SQL = (
+    "WITH d AS (SELECT lang, source, n_chars % 10 AS dx FROM documents), "
+    "per AS (SELECT lang, source, dx, CAST(count(*) AS BIGINT) AS c "
+    "FROM d GROUP BY lang, source, dx), "
+    "agg AS (SELECT lang, source, sum(c) AS n, "
+    "CAST(count(*) AS BIGINT) AS n_distinct, max(c) AS top FROM per "
+    "GROUP BY lang, source) "
+    "SELECT lang, source, CAST(n AS BIGINT) AS n, n_distinct, "
+    "(top * 1000000) // n AS top_share_e6, n_distinct >= 3 AS diverse "
+    "FROM agg"
+)
+
+
 # ---- wave 68: directed triad census, attribute assortativity ----
 
 
@@ -8955,6 +9012,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 68
         "triads": _q_triads,
         "homophily": _q_homophily,
+        # wave 69
+        "cooc_lift": _q_cooc,
+        "ldiv_audit": _q_ldiv,
     }
 
 
@@ -10212,6 +10272,9 @@ def oracle_sql() -> dict[str, str]:
     # wave-68 oracles
     sqls["triads"] = _triads_sql()
     sqls["homophily"] = _homophily_sql()
+    # wave-69 oracles
+    sqls["cooc_lift"] = _COOC_SQL
+    sqls["ldiv_audit"] = _LDIV_SQL
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

@@ -1240,3 +1240,81 @@ def text_tiles(
         & (F.col("overlap") <= F.col("next_overlap"))
     )
     return out.withColumn("is_boundary", ib)
+
+
+def cooccurrence_lift(
+    df: DataFrame,
+    id_col: str,
+    window: int = 3,
+    text_col: str = "text",
+    min_pair: int = 5,
+) -> DataFrame:
+    """Windowed co-occurrence association (the word2vec-era statistic):
+    unordered term pairs within ±``window`` token positions, scored by
+    LIFT = P(pair) / (P(x)·P(y)) — the exact-integer core of PMI
+    (PMI = log lift; log is monotone, so ranking/thresholding on
+    lift_e6 IS ranking on PMI with no transcendental on the gate
+    surface). token_lift is the doc-level cousin; the positional window
+    is what separates collocations ("new york") from mere topical
+    co-presence.
+
+    Counting discipline: pair occurrences = positions i < j with
+    j − i ≤ window (tokens canonically ordered inside the pair);
+    singleton totals count every position; lift_e6 = (c_xy · T · 10⁶)
+    div (window · c_x · c_y) — all BIGINT via the double-mod exact
+    floor (w_eff = window normalizes the ~window pair slots each
+    position opens; boundary loss is second-order for docs ≫ window).
+
+    Shape: posexplode → (doc, pos, term) keyed by the CALLER's id
+    column (a content hash would silently merge duplicate documents'
+    position spaces and cross-multiply their pair counts — exactly the
+    duplicate-heavy case a web corpus guarantees); the pair generator
+    replicates
+    each position to its `window` following offsets and meets the
+    partner in an EQUI-join on (doc, pos) — never a theta band join;
+    two combinable groupBys.
+
+    Output: (term_a, term_b, n_pair, n_a, n_b, lift_e6), term_a <
+    term_b, n_pair >= min_pair.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(_words(text_col)).alias("_pos", "_w"),
+    )
+    totals = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+    t_pos = toks.count()
+    offs = F.explode(F.array(*[F.lit(i) for i in range(1, window + 1)]))
+    left = toks.select(
+        "_doc", F.col("_pos"), F.col("_w").alias("_wl"), offs.alias("_o")
+    ).withColumn("_pos2", F.col("_pos") + F.col("_o"))
+    right = toks.select(
+        "_doc", F.col("_pos").alias("_pos2"), F.col("_w").alias("_wr")
+    )
+    pairs = (
+        left.join(right, ["_doc", "_pos2"])
+        .select(
+            F.least("_wl", "_wr").alias("a"),
+            F.greatest("_wl", "_wr").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair)
+    )
+    out = (
+        pairs.join(totals.select(F.col("_w").alias("a"),
+                                 F.col("_c").alias("n_a")), "a")
+        .join(totals.select(F.col("_w").alias("b"),
+                            F.col("_c").alias("n_b")), "b")
+        .withColumn("_num", F.col("n_pair") * F.lit(t_pos) * F.lit(1_000_000))
+        .withColumn("_den", F.lit(window) * F.col("n_a") * F.col("n_b"))
+        .withColumn(
+            "_adj",
+            F.col("_num") - ((F.col("_num") % F.col("_den") + F.col("_den"))
+                             % F.col("_den")),
+        )
+        .withColumn("lift_e6", F.expr("_adj div _den"))
+    )
+    return out.select(
+        F.col("a").alias("term_a"), F.col("b").alias("term_b"),
+        "n_pair", "n_a", "n_b", "lift_e6",
+    )

@@ -3028,3 +3028,42 @@ def address_interpolate(
         interp(lat_lo, lat_hi).alias("lat_e6"),
         interp(lon_lo, lon_hi).alias("lon_e6"),
     )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l_min: int = 3,
+) -> DataFrame:
+    """l-diversity audit over published quasi-identifier groups — the
+    second privacy gate after k-anonymity (k_anonymity_cells):
+    a group of >= k records still leaks when they all share ONE
+    sensitive value ("everyone in this cell has condition X"); distinct
+    l-diversity demands >= l distinct sensitive values per published
+    group. This audits a release: per quasi-identifier group, group
+    size, distinct sensitive values, the dominant value's share (the
+    homogeneity-attack confidence), and the pass flag.
+
+    Shape: ONE (group, sensitive) combinable count, then one per-group
+    aggregate carrying (size, distinct count, max count) — never a
+    window; top_share_e6 exact floor.
+
+    Output: quasi_cols + (n, n_distinct, top_share_e6, diverse).
+    """
+    gs = [F.col(c) for c in quasi_cols]
+    per = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    agg = per.groupBy(*quasi_cols).agg(
+        F.sum("_c").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("_c").alias("_top"),
+    )
+    return agg.select(
+        *gs,
+        F.col("n").cast("long").alias("n"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.expr("(_top * 1000000) div n").alias("top_share_e6"),
+        (F.col("n_distinct") >= l_min).alias("diverse"),
+    )
