@@ -4952,6 +4952,62 @@ _LINKAGE_SQL = (
 )
 
 
+# ---- wave 70: adjusted Rand index, cluster purity ----
+
+
+def _q_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index (cluster.adjusted_rand) between the lang and
+    source labelings of documents — exact rational pair-counting
+    surface, one row."""
+    return cluster.adjusted_rand(
+        _t(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
+_ARI_SQL = (
+    "WITH ct AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c "
+    "FROM documents GROUP BY lang, source), "
+    "cells AS (SELECT sum(c) AS n, sum(c * (c - 1) // 2) AS i FROM ct), "
+    "am AS (SELECT sum(ai * (ai - 1) // 2) AS a FROM (SELECT sum(c) AS ai "
+    "FROM ct GROUP BY lang)), "
+    "bm AS (SELECT sum(bi * (bi - 1) // 2) AS b FROM (SELECT sum(c) AS bi "
+    "FROM ct GROUP BY source)), "
+    "j AS (SELECT n, i, a, b, n * (n - 1) // 2 AS cn2 FROM cells, am, bm) "
+    "SELECT CAST(n AS BIGINT) AS n, CAST(i AS BIGINT) AS sum_comb, "
+    "CAST(a AS BIGINT) AS a_comb, CAST(b AS BIGINT) AS b_comb, "
+    "CAST(2 * (cn2 * i - a * b) AS BIGINT) AS ari_num, "
+    "CAST(cn2 * (a + b) - 2 * a * b AS BIGINT) AS ari_den, "
+    "CASE WHEN cn2 * (a + b) - 2 * a * b <> 0 THEN "
+    "CAST(2 * (cn2 * i - a * b) AS DOUBLE) / "
+    "CAST(cn2 * (a + b) - 2 * a * b AS DOUBLE) END AS ari FROM j"
+)
+
+
+def _q_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purity / inverse purity (cluster.cluster_purity): source treated
+    as a clustering of documents, lang as the class labels — both
+    directions exposed so degenerate solutions can't hide."""
+    return cluster.cluster_purity(
+        _t(spark, sf_dir, "documents"), "source", "lang"
+    )
+
+
+_PURITY_SQL = (
+    "WITH ct AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c "
+    "FROM documents GROUP BY source, lang), "
+    "k AS (SELECT sum(mk) AS sk FROM (SELECT max(c) AS mk FROM ct "
+    "GROUP BY source)), "
+    "cl AS (SELECT sum(mc) AS sc FROM (SELECT max(c) AS mc FROM ct "
+    "GROUP BY lang)), "
+    "tot AS (SELECT sum(c) AS n, CAST(count(DISTINCT source) AS BIGINT) "
+    "AS n_clusters, CAST(count(DISTINCT lang) AS BIGINT) AS n_classes "
+    "FROM ct) "
+    "SELECT CAST(n AS BIGINT) AS n, n_clusters, n_classes, "
+    "(sk * 1000000) // n AS purity_e6, (sc * 1000000) // n AS ipurity_e6 "
+    "FROM tot, k, cl"
+)
+
+
 # ---- wave 69: windowed co-occurrence lift, l-diversity audit ----
 
 
@@ -9015,6 +9071,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 69
         "cooc_lift": _q_cooc,
         "ldiv_audit": _q_ldiv,
+        # wave 70
+        "ari_lang_source": _q_ari,
+        "purity_lang": _q_purity,
     }
 
 
@@ -10275,6 +10334,9 @@ def oracle_sql() -> dict[str, str]:
     # wave-69 oracles
     sqls["cooc_lift"] = _COOC_SQL
     sqls["ldiv_audit"] = _LDIV_SQL
+    # wave-70 oracles
+    sqls["ari_lang_source"] = _ARI_SQL
+    sqls["purity_lang"] = _PURITY_SQL
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

@@ -34,6 +34,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 MICRO = 1_000_000
 
@@ -144,5 +145,100 @@ def cluster_stats(
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.avg("_cos").alias("mean_cos"),
+        )
+    )
+
+
+def adjusted_rand(
+    df: DataFrame,
+    label_a: str,
+    label_b: str,
+) -> DataFrame:
+    """Adjusted Rand Index between two clusterings/labelings of the same
+    rows — the chance-corrected pair-counting agreement (the kappa of
+    clustering): 1 = identical partitions, ≈0 = random relabeling,
+    < 0 = worse than chance. The evaluation glue for this module's
+    family (kmeans vs DBSCAN vs SCAN vs golden-record clusters) and for
+    judging an automatic clustering against editorial categories.
+
+    EXACT RATIONAL surface (×2·C(n,2) cleared):
+
+        I = Σ_ij C(n_ij, 2)   A = Σ_i C(a_i, 2)   B = Σ_j C(b_j, 2)
+        ari_num = 2 · (C(n,2)·I − A·B)
+        ari_den = C(n,2)·(A + B) − 2·A·B
+
+    — all DECIMAL(38,0)-safe integer arithmetic (pair counts square the
+    row count; int64 holds to n ≈ 3·10⁹ pairs-of-pairs, decimal beyond),
+    ari = ONE division, NULL when den = 0 (both partitions are all-
+    singletons or one cluster — agreement is undefined, the sklearn
+    convention returns 1 for identical trivial partitions; we surface
+    NULL and let the caller special-case, keeping the gate pure).
+
+    Shape: ONE contingency groupBy (cells are metadata-scale for
+    categorical labelings) + two marginal aggregates.
+
+    Output: 1 row (n, sum_comb, a_comb, b_comb, ari_num, ari_den, ari).
+    """
+    d38 = "DECIMAL(38,0)"
+    ct = df.groupBy(label_a, label_b).agg(F.count(F.lit(1)).alias("c"))
+    cells = ct.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.expr(f"CAST(c AS {d38}) * (c - 1) / 2")).alias("I"),
+    )
+    am = ct.groupBy(label_a).agg(F.sum("c").alias("ai")).agg(
+        F.sum(F.expr(f"CAST(ai AS {d38}) * (ai - 1) / 2")).alias("A")
+    )
+    bm = ct.groupBy(label_b).agg(F.sum("c").alias("bi")).agg(
+        F.sum(F.expr(f"CAST(bi AS {d38}) * (bi - 1) / 2")).alias("B")
+    )
+    j = cells.crossJoin(am).crossJoin(bm)
+    cn2 = F.expr(f"CAST(n AS {d38}) * (n - 1) / 2")
+    num = F.lit(2).cast("long") * (cn2 * F.col("I") - F.col("A") * F.col("B"))
+    den = cn2 * (F.col("A") + F.col("B")) - F.lit(2) * F.col("A") * F.col("B")
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("I").cast("long").alias("sum_comb"),
+        F.col("A").cast("long").alias("a_comb"),
+        F.col("B").cast("long").alias("b_comb"),
+        num.cast("long").alias("ari_num"),
+        den.cast("long").alias("ari_den"),
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias("ari"),
+    )
+
+
+def cluster_purity(
+    df: DataFrame,
+    cluster_col: str,
+    class_col: str,
+) -> DataFrame:
+    """Purity / inverse purity — the asymmetric companions of
+    adjusted_rand: purity = Σ_k max_c n_kc / n asks "is each cluster
+    one class" (trivially 1 for all-singletons), inverse purity asks
+    "is each class one cluster" (trivially 1 for one big cluster);
+    reporting BOTH exposes the degenerate solutions either alone
+    rewards. e6 exact floors over one contingency groupBy + two
+    argmax aggregates.
+
+    Output: 1 row (n, n_clusters, n_classes, purity_e6, ipurity_e6).
+    """
+    ct = df.groupBy(cluster_col, class_col).agg(F.count(F.lit(1)).alias("_ct"))
+    by_k = ct.groupBy(cluster_col).agg(F.max("_ct").alias("mk"))
+    by_c = ct.groupBy(class_col).agg(F.max("_ct").alias("mc"))
+    tot = ct.agg(
+        F.sum("_ct").alias("n"),
+        F.countDistinct(cluster_col).alias("n_clusters"),
+        F.countDistinct(class_col).alias("n_classes"),
+    )
+    pk = by_k.agg(F.sum("mk").alias("sk"))
+    pc = by_c.agg(F.sum("mc").alias("sc"))
+    return (
+        tot.crossJoin(pk)
+        .crossJoin(pc)
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            F.col("n_classes").cast("long").alias("n_classes"),
+            F.expr("(sk * 1000000) div n").alias("purity_e6"),
+            F.expr("(sc * 1000000) div n").alias("ipurity_e6"),
         )
     )
