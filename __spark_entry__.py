@@ -5844,7 +5844,7 @@ def _q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BURST_SQL = (
+_BURSTINESS_SQL = (
     "WITH e AS (SELECT event_type AS k, CAST(epoch_us(ts) AS BIGINT) AS us, "
     "event_id FROM events), "
     "g AS (SELECT k, us - lag(us) OVER (PARTITION BY k ORDER BY us, "
@@ -10305,7 +10305,7 @@ def oracle_sql() -> dict[str, str]:
     )
     sqls["kappa_judges"] = _KAPPA_SQL
     # wave-60 oracles
-    sqls["burstiness_types"] = _BURST_SQL
+    sqls["burstiness_types"] = _BURSTINESS_SQL
     sqls["mojibake_docs"] = _mojibake_sql()
     # wave-61 oracles
     sqls["text_tile_gaps"] = _TILES_SQL
