@@ -1752,6 +1752,43 @@ def main() -> int:
         ("candidates come from the grid-cover equi-join", "Join" in p28, ""),
     ]))
 
+    # round-3 late-wave flagships (waves 51-70)
+    p51 = plan_text(allq["toponym_pick"](spark, sf_dir))
+    sections.append(("gazetteer toponym disambiguation (toponym_pick, wave 51)", p51, [
+        ("gazetteer+census sides broadcast", "BroadcastHashJoin" in p51, ""),
+        ("pick is a groupBy struct-min, no window sort", "Window" not in p51, ""),
+        ("no Python eval", "EvalPython" not in p51, ""),
+    ]))
+    p53 = plan_text(allq["cdc_chunk_spans"](spark, sf_dir))
+    sections.append(("content-defined chunking (cdc_chunk_spans, wave 53)", p53, [
+        ("rolling hash is whole-stage codegen", "codegen id" in p53, ""),
+        ("no Python eval anywhere", "EvalPython" not in p53, ""),
+        ("single generate (one explode)", p53.count("Generate") >= 1, ""),
+    ]))
+    p54 = plan_text(allq["ipf_lang_source"](spark, sf_dir))
+    sections.append(("all-integer IPF raking (ipf_lang_source, wave 54)", p54, [
+        # each half-round is localCheckpoint-pinned, so the visible plan is
+        # the final scaled-cell projection — assert its purity, not the
+        # already-materialized margin aggregates
+        ("no Python eval", "EvalPython" not in p54, ""),
+        ("no window sort anywhere", "Window" not in p54, ""),
+        ("pinned cell table scan (checkpoint-truncated lineage)",
+         "Scan ExistingRDD" in p54 or "LogicalRDD" in p54 or "codegen id" in p54, ""),
+    ]))
+    p69 = plan_text(allq["cooc_lift"](spark, sf_dir))
+    sections.append(("windowed co-occurrence lift (cooc_lift, wave 69)", p69, [
+        ("pair generator is an EQUI-join (SortMerge/Hash), not theta",
+         ("SortMergeJoin" in p69 or "ShuffledHashJoin" in p69 or "BroadcastHashJoin" in p69), ""),
+        ("no cartesian/broadcast-nested-loop", "CartesianProduct" not in p69 and "BroadcastNestedLoopJoin" not in p69, ""),
+        ("no Python eval", "EvalPython" not in p69, ""),
+    ]))
+    p58 = plan_text(allq["sde_nation"](spark, sf_dir))
+    sections.append(("standard deviational ellipse (sde_nation, wave 58)", p58, [
+        ("one combinable moment aggregate", p58.count("HashAggregate") >= 2, ""),
+        ("whole-stage codegen", "codegen id" in p58, ""),
+        ("no Python eval", "EvalPython" not in p58, ""),
+    ]))
+
     failed = 0
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     for title, plan, props in sections:
