@@ -51,11 +51,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pbf2json_spark import (
     ann, cells, cluster, corpus, decontam, dedup, denorm, dsl, graph,
-    pages, raster, relations, routing, sampling, sketch, spans, spatial,
-    stats, temporal, textops, trajectory, weburl,
+    pages, ranking, raster, relations, routing, sampling, sketch, spans,
+    spatial, stats, temporal, textops, trajectory, weburl,
 )
 
 # --------------------------------------------------------------------------
@@ -4952,6 +4953,102 @@ _LINKAGE_SQL = (
 )
 
 
+# ---- wave 71: rank-biased overlap, Benjamini-Hochberg FDR ----
+
+
+def _q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (ranking.rank_biased_overlap, depth 20,
+    p=0.9) between two per-nation customer rankings (independent hash
+    orders — the cross-round top-list churn measurement). Integer
+    overlap certificate + fixed-order literal-fold rbo double."""
+    c = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    base = c.select(
+        F.col("c_nationkey").cast("long").alias("qid"),
+        ck.alias("item"),
+        ((ck * 2654435761) % 1000003).alias("ha"),
+        ((ck * 40503) % 1000003).alias("hb"),
+    )
+    wa = Window.partitionBy("qid").orderBy("ha", "item")
+    wb = Window.partitionBy("qid").orderBy("hb", "item")
+    a = base.select("qid", "item", F.row_number().over(wa).alias("rank"))
+    b = base.select("qid", "item", F.row_number().over(wb).alias("rank"))
+    return ranking.rank_biased_overlap(a, b, depth=20)
+
+
+def _rbo_sql(depth: int = 20, p_e3: int = 900) -> str:
+    pf = p_e3 / 1000.0
+    coefs = {
+        d: round((1.0 - pf) * (pf ** (d - 1)) / d * 1_000_000_000_000)
+        for d in range(1, depth + 1)
+    }
+    ov_cols = ", ".join(
+        f"coalesce(sum(CASE WHEN d = {d} THEN ov END), 0) AS ov{d}"
+        for d in range(1, depth + 1)
+    )
+    rbo = " + ".join(
+        f"{coefs[d]} * ov{d}" for d in range(1, depth + 1)
+    )
+    return (
+        "WITH base AS (SELECT CAST(c_nationkey AS BIGINT) AS qid, "
+        "CAST(c_custkey AS BIGINT) AS item, "
+        "(CAST(c_custkey AS BIGINT) * 2654435761) % 1000003 AS ha, "
+        "(CAST(c_custkey AS BIGINT) * 40503) % 1000003 AS hb FROM customer), "
+        "a AS (SELECT qid, item, row_number() OVER (PARTITION BY qid "
+        "ORDER BY ha, item) AS ra FROM base), "
+        "b AS (SELECT qid, item, row_number() OVER (PARTITION BY qid "
+        "ORDER BY hb, item) AS rb FROM base), "
+        f"m AS (SELECT a.qid, greatest(a.ra, b.rb) AS mx FROM a "
+        f"JOIN b ON a.qid = b.qid AND a.item = b.item "
+        f"WHERE a.ra <= {depth} AND b.rb <= {depth}), "
+        f"de AS (SELECT qid, unnest(generate_series(mx, {depth})) AS d "
+        "FROM m), "
+        "ov AS (SELECT qid, d, CAST(count(*) AS BIGINT) AS ov FROM de "
+        "GROUP BY qid, d), "
+        "keys AS (SELECT DISTINCT qid FROM base), "
+        "pk AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_depths, "
+        f"CAST(sum(ov) AS BIGINT) AS overlap_sum, {ov_cols} FROM ov "
+        "GROUP BY qid) "
+        "SELECT keys.qid, coalesce(pk.n_depths, 0) AS n_depths, "
+        "coalesce(pk.overlap_sum, 0) AS overlap_sum, "
+        f"CAST(coalesce({rbo}, 0) AS BIGINT) AS rbo_e12, "
+        f"CAST(coalesce({rbo}, 0) AS DOUBLE) / 1e12 AS rbo "
+        "FROM keys LEFT JOIN pk ON keys.qid = pk.qid"
+    )
+
+
+def _q_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR (stats.bh_fdr, q=0.05) over synthetic
+    e6 p-values on documents (uniform null + a planted tiny block every
+    37th doc) — all-integer cutoff, distinct-p histogram, no global
+    row sort."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("tid"),
+        F.when(
+            F.col("doc_id") % 37 == 0, (F.col("doc_id") * 48271) % 3000
+        ).otherwise((F.col("doc_id") * 48271) % 1000001).alias("p_e6"),
+    )
+    return stats.bh_fdr(d, "p_e6", q_e6=50_000)
+
+
+_BH_SQL = (
+    "WITH d AS (SELECT doc_id AS tid, CASE WHEN doc_id % 37 = 0 THEN "
+    "(CAST(doc_id AS BIGINT) * 48271) % 3000 ELSE "
+    "(CAST(doc_id AS BIGINT) * 48271) % 1000001 END AS p_e6 "
+    "FROM documents), "
+    "h AS (SELECT p_e6, CAST(count(*) AS BIGINT) AS c FROM d "
+    "GROUP BY p_e6), "
+    "r AS (SELECT p_e6, sum(c) OVER (ORDER BY p_e6 ROWS BETWEEN "
+    "UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h), "
+    "m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM d), "
+    "ks AS (SELECT coalesce(max(CASE WHEN r.p_e6 * m.m <= r.cum * 50000 "
+    "THEN r.cum ELSE 0 END), 0) AS kstar FROM r, m) "
+    "SELECT d.tid, d.p_e6, CAST(r.cum AS BIGINT) AS bh_rank, m.m AS "
+    "m_tests, r.cum <= ks.kstar AS rejected FROM d "
+    "JOIN r ON d.p_e6 = r.p_e6, m, ks"
+)
+
+
 # ---- wave 70: adjusted Rand index, cluster purity ----
 
 
@@ -9074,6 +9171,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 70
         "ari_lang_source": _q_ari,
         "purity_lang": _q_purity,
+        # wave 71
+        "rbo_nation_ranks": _q_rbo,
+        "bh_screen": _q_bh,
     }
 
 
@@ -10337,6 +10437,9 @@ def oracle_sql() -> dict[str, str]:
     # wave-70 oracles
     sqls["ari_lang_source"] = _ARI_SQL
     sqls["purity_lang"] = _PURITY_SQL
+    # wave-71 oracles
+    sqls["rbo_nation_ranks"] = _rbo_sql()
+    sqls["bh_screen"] = _BH_SQL
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

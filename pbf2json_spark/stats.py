@@ -1413,3 +1413,67 @@ def kaplan_meier(
         F.col("_r.n_event").alias("n_event"),
         F.col("_r.surv_e6").alias("surv_e6"),
     )
+
+
+# --- Benjamini-Hochberg FDR ---------------------------------------------------------
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_e6_col: str,
+    q_e6: int = 50_000,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR control over e6-quantized p-values — the
+    multiple-testing gate the spatial-statistics family needs: Gi* /
+    Knox / emerging-hotspot screens run one test PER CELL, so at α=0.05
+    a 10⁶-cell grid yields 50k false "hotspots" by construction; BH
+    keeps the expected false-discovery fraction at q instead.
+
+    ALL-INTEGER: with m tests ranked ascending by p (ties by midpoint-
+    free dense position — the largest rank of the tie block, which is
+    the conservative BH convention), a test is rejected iff its p ranks
+    at or below k* = max{k : p_(k)·m·10⁶ ≤ k·q_e6·10⁶ / ...} — cleared
+    of divisions: p_e6·m ≤ k·q_e6 compared as BIGINTs. The cutoff pass
+    runs over the DISTINCT-p histogram (the auc_exact discipline), so
+    no global row sort; every row then joins its verdict by p value.
+
+    Output: df columns + (bh_rank, m_tests, rejected) — bh_rank the
+    tie-block max rank used in the test.
+    """
+    gs = list(group_cols or [])
+    p = F.col(p_e6_col)
+    hist = df.groupBy(*gs, p_e6_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    w = (
+        Window.partitionBy(*[F.col(c) for c in gs]).orderBy(p_e6_col)
+        if gs
+        else Window.partitionBy(F.lit(1)).orderBy(p_e6_col)
+    )
+    ranked = hist.withColumn("_cum", F.sum("_cnt").over(w))
+    totals = df.groupBy(*gs).agg(F.count(F.lit(1)).alias("_m")) if gs else (
+        df.agg(F.count(F.lit(1)).alias("_m"))
+    )
+    r = (
+        ranked.join(totals, gs) if gs else ranked.crossJoin(totals)
+    )
+    # candidate: p_(k)·m <= k·q (k = tie-block max rank = _cum)
+    r = r.withColumn(
+        "_ok", p * F.col("_m") <= F.col("_cum") * F.lit(q_e6)
+    )
+    wk = (
+        Window.partitionBy(*[F.col(c) for c in gs])
+        if gs
+        else Window.partitionBy(F.lit(1))
+    )
+    kstar = r.withColumn(
+        "_kstar",
+        F.max(F.when(F.col("_ok"), F.col("_cum")).otherwise(F.lit(0))).over(
+            wk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
+    ).select(
+        *gs, p_e6_col,
+        F.col("_cum").alias("bh_rank"),
+        F.col("_m").alias("m_tests"),
+        (F.col("_cum") <= F.col("_kstar")).alias("rejected"),
+    )
+    return df.join(kstar, gs + [p_e6_col])
