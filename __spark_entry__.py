@@ -67,6 +67,33 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _epoch_secs_col(df: DataFrame, col: str = "ts"):
+    """Harness-proof wall-clock epoch seconds for a parquet timestamp
+    column — invariant under EVERY reader configuration:
+
+    - NTZ read (Spark 4 default, ``inferTimestampNTZ`` on): NTZ-to-NTZ
+      ``timestampdiff`` is pure wall-clock integer arithmetic; the session
+      zone is never consulted (``CAST(ntz AS LONG)`` does not even
+      compile, so this is the only tz-free path for this dtype).
+    - LTZ read (inference off / older reader): the parquet micros were
+      stored un-adjusted, so ``CAST(ts AS LONG)`` returns those micros/1e6
+      directly — again no session-zone dependence.
+
+    Both equal DuckDB's ``floor(epoch(ts))`` (wall clock as epoch,
+    truncated to seconds; all testdata timestamps are positive).  Derive
+    EVERY cross-harness time bucket from this, never from
+    ``F.window``/``F.hour``/``cast-to-date`` on the raw column — those
+    render in the session zone under an LTZ read, which is exactly the
+    whole-hour constant shift that kept ``windowed_events`` driver-red in
+    rounds 2–3 while every local TZ-variant run passed (local reads NTZ)."""
+    dt = dict(df.dtypes).get(col, "")
+    if dt.startswith("timestamp_ntz"):
+        return F.expr(
+            f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+        )
+    return F.col(col).cast("long")
+
+
 # lat/lon from an integer key: every op is exact (int arithmetic, then one
 # correctly-rounded double division and subtraction) → bit-identical in any
 # IEEE-754 engine.
@@ -1653,29 +1680,54 @@ def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming.streaming_tile_counts' groupBy(window, key) shape — Spark
     guarantees a streaming query is the incrementalized batch query, so
     this is the oracle-checkable face of the windowed streaming operator).
-    Sums are exact integer cents (round(value*100)::long) to avoid float
-    aggregation-order dependence."""
+
+    Round-4 rewrite (driver-red in r2 AND r3): the bucket is now pure
+    int64 arithmetic on ``_epoch_secs_col`` — ``F.window`` + date-part
+    extraction are gone entirely, so no code path consults the session
+    zone or the reader's timestamp dtype (see the helper's docstring for
+    the reproduced failure mode).  ``sum_cents`` likewise switches from
+    ``round()`` (whose half-way tie rule is an engine/version property)
+    to ``floor(x*100 + 0.5)`` — floor on IEEE doubles is bit-identical in
+    every engine — with the oracle mirroring the same expression."""
     e = _t(spark, sf_dir, "events")
+    ep = _epoch_secs_col(e)
     return (
-        e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        e.select(
+            # int64 floor to the hour (epochs are positive → mod == floor)
+            (ep - (ep % F.lit(3600))).alias("win_start_epoch"),
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("_cents"),
+        )
+        .groupBy("win_start_epoch", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+            F.sum("_cents").alias("sum_cents"),
         )
         .select(
-            # The bucket crosses the comparison as a BIGINT epoch, never a
-            # timestamp: integers survive any timestamp dtype / precision /
-            # renderer difference between harnesses (r2's only hash
-            # mismatch was this column as a raw NTZ). Computed tz-free from
-            # wall-clock date parts (NTZ datediff/hour never consult a
-            # session zone), equal to the oracle's floor(epoch/3600)*3600.
-            (
-                F.datediff(
-                    F.col("win.start").cast("date"), F.lit("1970-01-01").cast("date")
-                ).cast("long") * 86400
-                + F.hour("win.start").cast("long") * 3600
-            ).alias("win_start_epoch"),
+            F.col("win_start_epoch").cast("long").alias("win_start_epoch"),
             "event_type", "n", "sum_cents",
+        )
+    )
+
+
+def _q_ts_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harness-delta probe for the timestamp column (round-4, per
+    VERDICT): emits per-event-type count + min/max epoch seconds + a
+    shift-sensitive checksum (sum of seconds-of-day).  If any harness
+    reads ``events.ts`` differently from this repo's local harness —
+    dtype mapping, session zone, truncation rule — this row set pins
+    down the exact delta in CORRECTNESS_r04 itself rather than leaving
+    another round of guessing."""
+    e = _t(spark, sf_dir, "events")
+    ep = _epoch_secs_col(e)
+    return (
+        e.select("event_type", ep.alias("_ep"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_ep").alias("min_epoch"),
+            F.max("_ep").alias("max_epoch"),
+            F.sum(F.col("_ep") % 86400).alias("sum_day_secs"),
         )
     )
 
@@ -8840,7 +8892,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_match": _q_asof,
         "sessionize": _q_sessionize,
         "sample_rank_suite": _make_suite("sample_rank_suite"),
-        "media_features": _q_media_features,
+        # round 4: media_features (rows-only by design — binary codec
+        # output has no SQL mirror; certified by 29 codec pytest cases +
+        # deterministic twins) moves to extra_queries so every gate slot
+        # is value-exact-capable; its slot goes to the ts_probe harness
+        # diagnostic (VERDICT r3 task 1/4).
+        "ts_probe": _q_ts_probe,
         "host_median_len": _q_host_median,
         "within_dist": _q_within_dist,
         "textops_all": _q_textops_all,
@@ -8891,6 +8948,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     native-schema individual entry here (drivers of the suites), still
     value-exact under tools/check_oracle.py."""
     return {
+        # rows-only by design (binary codec output, no SQL mirror) —
+        # moved out of the gate round 4 so all 50 slots are value-exact
+        "media_features": _q_media_features,
         "dsl_value_regex": _dsl_query("etype~#r"),
         "dsl_or_values": _dsl_query("etype~click;view"),
         "dsl_and_group": _dsl_query("etype~click§big~yes"),
@@ -9904,10 +9964,25 @@ def oracle_sql() -> dict[str, str]:
             "AND r.lon0 <= b.lon1 AND b.lon0 <= r.lon1"
         ),
         "windowed_events": (
-            "SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start_epoch, "
+            # floor(epoch) truncates to whole seconds exactly like the
+            # Spark side's timestampdiff/cast-long; the hour bucket and
+            # the cents quantization are then pure int64 / floor-on-double
+            # arithmetic — no round() tie rule, no date-part rendering.
+            "WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep, "
+            "event_type, value FROM events) "
+            "SELECT CAST(ep - (ep % 3600) AS BIGINT) AS win_start_epoch, "
             "event_type, CAST(count(*) AS BIGINT) AS n, "
-            "SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents "
-            "FROM events GROUP BY 1, 2"
+            "SUM(CAST(floor(value * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS sum_cents "
+            "FROM e GROUP BY 1, 2"
+        ),
+        "ts_probe": (
+            "WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep, "
+            "event_type FROM events) "
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(min(ep) AS BIGINT) AS min_epoch, "
+            "CAST(max(ep) AS BIGINT) AS max_epoch, "
+            "CAST(sum(ep % 86400) AS BIGINT) AS sum_day_secs "
+            "FROM e GROUP BY 1"
         ),
         "top_bigrams": (
             "WITH w AS (SELECT CASE WHEN length(trim(text)) = 0 "
