@@ -5539,10 +5539,10 @@ def _conflate_sql() -> str:
         "cand AS (SELECT id_l, id_r, name_l, name_r, "
         "abs(lat_l - lat_r) + abs(lon_l - lon_r) AS dist_e6, "
         "CAST(levenshtein(name_l, name_r) AS BIGINT) AS lev FROM l, r "
-        "WHERE abs(CAST(floor(lat_l / 65536.0) AS BIGINT) - "
-        "CAST(floor(lat_r / 65536.0) AS BIGINT)) <= 1 "
-        "AND abs(CAST(floor(lon_l / 65536.0) AS BIGINT) - "
-        "CAST(floor(lon_r / 65536.0) AS BIGINT)) <= 1 "
+        "WHERE abs(CAST(floor(lat_l / 65536.0e0) AS BIGINT) - "
+        "CAST(floor(lat_r / 65536.0e0) AS BIGINT)) <= 1 "
+        "AND abs(CAST(floor(lon_l / 65536.0e0) AS BIGINT) - "
+        "CAST(floor(lon_r / 65536.0e0) AS BIGINT)) <= 1 "
         "AND abs(lat_l - lat_r) + abs(lon_l - lon_r) <= 2000 "
         "AND levenshtein(name_l, name_r) <= 2), "
         "bl AS (SELECT id_l, id_r FROM (SELECT id_l, id_r, row_number() "
@@ -5726,9 +5726,17 @@ def _q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.holt_smooth(daily, "event_type", "d", "v")
 
 
+# exact int64 floor-division (subtract the normalized remainder, then the
+# now-exact quotient): no float `/ 1000.0` whose DECIMAL-vs-DOUBLE typing
+# is a DuckDB-version property (the rasterize bare-literal lesson), and
+# bit-matched by the Spark side's identical remainder-subtract idiom.
+def _sql_floordiv(num: str, k: int) -> str:
+    return f"((({num}) - ((({num}) % {k}) + {k}) % {k}) // {k})"
+
+
 _HOLT_LNEW = (
-    "CAST(floor((300 * o.v * 1000 + 700 * (st.l + st.b)) / 1000.0) "
-    "AS BIGINT)"
+    "CAST(" + _sql_floordiv("300 * o.v * 1000 + 700 * (st.l + st.b)", 1000)
+    + " AS BIGINT)"
 )
 
 _HOLT_SQL = (
@@ -5741,7 +5749,7 @@ _HOLT_SQL = (
     "SELECT k, rn, v * 1000, CAST(0 AS BIGINT) FROM ord WHERE rn = 1 "
     "UNION ALL "
     f"SELECT o.k, o.rn, {_HOLT_LNEW}, "
-    f"CAST(floor((100 * ({_HOLT_LNEW} - st.l) + 900 * st.b) / 1000.0) "
+    f"CAST({_sql_floordiv(f'100 * ({_HOLT_LNEW} - st.l) + 900 * st.b', 1000)} "
     "AS BIGINT) "
     "FROM st JOIN ord o ON o.k = st.k AND o.rn = st.rn + 1), "
     "fin AS (SELECT k, max(rn) AS n FROM ord GROUP BY k) "
@@ -6659,8 +6667,12 @@ def _bootstrap_sql(reps: int = 24, alpha: float = 0.05,
         "SELECT base.lang, n, total, "
         f"(total * {scale} - ((total * {scale}) % n + n) % n) // n "
         "AS mean_scaled, "
-        f"arr[CAST(greatest(1, ceil({alpha} * len(arr))) AS INT)] AS ci_lo, "
-        f"arr[CAST(least(len(arr), ceil({1.0 - alpha} * len(arr))) AS INT)] "
+        # e0 pins the quantile fractions to DOUBLE: a bare `0.9` parses as
+        # DECIMAL, and DECIMAL-exact 0.9*len ceils differently from the
+        # Spark side's double 0.9*len at len % 10 == 0 (the rasterize
+        # bare-literal lesson, applied before it bites here)
+        f"arr[CAST(greatest(1, ceil({alpha!r}e0 * len(arr))) AS INT)] AS ci_lo, "
+        f"arr[CAST(least(len(arr), ceil({(1.0 - alpha)!r}e0 * len(arr))) AS INT)] "
         "AS ci_hi, CAST(len(arr) AS BIGINT) AS n_reps "
         "FROM base JOIN arrs ON base.lang = arrs.lang"
     )

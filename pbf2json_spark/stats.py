@@ -1393,8 +1393,12 @@ def kaplan_meier(
                  + x["_risk"]) % x["_risk"]
             )
         )
-        # exact floor multiple, then exact division
-        s_new = (s_new / x["_risk"]).cast("long")
+        # exact floor multiple, then exact division; round() snaps the
+        # ulp-level float error when s·n_risk exceeds 2^53 (the quotient
+        # is a true integer ≤ scale, so the nearest double to the float
+        # quotient is within ~1e-9 of it — never a tie), keeping the
+        # bit-exact-replay claim at any n_risk up to int64
+        s_new = F.round(s_new / x["_risk"]).cast("long")
         row = F.struct(
             x["_t"].alias("t"),
             x["_risk"].alias("n_risk"),

@@ -1140,14 +1140,22 @@ def holt_smooth(
     a, b1000 = alpha_e3, 1000 - alpha_e3
     g, g1000 = beta_e3, 1000 - beta_e3
 
+    # exact int64 floor-div(num, 1000): subtract the sign-normalized
+    # remainder, then divide the now-exact multiple — round() snaps the
+    # ulp-level float error (the true quotient is an integer, never a
+    # tie), so the result is exact for |quotient| < 2^52, i.e. levels up
+    # to ~4.5e18 raw — the full plausible range of e3-scaled counts.
+    def _fdiv1000(num):
+        m = num - ((num % 1000) + 1000) % 1000
+        return F.round(m / 1000).cast("long")
+
     def step(acc, x):
-        l_new = F.floor(
-            (F.lit(a) * x["v"] * 1000 + F.lit(b1000) * (acc["l"] + acc["b"]))
-            / 1000
-        ).cast("long")
-        b_new = F.floor(
-            (F.lit(g) * (l_new - acc["l"]) + F.lit(g1000) * acc["b"]) / 1000
-        ).cast("long")
+        l_new = _fdiv1000(
+            F.lit(a) * x["v"] * 1000 + F.lit(b1000) * (acc["l"] + acc["b"])
+        )
+        b_new = _fdiv1000(
+            F.lit(g) * (l_new - acc["l"]) + F.lit(g1000) * acc["b"]
+        )
         return F.struct(l_new.alias("l"), b_new.alias("b"))
 
     folded = arr.select(
