@@ -460,21 +460,27 @@ def cell_jaccard(
     """
     from pbf2json_spark import cells as _cells
 
+    from pyspark.sql.window import Window
+
     x, y = _cells.xy_cols(F.col(lat_col), F.col(lon_col), res)
     pts = df.select(
         F.col(user_col).alias("u"), x.alias("cx"), y.alias("cy")
     ).distinct()
-    # pts feeds the df-filter, BOTH self-join sides, and the size agg —
-    # pin it so the upstream (events scan + distinct) runs once, not 4×
-    pts = pts.localCheckpoint(eager=False)
     if max_df is not None:
-        rare = (
-            pts.groupBy("cx", "cy")
-            .agg(F.count(F.lit(1)).alias("_df"))
+        # window-count thin instead of agg + semi-join: one exchange on
+        # (cx, cy) — the exact partitioning the self-join needs next — in
+        # place of the r3 shape's two extra stages (per-cell agg + join
+        # back); measured 8.4 s → ~1.5 s on the sf0.1 gate configuration
+        pts = (
+            pts.withColumn(
+                "_df", F.count(F.lit(1)).over(Window.partitionBy("cx", "cy"))
+            )
             .filter(F.col("_df") <= max_df)
-            .select("cx", "cy")
+            .drop("_df")
         )
-        pts = pts.join(rare, ["cx", "cy"], "left_semi")
+    # pts feeds BOTH self-join sides and the size agg — pin it so the
+    # upstream (scan + distinct + thin) runs once, not 3×
+    pts = pts.localCheckpoint(eager=False)
     sizes = pts.groupBy("u").agg(F.count(F.lit(1)).alias("_sz"))
     a = pts.select(F.col("u").alias("user_a"), "cx", "cy")
     b = pts.select(F.col("u").alias("user_b"), "cx", "cy")
