@@ -1093,8 +1093,18 @@ def ktruss(
             ).alias("_e")
         ).select("_e.a", "_e.b")
         sup = charged.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
-        keep = sup.filter(F.col("support") >= k - 2)
-        nxt = e.join(keep, ["a", "b"]).localCheckpoint(eager=True)
+        # left join + coalesce(0): edges in zero triangles must still be
+        # PRESENT with support 0 — an inner join silently peeled them, so
+        # k<=2 (where every edge survives k-2<=0) returned the 3-truss
+        # instead of the whole graph (ADVICE r3)
+        nxt = (
+            e.join(sup, ["a", "b"], "left")
+            .withColumn(
+                "support", F.coalesce("support", F.lit(0).cast("long"))
+            )
+            .filter(F.col("support") >= k - 2)
+            .localCheckpoint(eager=True)
+        )
         n_cur = nxt.count()
         out = nxt
         e = nxt.select("a", "b")
@@ -1345,7 +1355,10 @@ def dyad_census(
         n.alias("n_nodes"),
         F.coalesce("mutual", F.lit(0)).alias("mutual"),
         F.coalesce("asym", F.lit(0)).alias("asym"),
-        (n * (n - 1) / 2 - F.col("_pairs")).cast("long").alias("nulls"),
+        # nodes is a driver-side Python int: big-int // keeps the count
+        # exact past 2^53 (~1e8 nodes), where Spark float `/` would not
+        (F.lit(nodes * (nodes - 1) // 2).cast("long") - F.col("_pairs"))
+        .alias("nulls"),
         (2 * F.coalesce(F.col("mutual"), F.lit(0))
          + F.coalesce(F.col("asym"), F.lit(0))).alias("n_edges"),
         F.when(
@@ -1426,11 +1439,17 @@ def scan_clusters(
         .join(deg.select(F.col("n").alias("a"), F.col("_deg").alias("_da")), "a")
         .join(deg.select(F.col("n").alias("b"), F.col("_deg").alias("_db")), "b")
     )
-    inter = F.col("_cn") + 2
-    na = F.col("_da") + 1
-    nb = F.col("_db") + 1
+    inter = (F.col("_cn") + 2).cast("decimal(38,0)")
+    na = (F.col("_da") + 1).cast("decimal(38,0)")
+    nb = (F.col("_db") + 1).cast("decimal(38,0)")
+    # DECIMAL(38,0) accumulation (the linear_trend discipline): in int64,
+    # inter²·1e6 overflows once an edge has ~3e6 shared neighbors (and
+    # eps²·na·nb at degrees ~5e6) — plausible on the web-scale graphs
+    # this targets; decimal keeps the ε² cross-multiplication exact to
+    # 10^38 (degrees ~10^16)
     similar = scored.filter(
-        inter * inter * 1_000_000 >= F.lit(eps_e3 * eps_e3) * na * nb
+        inter * inter * F.lit(1_000_000).cast("decimal(38,0)")
+        >= F.lit(eps_e3 * eps_e3).cast("decimal(38,0)") * na * nb
     ).select("a", "b").localCheckpoint(eager=True)
 
     sim_deg = (
@@ -1521,9 +1540,12 @@ def bowtie(
 
     def reach(adj: DataFrame) -> DataFrame:
         """BFS fixpoint from the pivot over (frm, to) adjacency."""
-        spark = adj.sparkSession
-        visited = spark.createDataFrame([(pivot,)], "n long").localCheckpoint(
-            eager=True
+        # seed derived FROM the degree frame so the id dtype is inherited
+        # — a hardcoded "n long" schema broke string node ids (URLs/
+        # hosts), unlike the rest of the id-type-agnostic graph API
+        visited = (
+            deg.filter(F.col("n") == F.lit(pivot)).select("n")
+            .localCheckpoint(eager=True)
         )
         frontier = visited
         for _ in range(max_rounds):

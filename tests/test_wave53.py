@@ -124,7 +124,7 @@ def test_ktruss_vs_brute(spark):
         edges.add((45, leaf))
     rows = [(a, b) for a, b in edges]
     df = spark.createDataFrame(rows, "src long, dst long")
-    for k in (3, 4, 5):
+    for k in (2, 3, 4, 5):  # k=2: every edge survives, support kept (r3 ADVICE)
         got = {
             (r["a"], r["b"]): r["support"]
             for r in graph.ktruss(df, k=k).collect()

@@ -157,3 +157,19 @@ def test_bowtie_vs_brute(spark):
     assert got == want
     assert got[0] == "core" and got[10] == "in" and got[21] == "out"
     assert got[30] == "tendril" and got[50] == "disconnected"
+
+def test_bowtie_string_ids(spark):
+    """Seed frame inherits the edge frame's id dtype (r3 ADVICE): string
+    node ids (hosts/URLs) must work exactly like integers."""
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),   # core triangle
+        ("in1", "a"),                          # IN
+        ("c", "out1"),                         # OUT
+        ("x", "y"),                            # disconnected pair
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["role"] for r in graph.bowtie(df).collect()}
+    want = _brute_bowtie(set(edges))
+    assert got == want
+    assert got["a"] == "core" and got["in1"] == "in"
+    assert got["out1"] == "out" and got["x"] == "disconnected"
