@@ -1781,6 +1781,46 @@ def _q_within_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _seam_lon(key):
+    """Deterministic longitude clustered on the antimeridian: raw ∈
+    [175°, 185°) in exact 0.1° steps from an integer key, wrapped into
+    (−180°, 180°] — so ~half the band sits at +175..180 and half at
+    −180..−175, and cross-seam pairs are the norm, not the exception."""
+    raw = F.lit(175.0) + (key * 7 % 100) / F.lit(10.0)
+    return F.when(raw > 180.0, raw - F.lit(360.0)).otherwise(raw)
+
+
+def _seam_lon_sql(key: str) -> str:
+    raw = f"175.0e0 + ({key} * 7 % 100) / 10.0e0"
+    return f"CASE WHEN {raw} > 180.0e0 THEN {raw} - 360.0e0 ELSE {raw} END"
+
+
+def _q_within_dist_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Antimeridian-aware geofencing (VERDICT r3 missing #3): same
+    cell-disk + exact-predicate join as within_dist, but with wrap=True —
+    Δlon measured cyclically as least(|Δlon|, 360−|Δlon|) — over points
+    and queries deliberately straddling ±180°. The unwrapped metric finds
+    ~half of these pairs; every cross-seam pair in the result is the wrap
+    option working. Oracle: plain cross join with the identical cyclic
+    metric (abs/sub/least/mul only → IEEE-exact both engines)."""
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("cid"),
+        _lat_col(F.col("c_custkey")).alias("lat"),
+        _seam_lon(F.col("c_custkey") * 13).alias("lon"),
+    )
+    s = _t(spark, sf_dir, "supplier")
+    qs = s.select(
+        F.col("s_suppkey").alias("qid"),
+        ((F.col("s_suppkey") * 131 % 16000) / F.lit(100.0) - F.lit(80.0)).alias("lat"),
+        _seam_lon(F.col("s_suppkey")).alias("lon"),
+    )
+    return spatial.within_distance_join(
+        pts, qs, radius_deg=3.0, res=6, point_id="cid", query_id="qid",
+        wrap=True,
+    )
+
+
 def _q_host_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-host median + max of document length (F.percentile, the
     exact quantile — NOT approx_percentile). Median of integer lengths is
@@ -8993,6 +9033,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only by design (binary codec output, no SQL mirror) —
         # moved out of the gate round 4 so all 50 slots are value-exact
         "media_features": _q_media_features,
+        "within_dist_wrap": _q_within_dist_wrap,
         "dsl_value_regex": _dsl_query("etype~#r"),
         "dsl_or_values": _dsl_query("etype~click;view"),
         "dsl_and_group": _dsl_query("etype~click§big~yes"),
@@ -10075,6 +10116,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM q, pts "
             "WHERE (pts.lat - q.qlat) * (pts.lat - q.qlat) + (pts.lon - q.qlon) * (pts.lon - q.qlon) "
             "<= 6.0 * 6.0"
+        ),
+        "within_dist_wrap": (
+            "WITH pts AS (SELECT c_custkey AS cid, "
+            + _lat_sql("c_custkey") + " AS lat, "
+            + _seam_lon_sql("c_custkey * 13") + " AS lon FROM customer), "
+            "q AS (SELECT s_suppkey AS qid, "
+            "(s_suppkey * 131 % 16000) / CAST(100.0 AS DOUBLE) - CAST(80.0 AS DOUBLE) AS qlat, "
+            + _seam_lon_sql("s_suppkey") + " AS qlon FROM supplier), "
+            "d AS (SELECT q.qid, pts.cid, pts.lat - q.qlat AS dlat, "
+            "least(abs(pts.lon - q.qlon), 360.0e0 - abs(pts.lon - q.qlon)) AS dlon "
+            "FROM q, pts) "
+            "SELECT qid, cid, dlat * dlat + dlon * dlon AS dist_sq "
+            "FROM d WHERE dlat * dlat + dlon * dlon <= 3.0e0 * 3.0e0"
         ),
         "host_median_len": (
             "WITH u AS (SELECT doc_id, printf('https://host%d.example/p/%d', "

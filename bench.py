@@ -170,6 +170,9 @@ BENCH_QUERIES = [
     "ngram_novelty",
     "pagination_groups",
     "ripley_pairs",
+    # round 4
+    "within_dist_wrap",
+    "ts_probe",
 ]
 
 
@@ -272,22 +275,38 @@ def _previous_round_timings() -> tuple[str, float | str | None, dict[str, float]
             rec = json.load(f)
         parsed = rec.get("parsed", rec)
         q = parsed.get("queries")
-        return (f"r{best[0]:02d}", parsed.get("sf"), dict(q)) if q else None
+        if not q:
+            return None
+        return (f"r{best[0]:02d}", parsed.get("sf"), dict(q),
+                parsed.get("calib_sec"))
     except (OSError, ValueError, AttributeError):
         return None
 
 
-def _delta_verdicts(timings: dict[str, float], sf) -> dict[str, str]:
+def _delta_verdicts(
+    timings: dict[str, float], sf, calib: float | None = None
+) -> dict[str, str]:
     """Regression verdicts vs the previous round's recorded budgets, and a
     human-readable table on stderr (stdout stays the one JSON line the
     driver parses). >25% slower than the previous round = fail-loud: a
     WARN line per offender and a non-empty `regressions` map in the JSON.
     Only comparable runs compare: different scale factors are
-    apples-to-oranges and get skipped."""
+    apples-to-oranges and get skipped.
+
+    When BOTH rounds carry a pure-compute calibration (calib_sec), the
+    verdict uses the calib-normalized ratio — (now/calib_now) /
+    (prev/calib_prev) — so a slower host window is not booked as an
+    engine regression (the r02→r03 lesson: 7 queries flagged 27-45%
+    slower in a window whose very hardware was slower, unfalsifiable
+    because r02 recorded no calibration). The raw ratio is still printed;
+    entries that normalization clears are annotated `host`."""
     prev = _previous_round_timings()
     if prev is None:
         return {}
-    tag, prev_sf, pq = prev
+    tag, prev_sf, pq, prev_calib = prev
+    scale = None
+    if calib and prev_calib:
+        scale = prev_calib / calib  # multiply `now` by this to normalize
     if prev_sf is not None and sf is not None and prev_sf != sf:
         print(
             f"\n(no delta table: previous round {tag} ran at sf={prev_sf}, "
@@ -304,10 +323,19 @@ def _delta_verdicts(timings: dict[str, float], sf) -> dict[str, str]:
             print(f"{name:<18}{'-':>9}{now:>9.2f}{'new':>9}", file=sys.stderr)
             continue
         pct = (now - p) / p * 100 if p else 0.0
-        flag = "  REGRESSION" if pct > 25 else ""
+        npct = ((now * scale) - p) / p * 100 if (p and scale) else pct
+        flag = "  REGRESSION" if npct > 25 else (
+            "  host" if pct > 25 else "")
         print(f"{name:<18}{p:>9.2f}{now:>9.2f}{pct:>+8.0f}%{flag}", file=sys.stderr)
-        if pct > 25:
-            regressions[name] = f"{p:.2f}s -> {now:.2f}s ({pct:+.0f}% vs {tag})"
+        if npct > 25:
+            regressions[name] = (
+                f"{p:.2f}s -> {now:.2f}s ({pct:+.0f}% raw, {npct:+.0f}% "
+                f"calib-normalized vs {tag})")
+        elif pct > 25:
+            regressions[name] = (
+                f"host: {p:.2f}s -> {now:.2f}s raw {pct:+.0f}% but "
+                f"{npct:+.0f}% calib-normalized vs {tag} — host window, "
+                f"not engine")
     for name, msg in regressions.items():
         print(f"WARN bench regression: {name} {msg}", file=sys.stderr)
     return regressions
@@ -372,10 +400,44 @@ def main() -> None:
         sec = time.time() - t0
         calib = sec if calib is None or sec < calib else calib
 
+    # real-PBF ingest at bench scale (VERDICT r3 task 7): decode a cached
+    # synthetic .osm.pbf (deterministic integer-formula entities,
+    # tools/make_pbf.py — the reference's Vancouver corpus is absent from
+    # the sandbox) through the distributed blob-fan-out reader and count
+    # every entity frame. Generation happens once and is cached in /tmp;
+    # only the decode is timed. ~28 MB / 2.2M entities by default
+    # (SPARK_GRAFT_PBF_NODES=0 disables).
+    pbf_nodes = int(os.environ.get("SPARK_GRAFT_PBF_NODES", "2000000"))
+    pbf_stats = {}
+    if pbf_nodes > 0:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        import make_pbf
+        from pbf2json_spark import pbf as pbf_mod
+
+        pbf_ways = pbf_nodes // 10
+        fixture = f"/tmp/spark_graft_fixture_{pbf_nodes}_{pbf_ways}.osm.pbf"
+        make_pbf.ensure_fixture(
+            pbf_nodes, pbf_ways, max(pbf_ways // 100, 1), fixture)
+        best = None
+        for _ in range(2):
+            _wait_idle()
+            t0 = time.time()
+            n, w, r = pbf_mod.read_pbf(spark, fixture)
+            counts = (n.count(), w.count(), r.count())
+            sec = time.time() - t0
+            best = sec if best is None or sec < best else best
+        assert counts[0] == pbf_nodes and counts[1] == pbf_ways
+        timings["pbf_decode"] = round(best, 3)
+        pbf_stats = {
+            "pbf_mb": round(os.path.getsize(fixture) / 1e6, 1),
+            "pbf_entities_per_sec": round(sum(counts) / best, 1),
+        }
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    regressions = _delta_verdicts(timings, sf_val)
+    regressions = _delta_verdicts(timings, sf_val, calib)
     print(
         json.dumps(
             {
@@ -387,6 +449,7 @@ def main() -> None:
                 "pages_per_sec": round(n_pages / page_sec, 1),
                 "n_pages": n_pages,
                 "calib_sec": round(calib, 3),
+                **pbf_stats,
                 "regressions": regressions,
             }
         )

@@ -410,37 +410,6 @@ def read_pbf(
 # ---------------------------------------------------------------------------
 
 
-def _string_table(
-    nodes: list, ways: list, relations: list
-) -> tuple[list[str], dict[str, int]]:
-    # index 0 is reserved (empty string) per the OSMPBF convention: dense
-    # keys_vals uses 0 as the per-node terminator
-    strings = [""]
-    sidx: dict[str, int] = {}
-
-    def intern(s: str) -> int:
-        if s not in sidx:
-            sidx[s] = len(strings)
-            strings.append(s)
-        return sidx[s]
-
-    for _, _, _, tags in nodes:
-        for k, v in tags.items():
-            intern(k)
-            intern(v)
-    for _, tags, _ in ways:
-        for k, v in tags.items():
-            intern(k)
-            intern(v)
-    for _, tags, members in relations:
-        for k, v in tags.items():
-            intern(k)
-            intern(v)
-        for _, _, role in members:
-            intern(role or "")
-    return strings, sidx
-
-
 def write_pbf(
     path: str,
     nodes: list[tuple[int, float, float, dict[str, str]]],
@@ -452,20 +421,39 @@ def write_pbf(
     """Encode entity lists as a valid .osm.pbf (DenseNodes, delta coding,
     zlib blobs). Returns the number of OSMData blobs written. Test-fixture
     writer: the reference's golden PBF is absent from disk, so round-trip
-    (write → read_pbf → compare) is the only executable parity evidence."""
-    strings, sidx = _string_table(nodes, list(ways), list(relations))
-    str_table = _emit_len(
-        1, b"".join(_emit_len(1, s.encode("utf-8")) for s in strings)
-    )
+    (write → read_pbf → compare) is the only executable parity evidence.
+
+    String tables are PER BLOCK (round 4) — each PrimitiveBlock interns
+    only the strings its own batch references, which is both what real
+    planet files do and the only shape that scales: a single global table
+    repeated in every block made a 7M-node fixture emit gigabytes (960
+    blocks × a ~15 MB table) instead of ~100 MB."""
     mtype_enum = {"node": 0, "way": 1, "relation": 2}
 
-    def block(groups: list[bytes]) -> bytes:
+    def new_table():
+        strings = [""]  # index 0 reserved: dense keys_vals terminator
+        sidx: dict[str, int] = {}
+
+        def intern(s: str) -> int:
+            i = sidx.get(s)
+            if i is None:
+                i = sidx[s] = len(strings)
+                strings.append(s)
+            return i
+
+        return strings, intern
+
+    def block(strings: list[str], groups: list[bytes]) -> bytes:
+        str_table = _emit_len(
+            1, b"".join(_emit_len(1, s.encode("utf-8")) for s in strings)
+        )
         body = str_table + b"".join(_emit_len(2, g) for g in groups)
         if granularity != 100:
             body += _emit_int(17, granularity)
         return body
 
-    def dense_group(batch: list) -> bytes:
+    def dense_block(batch: list) -> bytes:
+        strings, intern = new_table()
         ids, lats, lons, kvs = [], [], [], []
         pid = plat = plon = 0
         for nid, lat, lon, tags in batch:
@@ -476,7 +464,7 @@ def write_pbf(
             lons.append(rlon - plon)
             pid, plat, plon = nid, rlat, rlon
             for k, v in tags.items():
-                kvs += [sidx[k], sidx[v]]
+                kvs += [intern(k), intern(v)]
             kvs.append(0)
         dense = (
             _emit_packed(1, ids, signed=True)
@@ -484,22 +472,24 @@ def write_pbf(
             + _emit_packed(9, lons, signed=True)
             + _emit_packed(10, kvs)
         )
-        return _emit_len(2, dense)
+        return block(strings, [_emit_len(2, dense)])
 
-    def way_group(batch: list) -> bytes:
+    def way_block(batch: list) -> bytes:
+        strings, intern = new_table()
         out = b""
         for wid, tags, refs in batch:
             deltas = [refs[0], *[b - a for a, b in zip(refs, refs[1:])]] if refs else []
             msg = (
                 _emit_int(1, wid)
-                + _emit_packed(2, [sidx[k] for k in tags])
-                + _emit_packed(3, [sidx[v] for v in tags.values()])
+                + _emit_packed(2, [intern(k) for k in tags])
+                + _emit_packed(3, [intern(v) for v in tags.values()])
                 + _emit_packed(8, deltas, signed=True)
             )
             out += _emit_len(3, msg)
-        return out
+        return block(strings, [out])
 
-    def rel_group(batch: list) -> bytes:
+    def rel_block(batch: list) -> bytes:
+        strings, intern = new_table()
         out = b""
         for rid, tags, members in batch:
             memids = [m[0] for m in members]
@@ -510,14 +500,14 @@ def write_pbf(
             )
             msg = (
                 _emit_int(1, rid)
-                + _emit_packed(2, [sidx[k] for k in tags])
-                + _emit_packed(3, [sidx[v] for v in tags.values()])
-                + _emit_packed(8, [sidx[m[2] or ""] for m in members])
+                + _emit_packed(2, [intern(k) for k in tags])
+                + _emit_packed(3, [intern(v) for v in tags.values()])
+                + _emit_packed(8, [intern(m[2] or "") for m in members])
                 + _emit_packed(9, deltas, signed=True)
                 + _emit_packed(10, [mtype_enum[m[1]] for m in members])
             )
             out += _emit_len(4, msg)
-        return out
+        return block(strings, [out])
 
     def frame(btype: str, payload: bytes) -> bytes:
         comp = zlib.compress(payload)
@@ -533,20 +523,21 @@ def write_pbf(
     n_blobs = 0
     with open(path, "wb") as f:
         f.write(frame("OSMHeader", header_block))
+        way_list = list(ways)
         for batch_start in range(0, max(len(nodes), 1), entities_per_blob):
             batch = nodes[batch_start : batch_start + entities_per_blob]
             if batch:
-                f.write(frame("OSMData", block([dense_group(batch)])))
+                f.write(frame("OSMData", dense_block(batch)))
                 n_blobs += 1
-        for batch_start in range(0, max(len(ways), 1), entities_per_blob):
-            batch = list(ways)[batch_start : batch_start + entities_per_blob]
+        for batch_start in range(0, max(len(way_list), 1), entities_per_blob):
+            batch = way_list[batch_start : batch_start + entities_per_blob]
             if batch:
-                f.write(frame("OSMData", block([way_group(batch)])))
+                f.write(frame("OSMData", way_block(batch)))
                 n_blobs += 1
         rel_list = list(relations)
         for batch_start in range(0, max(len(rel_list), 1), entities_per_blob):
             batch = rel_list[batch_start : batch_start + entities_per_blob]
             if batch:
-                f.write(frame("OSMData", block([rel_group(batch)])))
+                f.write(frame("OSMData", rel_block(batch)))
                 n_blobs += 1
     return n_blobs

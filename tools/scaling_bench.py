@@ -3,8 +3,11 @@
 No real cluster exists in this sandbox, so the N vs 4N executor comparison
 is evidenced by running the SAME job (bench.run_pages: pages → geocode →
 cell encode → PIP join → tile aggregation) on the SAME input at two
-parallelism levels — local[8] and local[32] — in fresh JVMs, and reporting
-throughput at both plus scaling efficiency = (tp_32 / tp_8) / 4.
+parallelism levels — canonically local[2] and local[8] (see the round-4
+protocol header in BENCH/BASELINE.md: the big leg must leave host
+headroom, or the number measures the box's all-core frequency ceiling
+instead of the engine) — in fresh JVMs, reporting throughput at both plus
+scaling efficiency = (tp_big / tp_small) / 4.
 
 Writes BENCH/BASELINE.md and prints one JSON line.
 
@@ -107,8 +110,12 @@ def run_one(master: str, n_pages: int, repeats: int) -> dict:
 def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    small = sys.argv[3] if len(sys.argv) > 3 else "local[8]"
-    big = sys.argv[4] if len(sys.argv) > 4 else "local[32]"
+    # canonical config (BENCH/BASELINE.md round-4 header): the big leg
+    # must leave host headroom or the measurement hits the machine's own
+    # all-core ceiling (pure-JVM kernel scales 0.74 at 8->32 vs 0.92 at
+    # 2->8 on this box), not the engine
+    small = sys.argv[3] if len(sys.argv) > 3 else "local[2]"
+    big = sys.argv[4] if len(sys.argv) > 4 else "local[8]"
     n_small = int(small[len("local["):-1])
     n_big = int(big[len("local["):-1])
     results: dict[str, dict] = {}
