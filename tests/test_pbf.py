@@ -155,3 +155,61 @@ def test_engine_from_pbf_end_to_end(spark, tmp_path):
     # interesting ONLY for its highway tag is dropped from the output
     res3 = eng.query("highway", with_dictionary=False, with_entrances=False)
     assert res3.ways.count() == 0
+
+
+def test_varints_np_matches_scalar():
+    """The vectorized packed-varint decoder is bit-equal to the byte loop
+    across the full width range, including 10-byte (64-bit) varints and
+    zigzag-signed extremes."""
+    import random
+
+    import numpy as np
+
+    rnd = random.Random(7)
+    vals = [rnd.randrange(0, 2 ** b) for b in (1, 7, 8, 14, 21, 35, 53, 63, 64)
+            for _ in range(200)]
+    buf = b"".join(pbf._emit_varint(v) for v in vals)
+    got = pbf._varints_np(buf)
+    want = pbf._packed_varints([(pbf._WT_LEN, buf)])
+    assert [int(x) for x in got] == [v & (2 ** 64 - 1) for v in want]
+
+    svals = [rnd.randrange(-2 ** 62, 2 ** 62) for _ in range(2000)]
+    svals += [0, -1, 1, -2 ** 63, 2 ** 63 - 1]
+    sbuf = b"".join(pbf._emit_varint(pbf._zigzag_encode(v)) for v in svals)
+    gs = pbf._packed_varints_np([(pbf._WT_LEN, sbuf)], signed=True)
+    ws = pbf._packed_varints([(pbf._WT_LEN, sbuf)], signed=True)
+    assert gs.dtype == np.int64 and [int(x) for x in gs] == ws
+    # empty + repeated-scalar encodings
+    assert pbf._varints_np(b"").size == 0
+    rep = pbf._packed_varints_np([(pbf._WT_VARINT, 5), (pbf._WT_VARINT, 7)])
+    assert [int(x) for x in rep] == [5, 7]
+
+
+def test_decode_block_columns_matches_tuples():
+    """Columnar decode and the legacy tuple view agree (same decoder, two
+    shapes), including untagged-majority DenseNodes and tag terminators."""
+    nodes = [
+        (i + 1, 50.0 + i * 0.01, 7.0 + i * 0.02,
+         {"k": f"v{i}", "x": "y"} if i % 7 == 0 else {})
+        for i in range(500)
+    ]
+    ways = [(9000 + w, {"highway": "path"}, [1 + w, 2 + w, 3 + w])
+            for w in range(40)]
+    path = "/tmp/pbf_cols_test.osm.pbf"
+    pbf.write_pbf(path, nodes, ways, [])
+    for btype, off, ln in pbf.blob_index(path):
+        if btype != "OSMData":
+            continue
+        with open(path, "rb") as f:
+            f.seek(off)
+            payload = pbf._blob_payload(f.read(ln))
+        cols = pbf.decode_block_columns(payload)
+        rows = pbf.decode_primitive_block(payload)
+        assert len(rows["nodes"]) == cols["node_id"].size
+        for (nid, lat, lon, tk, tv), i in zip(
+            rows["nodes"], range(cols["node_id"].size)
+        ):
+            assert nid == int(cols["node_id"][i])
+            assert lat == float(cols["node_lat"][i])
+            assert tk == cols["node_tk"][i] and tv == cols["node_tv"][i]
+        assert rows["ways"] == cols["ways"]

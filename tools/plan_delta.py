@@ -32,7 +32,8 @@ names = json.loads(sys.argv[1])
 sf_dir = "/root/testdata/sf0.01"
 spark = get_spark("plan-delta")
 spark.sparkContext.setLogLevel("ERROR")
-queries = {**entry_mod.queries(), **entry_mod.extra_queries()}
+extra = getattr(entry_mod, "extra_queries", lambda: {})()
+queries = {**entry_mod.queries(), **extra}
 out = {}
 for name in names:
     q = queries.get(name)
