@@ -22,6 +22,8 @@ QUERIES = [
     "pip_join_rect", "knn_grid", "geocode_tile", "tile_aggregate",
     "jaccard_pairs", "minhash_pairs", "windowed_events", "relation_bbox",
 ]
+if os.environ.get("AB_QUERIES"):
+    QUERIES = os.environ["AB_QUERIES"].split(",")
 
 CHILD = r"""
 import json, sys, time
