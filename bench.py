@@ -278,7 +278,7 @@ def _previous_round_timings() -> tuple[str, float | str | None, dict[str, float]
         if not q:
             return None
         return (f"r{best[0]:02d}", parsed.get("sf"), dict(q),
-                parsed.get("calib_sec"))
+                parsed.get("calib_sec"), parsed.get("n_pages"))
     except (OSError, ValueError, AttributeError):
         return None
 
@@ -303,7 +303,12 @@ def _delta_verdicts(
     prev = _previous_round_timings()
     if prev is None:
         return {}
-    tag, prev_sf, pq, prev_calib = prev
+    tag, prev_sf, pq, prev_calib, prev_n_pages = prev
+    if prev_n_pages is not None and os.environ.get(
+        "SPARK_GRAFT_BENCH_PAGES", "8000000"
+    ) != str(prev_n_pages):
+        # different pages scale: seconds aren't comparable for that row
+        pq = {k: v for k, v in pq.items() if k != "pages_pipeline"}
     scale = None
     if calib and prev_calib:
         scale = prev_calib / calib  # multiply `now` by this to normalize
@@ -343,7 +348,13 @@ def _delta_verdicts(
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2000000"))
+    # 8M pages (round 4, was 2M): at 2M the figure is ~40% fixed overhead
+    # (plan analysis + AQE waves + polygon prep amortize over n), so the
+    # reported pages/sec understates steady state — 8M matches the
+    # scaling protocol's leg size and the 100-TB story (long jobs, not
+    # cold starts). _delta_verdicts skips the pages row when n_pages
+    # differs from the previous round's recording.
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "8000000"))
     spark = get_spark("pbf2json-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
