@@ -91,18 +91,15 @@ def _iter_fields(buf: bytes):
         yield field, wt, val
 
 
-def _varints_np(buf: bytes) -> np.ndarray:
-    """Vectorized packed-varint decode (uint64, protobuf 64-bit
-    truncation semantics): byte-level Python loops made the stdlib decode
-    the ingest bottleneck (~14k entities/s/core); this does the whole
-    packed block in a handful of numpy passes — continuation-bit ends,
-    per-byte 7-bit contributions shifted by position-in-varint, one
-    wraparound cumsum, and a difference at the end positions (unsigned
-    wraparound makes the segment sums exact mod 2^64, which IS protobuf's
-    truncation rule). ~20× the scalar loop on DenseNodes blocks."""
+def _varints_np_ends(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """(values, end_byte_positions) — the positions let a caller that
+    concatenated many independent payloads (e.g. every way's refs block in
+    a group) segment the decoded stream back per payload with one
+    searchsorted, since a varint never spans payload boundaries."""
     a = np.frombuffer(buf, dtype=np.uint8)
     if a.size == 0:
-        return np.empty(0, dtype=np.uint64)
+        e = np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.uint64), e
     ends = np.flatnonzero((a & 0x80) == 0)
     n = ends.size
     starts = np.empty(n, dtype=np.int64)
@@ -123,7 +120,19 @@ def _varints_np(buf: bytes) -> np.ndarray:
     out = np.empty(n, dtype=np.uint64)
     out[0] = cs[ends[0]]
     out[1:] = cs[ends[1:]] - cs[ends[:-1]]
-    return out
+    return out, ends
+
+
+def _varints_np(buf: bytes) -> np.ndarray:
+    """Vectorized packed-varint decode (uint64, protobuf 64-bit
+    truncation semantics): byte-level Python loops made the stdlib decode
+    the ingest bottleneck (~14k entities/s/core); this does the whole
+    packed block in a handful of numpy passes — continuation-bit ends,
+    per-byte 7-bit contributions shifted by position-in-varint, one
+    wraparound cumsum, and a difference at the end positions (unsigned
+    wraparound makes the segment sums exact mod 2^64, which IS protobuf's
+    truncation rule). ~20× the scalar loop on DenseNodes blocks."""
+    return _varints_np_ends(buf)[0]
 
 
 def _zigzag_np(v: np.ndarray) -> np.ndarray:
@@ -343,24 +352,79 @@ def decode_block_columns(data: bytes) -> dict:
                         tvs[j] = [strings[v] for v in seg[1::2]]
             tk_parts.append(tks)
             tv_parts.append(tvs)
-        # ways — field 3
-        for _, wb in group.get(3, []):
-            wf = _collect(wb)
-            wid = _to_i64(wf[1][0][1])
-            keys = _packed_varints(wf.get(2, []))
-            vals = _packed_varints(wf.get(3, []))
-            # scalar on purpose: way ref runs are ~5-100 values, and
-            # numpy's per-call overhead loses to the byte loop there
-            # (measured 21k vs ~40k ways/s/core); the vector decoder pays
-            # off only on the ~8000-value DenseNodes blocks
-            refs = []
-            c = 0
-            for d in _packed_varints(wf.get(8, []), signed=True):
-                c += d
-                refs.append(c)
-            ways.append(
-                (wid, [strings[k] for k in keys], [strings[v] for v in vals], refs)
-            )
+        # ways — field 3: lean manual scan (no per-way _collect dict), the
+        # per-way refs payloads batched into ONE vectorized varint decode
+        # for the whole group — a varint never spans payloads, so end-byte
+        # positions searchsorted against payload boundaries recover the
+        # per-way segmentation, and a global cumsum minus per-segment base
+        # re-anchors the delta coding (measured 89 → ~35 ms per 8k-way
+        # blob; per-way numpy calls were WORSE than scalar at 376 ms)
+        wlist = group.get(3, [])
+        if wlist:
+            hdr: list[tuple] = []
+            ref_bufs: list[bytes] = []
+            for _, wb in wlist:
+                wid = 0
+                kb = vb = rb = b""
+                pos, wend = 0, len(wb)
+                while pos < wend:
+                    tag, pos = _read_varint(wb, pos)
+                    fno, wt = tag >> 3, tag & 7
+                    if wt == _WT_VARINT:
+                        v, pos = _read_varint(wb, pos)
+                        if fno == 1:
+                            wid = _to_i64(v)
+                    elif wt == _WT_LEN:
+                        ln, pos = _read_varint(wb, pos)
+                        val = wb[pos : pos + ln]
+                        pos += ln
+                        if fno == 2:
+                            kb += val
+                        elif fno == 3:
+                            vb += val
+                        elif fno == 8:
+                            rb += val
+                    elif wt == _WT_I64:
+                        pos += 8
+                    elif wt == _WT_I32:
+                        pos += 4
+                    else:  # pragma: no cover - malformed input
+                        raise ValueError(f"unsupported wire type {wt}")
+                hdr.append((wid, kb, vb))
+                ref_bufs.append(rb)
+            def _segmented(bufs: list[bytes]) -> list[np.ndarray]:
+                """Decode many independent packed payloads in ONE vector
+                pass and split back per payload."""
+                bounds = np.cumsum(
+                    np.array([len(b) for b in bufs], dtype=np.int64)
+                )
+                raw, vend = _varints_np_ends(b"".join(bufs))
+                owner = np.searchsorted(bounds, vend, side="right")
+                counts = np.bincount(owner, minlength=len(bufs))
+                return raw, counts
+
+            rraw, rcounts = _segmented(ref_bufs)
+            deltas = _zigzag_np(rraw)
+            firsts = np.concatenate(([0], np.cumsum(rcounts)[:-1]))
+            gcs = np.cumsum(deltas)
+            base = np.where(firsts > 0, gcs[firsts - 1], 0)
+            absr = gcs - np.repeat(base, rcounts)
+            rsplit = np.split(absr, np.cumsum(rcounts)[:-1])
+            kraw, kcounts = _segmented([h[1] for h in hdr])
+            vraw, vcounts = _segmented([h[2] for h in hdr])
+            ksplit = np.split(kraw, np.cumsum(kcounts)[:-1])
+            vsplit = np.split(vraw, np.cumsum(vcounts)[:-1])
+            for (wid, _, _), kseg, vseg, seg in zip(
+                hdr, ksplit, vsplit, rsplit
+            ):
+                ways.append(
+                    (
+                        wid,
+                        [strings[k] for k in kseg.tolist()],
+                        [strings[v] for v in vseg.tolist()],
+                        seg.tolist(),
+                    )
+                )
         # relations — field 4
         for _, rb in group.get(4, []):
             rf = _collect(rb)
@@ -423,16 +487,23 @@ _UNION_SCHEMA = (
 
 
 def read_pbf(
-    spark: SparkSession, path: str, blobs_per_task: int = 4
+    spark: SparkSession, path: str, blobs_per_task: int | None = None
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Decode an .osm.pbf file into (nodes, ways, relations) DataFrames
     matching model.NODES/WAYS/RELATIONS_SCHEMA.
 
     The driver reads only blob framing (blob_index); the entity decode runs
     in executors via mapInPandas over the (offset, length) index — one open
-    + seek per task, `blobs_per_task` blobs each (OSM blobs are ≤~1 MB
-    compressed / ~8k entities, so a few per task amortizes the file open
-    without hurting balance)."""
+    + seek per task, `blobs_per_task` blobs each.
+
+    The default sizes tasks for ~8 waves of the cluster: mapInPandas
+    carries ~10 ms of per-task overhead (scheduling + worker round-trip +
+    Arrow setup), so a fixed tiny task size lets overhead dominate as the
+    file grows — a 3.6k-blob file at 4 blobs/task spent 10.6 of 15.9 s on
+    the 895 task launches (measured; 14 blobs/task took the same file to
+    9.2 s / 3.1M entities/s). ~8 waves keeps tasks small enough that the
+    slow tail (way-heavy blobs cluster at the file's end under range
+    partitioning) still balances."""
     idx = [
         (path, off, ln)
         for btype, off, ln in blob_index(path)
@@ -440,6 +511,9 @@ def read_pbf(
     ]
     if not idx:
         raise ValueError(f"{path}: no OSMData blobs")
+    if blobs_per_task is None:
+        waves = spark.sparkContext.defaultParallelism * 8
+        blobs_per_task = max(4, (len(idx) + waves - 1) // waves)
     n_tasks = max(1, (len(idx) + blobs_per_task - 1) // blobs_per_task)
     # range partitioning (not hash): balanced blobs-per-task AND each
     # task's spans are contiguous in the file — sequential reads after the
