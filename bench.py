@@ -278,13 +278,15 @@ def _previous_round_timings() -> tuple[str, float | str | None, dict[str, float]
         if not q:
             return None
         return (f"r{best[0]:02d}", parsed.get("sf"), dict(q),
-                parsed.get("calib_sec"), parsed.get("n_pages"))
+                parsed.get("calib_sec"), parsed.get("n_pages"),
+                parsed.get("calib_shuffle_sec"))
     except (OSError, ValueError, AttributeError):
         return None
 
 
 def _delta_verdicts(
-    timings: dict[str, float], sf, calib: float | None = None
+    timings: dict[str, float], sf, calib: float | None = None,
+    calib_shuffle: float | None = None,
 ) -> dict[str, str]:
     """Regression verdicts vs the previous round's recorded budgets, and a
     human-readable table on stderr (stdout stays the one JSON line the
@@ -303,7 +305,7 @@ def _delta_verdicts(
     prev = _previous_round_timings()
     if prev is None:
         return {}
-    tag, prev_sf, pq, prev_calib, prev_n_pages = prev
+    tag, prev_sf, pq, prev_calib, prev_n_pages, prev_calib_sh = prev
     if prev_n_pages is not None and os.environ.get(
         "SPARK_GRAFT_BENCH_PAGES", "8000000"
     ) != str(prev_n_pages):
@@ -312,6 +314,13 @@ def _delta_verdicts(
     scale = None
     if calib and prev_calib:
         scale = prev_calib / calib  # multiply `now` by this to normalize
+    if calib_shuffle and prev_calib_sh:
+        # both kernels are engine-free hardware probes on different axes
+        # (ALU throughput vs exchange latency / memory bandwidth); if
+        # EITHER drifted by X, the host explains at least X — normalize
+        # by the larger drift so only beyond-hardware deltas flag
+        sh_scale = prev_calib_sh / calib_shuffle
+        scale = sh_scale if scale is None else min(scale, sh_scale)
     if prev_sf is not None and sf is not None and prev_sf != sf:
         print(
             f"\n(no delta table: previous round {tag} ran at sf={prev_sf}, "
@@ -411,6 +420,30 @@ def main() -> None:
         sec = time.time() - t0
         calib = sec if calib is None or sec < calib else calib
 
+    # second calibration axis (round 4): a fixed SHUFFLE job. The
+    # round-4 A/B showed the compute kernel under-captures regime drift
+    # on shuffle-heavy queries (identical binaries moved ~2× across days
+    # while the xxhash kernel moved ~25%) — exchange latency and memory
+    # bandwidth are a different hardware dimension than ALU throughput.
+    # Recorded from this round on so r05+ can normalize small
+    # shuffle-bound queries against the matching kernel.
+    def _calib_shuffle_plan():
+        df = spark.range(0, 20_000_000, 1, 64)
+        return (
+            df.withColumn("k", F.col("id") % 100_000)
+            .groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+            .select(F.sum("c"))
+        )
+
+    _calib_shuffle_plan().collect()
+    calib_sh = None
+    for _ in range(2):
+        _wait_idle()
+        t0 = time.time()
+        _calib_shuffle_plan().collect()
+        sec = time.time() - t0
+        calib_sh = sec if calib_sh is None or sec < calib_sh else calib_sh
+
     # real-PBF ingest at bench scale (VERDICT r3 task 7): decode a cached
     # synthetic .osm.pbf (deterministic integer-formula entities,
     # tools/make_pbf.py — the reference's Vancouver corpus is absent from
@@ -454,7 +487,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    regressions = _delta_verdicts(timings, sf_val, calib)
+    regressions = _delta_verdicts(timings, sf_val, calib, calib_sh)
     print(
         json.dumps(
             {
@@ -466,6 +499,7 @@ def main() -> None:
                 "pages_per_sec": round(n_pages / page_sec, 1),
                 "n_pages": n_pages,
                 "calib_sec": round(calib, 3),
+                "calib_shuffle_sec": round(calib_sh, 3),
                 **pbf_stats,
                 "regressions": regressions,
             }
