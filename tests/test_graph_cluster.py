@@ -173,3 +173,28 @@ def test_focal_sum_k2_window(spark):
     df = spark.createDataFrame([(8, 8, 1)], "cx long, cy long, n long")
     got = spatial.focal_sum(df, res=5, k=2).collect()
     assert len(got) == 25 and all(r.n_focal == 1 for r in got)
+
+
+def test_hotspot_cc_paths_equivalent(spark):
+    """Round 4: the scale-adaptive component step — driver union-find for
+    grid-bounded dense-cell graphs vs pointer-doubling above the
+    threshold — must emit IDENTICAL component-minimum representatives."""
+    pts = []
+    for i in range(300):
+        pts.append((10.0 + (i % 9) * 0.4, 20.0 + (i % 11) * 0.4))
+    for i in range(200):
+        pts.append((-40.0 + (i % 6) * 0.4, -120.0 + (i % 8) * 0.4))
+    for i in range(80):
+        pts.append((((i * 53) % 160) - 80.0, ((i * 71) % 340) - 170.0))
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    drv = {
+        (r.cx, r.cy): (r.n_points, r.cluster_id)
+        for r in spatial.hotspot_clusters(df, res=7, min_pts=4).collect()
+    }
+    dist = {
+        (r.cx, r.cy): (r.n_points, r.cluster_id)
+        for r in spatial.hotspot_clusters(
+            df, res=7, min_pts=4, driver_cc_max=0
+        ).collect()
+    }
+    assert drv == dist and len(drv) > 5
