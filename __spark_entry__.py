@@ -2030,6 +2030,38 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (ann.semantic_dedup): cluster the
+    embedding space (same deterministic seed centroids as the kmeans
+    gate), drop every vector with a lower-id same-cluster neighbor at
+    cosine >= 0.3 — candidate pairs bounded by cluster size, never
+    corpus-quadratic. Capped at vec_id < 4000 so the oracle's
+    within-cluster brute force stays bounded (the operator's scale knob
+    is k ~ sqrt(N); the cap plays that role for the gate)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 4000)
+    cents = cluster.kmeans_fit(emb, k=8, n_iter=0)
+    return ann.semantic_dedup(emb, cents, threshold=0.3)
+
+
+_SEMDEDUP_SQL = (
+    "WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+    "FROM embeddings WHERE vec_id < 4000), "
+    "c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) "
+    "AS cluster, v AS cv FROM (SELECT * FROM e0 ORDER BY vec_id LIMIT 8)), "
+    "s AS (SELECT e0.vec_id, c.cluster, "
+    "list_cosine_similarity(e0.v, c.cv) AS cos FROM e0, c), "
+    "a AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster, "
+    "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster) "
+    "AS rn FROM s) WHERE rn = 1), "
+    "av AS (SELECT a.vec_id, a.cluster, e0.v FROM a JOIN e0 USING (vec_id)), "
+    "d AS (SELECT DISTINCT y.vec_id FROM av x JOIN av y "
+    "ON x.cluster = y.cluster AND x.vec_id < y.vec_id "
+    "AND list_cosine_similarity(x.v, y.v) >= 0.3) "
+    "SELECT vec_id, cluster FROM a "
+    "WHERE vec_id NOT IN (SELECT vec_id FROM d)"
+)
+
+
 def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document tf-idf keywords (corpus.tfidf_keywords): rational
     un-logged idf (bm25_rank's portability discipline — pure +,*,/ so the
@@ -9034,6 +9066,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # moved out of the gate round 4 so all 50 slots are value-exact
         "media_features": _q_media_features,
         "within_dist_wrap": _q_within_dist_wrap,
+        "semantic_dedup": _q_semantic_dedup,
         "dsl_value_regex": _dsl_query("etype~#r"),
         "dsl_or_values": _dsl_query("etype~click;view"),
         "dsl_and_group": _dsl_query("etype~click§big~yes"),
@@ -10397,6 +10430,7 @@ def oracle_sql() -> dict[str, str]:
         _ROUTE_EDGES_SQL, _ROUTE_SOURCES_SQL, 6
     )
     sqls["kmeans_clusters"] = _KMEANS_SQL
+    sqls["semantic_dedup"] = _SEMDEDUP_SQL
     sqls["tfidf_keywords"] = _tfidf_sql(k=3, min_df=2, max_df_frac=0.78)
     sqls["resample_mixture"] = _mixture_sql(_MIX_WEIGHTS, _MIX_DEFAULT)
     sqls["kmv_distinct"] = _kmv_sql(64)

@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     # round 4
     "within_dist_wrap",
     "ts_probe",
+    "semantic_dedup",
 ]
 
 

@@ -262,6 +262,56 @@ def embedding_near_dup_pairs_exact(
     )
 
 
+def semantic_dedup(
+    points: DataFrame,
+    centroids,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then prune
+    near-duplicates WITHIN each cluster — candidate generation is an
+    equi-join on the cluster id, never corpus-quadratic; the within-
+    cluster pairing is quadratic in CLUSTER size by design (the paper's
+    trade: pick k large enough that clusters stay small — k ~ sqrt(N)
+    keeps total pair work ~N^1.5 instead of N²).
+
+    Keep rule: a vector is dropped iff a LOWER-id vector in the same
+    cluster has cosine ≥ threshold with it (deterministic keep-first-id —
+    the paper keeps the vector with lowest distance to the centroid;
+    id-priority is the order-free, engine-exact variant of the same
+    one-per-duplicate-group semantics, and what makes the result
+    oracle-checkable).
+
+    `centroids` is cluster.kmeans_fit output (numpy (k, d)). Output:
+    (id, cluster) survivor rows.
+    """
+    from pbf2json_spark import cluster as _cluster
+
+    assigned = _cluster.kmeans_assign(
+        points, centroids, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col), "cluster")
+    v = points.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    av = assigned.join(v, id_col)
+    a = av.select(
+        F.col(id_col).alias("a"), "cluster", F.col("_v").alias("_va")
+    )
+    b = av.select(
+        F.col(id_col).alias("b"), "cluster", F.col("_v").alias("_vb")
+    )
+    dup_ids = (
+        a.join(b, "cluster")
+        .filter(F.col("a") < F.col("b"))
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dup_ids, id_col, "left_anti")
+
+
 def embedding_near_dup_pairs(
     points: DataFrame,
     threshold: float,

@@ -385,3 +385,48 @@ def test_redact_pii_progressive_counts(spark):
     assert got[1]["n_redactions"] == 1
     assert got[2]["text_redacted"] == "<EMAIL> and <IP>"
     assert got[2]["n_redactions"] == 2
+
+
+def test_semantic_dedup_vs_brute(spark):
+    """SemDeDup survivors == python reference: same seed centroids, same
+    argmax-cosine assignment, same keep-first-id within-cluster rule."""
+    from pbf2json_spark import cluster
+
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(6, 8))
+    rows = []
+    vid = 0
+    for i in range(6):            # 6 semantic groups x 5 near-copies
+        for _ in range(5):
+            v = base[i] + rng.normal(scale=0.05, size=8)
+            rows.append((vid, (v / np.linalg.norm(v)).tolist()))
+            vid += 1
+    for _ in range(10):           # singletons
+        v = rng.normal(size=8)
+        rows.append((vid, (v / np.linalg.norm(v)).tolist()))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = cluster.kmeans_fit(df, k=5, n_iter=0)
+    got = {
+        (r["vec_id"], r["cluster"])
+        for r in ann.semantic_dedup(df, cents, threshold=0.9).collect()
+    }
+
+    # python reference
+    mat = np.array([v for _, v in rows])
+    c = np.asarray(cents)
+    cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    assign = np.argmax(mn @ cn.T, axis=1)
+    want = set()
+    for i, (vid_i, _) in enumerate(rows):
+        dup = any(
+            assign[j] == assign[i]
+            and rows[j][0] < vid_i
+            and float(mn[j] @ mn[i]) >= 0.9
+            for j in range(len(rows))
+        )
+        if not dup:
+            want.add((vid_i, int(assign[i])))
+    assert got == want
+    assert len(got) < len(rows)  # something was actually deduped
