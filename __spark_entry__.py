@@ -2038,14 +2038,18 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-quadratic. Capped at vec_id < 4000 so the oracle's
     within-cluster brute force stays bounded (the operator's scale knob
     is k ~ sqrt(N); the cap plays that role for the gate)."""
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 4000)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    # the slice feeds the seed collect, the assign UDF, and both pair
+    # sides — pin it once (arrays have no min/max stats, so every
+    # re-scan re-reads and re-decodes the full embedding column)
+    emb = emb.localCheckpoint(eager=False)
     cents = cluster.kmeans_fit(emb, k=8, n_iter=0)
     return ann.semantic_dedup(emb, cents, threshold=0.3)
 
 
 _SEMDEDUP_SQL = (
     "WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
-    "FROM embeddings WHERE vec_id < 4000), "
+    "FROM embeddings WHERE vec_id < 2000), "
     "c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) "
     "AS cluster, v AS cv FROM (SELECT * FROM e0 ORDER BY vec_id LIMIT 8)), "
     "s AS (SELECT e0.vec_id, c.cluster, "

