@@ -102,6 +102,12 @@ def _varints_np_ends(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
         return np.empty(0, dtype=np.uint64), e
     ends = np.flatnonzero((a & 0x80) == 0)
     n = ends.size
+    # Malformed buffers must fail with a decode error, not an opaque
+    # numpy shape/index error: all-continuation bytes mean zero complete
+    # varints in a non-empty buffer, and a final byte with the
+    # continuation bit set means the last varint was cut mid-stream.
+    if n == 0 or ends[-1] != a.size - 1:
+        raise ValueError("truncated varint in packed block")
     starts = np.empty(n, dtype=np.int64)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
@@ -374,6 +380,16 @@ def decode_block_columns(data: bytes) -> dict:
                         v, pos = _read_varint(wb, pos)
                         if fno == 1:
                             wid = _to_i64(v)
+                        # Repeated varint fields MAY be wire-encoded
+                        # unpacked (one tag per element) by conforming
+                        # writers; re-encode into the packed buffers so
+                        # the batched decode sees one uniform stream.
+                        elif fno == 2:
+                            kb += _emit_varint(v)
+                        elif fno == 3:
+                            vb += _emit_varint(v)
+                        elif fno == 8:
+                            rb += _emit_varint(v)
                     elif wt == _WT_LEN:
                         ln, pos = _read_varint(wb, pos)
                         val = wb[pos : pos + ln]

@@ -168,7 +168,7 @@ c AS (
       AS cover_e12
   FROM g
 )
-SELECT tile, sum(cover_e12) AS cover_e12
+SELECT tile, CAST(sum(cover_e12) AS BIGINT) AS cover_e12
 FROM c WHERE cover_e12 > 0 GROUP BY tile
 """
 

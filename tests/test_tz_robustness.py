@@ -45,4 +45,12 @@ def test_reader_config_invariance(spark, ntz, tz, qname):
     want = _norm(_oracle(qname))
     assert got.shape == want.shape
     for c in got.columns:
+        # Dtype KIND must match, not just values: int64 123 == float64
+        # 123.0 numerically, but the driver's hash is dtype-faithful and
+        # sees "123" vs "123.0".  An uncast DuckDB SUM(BIGINT) promotes
+        # to HUGEINT and lands in pandas as float64 — the r2-r4
+        # windowed_events red signature this test previously masked.
+        gk = "f" if got[c].dtype.kind == "f" else "i" if got[c].dtype.kind in "iu" else "o"
+        wk = "f" if want[c].dtype.kind == "f" else "i" if want[c].dtype.kind in "iu" else "o"
+        assert gk == wk, (qname, c, got[c].dtype, want[c].dtype)
         assert (got[c].values == want[c].values).all(), (qname, ntz, tz, c)

@@ -46,6 +46,23 @@ def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
     a, b = normalize(a.copy()), normalize(b.copy())
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
+        # Dtype-KIND parity must hold before any numeric coercion: the
+        # driver's value hash is dtype-faithful, so a Spark int64 column
+        # vs a DuckDB float64 column (e.g. SUM(BIGINT) -> HUGEINT ->
+        # pandas float64) hashes "123" vs "123.0" and goes red even when
+        # every value is numerically equal.  Rounds 2-4 missed exactly
+        # this because the old compare coerced both sides to float64.
+        ak = "float" if np.issubdtype(av.dtype, np.floating) else (
+            "int" if np.issubdtype(av.dtype, np.integer) else "other")
+        bk = "float" if np.issubdtype(bv.dtype, np.floating) else (
+            "int" if np.issubdtype(bv.dtype, np.integer) else "other")
+        if ak != bk:
+            errs.append(
+                f"col {c}: dtype-kind mismatch spark={av.dtype} ({ak}) "
+                f"oracle={bv.dtype} ({bk}) — driver hash WILL differ "
+                f"(e.g. uncast DuckDB SUM(BIGINT) -> HUGEINT -> float64)"
+            )
+            continue
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
             av = av.astype(np.float64)
             bv = bv.astype(np.float64)
