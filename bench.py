@@ -313,8 +313,10 @@ def _delta_verdicts(
         # different pages scale: seconds aren't comparable for that row
         pq = {k: v for k, v in pq.items() if k != "pages_pipeline"}
     scale = None
+    cp_scale = sh_scale = None
     if calib and prev_calib:
-        scale = prev_calib / calib  # multiply `now` by this to normalize
+        cp_scale = prev_calib / calib  # multiply `now` by this to normalize
+        scale = cp_scale
     if calib_shuffle and prev_calib_sh:
         # both kernels are engine-free hardware probes on different axes
         # (ALU throughput vs exchange latency / memory bandwidth); if
@@ -339,18 +341,30 @@ def _delta_verdicts(
             continue
         pct = (now - p) / p * 100 if p else 0.0
         npct = ((now * scale) - p) / p * 100 if (p and scale) else pct
+        # per-axis normalized deltas: a query can track the compute
+        # kernel (pure-codegen plans) or the shuffle kernel (exchange-
+        # heavy plans) — reporting both makes the verdict falsifiable on
+        # whichever axis the plan actually lives on
+        axes = ""
+        if p:
+            ax = []
+            if cp_scale is not None:
+                ax.append(f"{((now * cp_scale) - p) / p * 100:+.0f}% compute-norm")
+            if sh_scale is not None:
+                ax.append(f"{((now * sh_scale) - p) / p * 100:+.0f}% shuffle-norm")
+            axes = ", ".join(ax)
         flag = "  REGRESSION" if npct > 25 else (
             "  host" if pct > 25 else "")
         print(f"{name:<18}{p:>9.2f}{now:>9.2f}{pct:>+8.0f}%{flag}", file=sys.stderr)
         if npct > 25:
             regressions[name] = (
-                f"{p:.2f}s -> {now:.2f}s ({pct:+.0f}% raw, {npct:+.0f}% "
-                f"calib-normalized vs {tag})")
+                f"{p:.2f}s -> {now:.2f}s ({pct:+.0f}% raw"
+                + (f"; {axes}" if axes else "") + f" vs {tag})")
         elif pct > 25:
             regressions[name] = (
                 f"host: {p:.2f}s -> {now:.2f}s raw {pct:+.0f}% but "
-                f"{npct:+.0f}% calib-normalized vs {tag} — host window, "
-                f"not engine")
+                + (axes or f"{npct:+.0f}% calib-normalized")
+                + f" vs {tag} — host window, not engine")
     for name, msg in regressions.items():
         print(f"WARN bench regression: {name} {msg}", file=sys.stderr)
     return regressions
