@@ -576,15 +576,46 @@ def main() -> int:
         ],
     ))
 
-    # 36. hotspot clustering: raw points collapse to cell counts FIRST
-    # (partial agg), adjacency is an equi-join, no Python
+    # 36. hotspot clustering — SCALE-ADAPTIVE component step, so the
+    # audit is path-aware: below driver_cc_max the dense-cell set is
+    # localCheckpointed (to count it and pick the path), which truncates
+    # lineage — the cell-count partial agg RAN but the final lazy plan
+    # starts at an ExistingRDD, and the property that matters there is
+    # the bounded broadcast join-back.  The distributed pointer-doubling
+    # path is audited separately by forcing driver_cc_max=0.
     hs = extra["hotspots"](spark, sf_dir)
     p = plan_text(hs)
+    driver_path = "ExistingRDD" in p
     sections.append((
         "hotspot clustering (hotspots)", p,
         [
-            ("partial aggregation on cell counts",
-             p.count("HashAggregate") >= 2, ""),
+            ("driver path: checkpointed dense cells + broadcast label "
+             "join-back" if driver_path else
+             "partial aggregation on cell counts",
+             ("BroadcastHashJoin" in p) if driver_path
+             else p.count("HashAggregate") >= 2, ""),
+            ("hash equi-joins only (no nested loop)",
+             "NestedLoop" not in p and "CartesianProduct" not in p, ""),
+            ("no Python eval", "EvalPython" not in p, ""),
+        ],
+    ))
+
+    # 36b. hotspot clustering, distributed-CC path forced (the shape the
+    # same call takes above driver_cc_max dense cells): cell counts
+    # partial-agg before the checkpoint cut is visible here because the
+    # pointer-doubling path never collects labels to the driver
+    from pbf2json_spark import spatial as _spatial_mod
+    hs_pts = entry_mod._t(spark, sf_dir, "orders").select(
+        entry_mod._lat_col(F.col("o_orderkey")).alias("lat"),
+        entry_mod._lon_col(F.col("o_orderkey")).alias("lon"),
+    )
+    hsd = _spatial_mod.hotspot_clusters(
+        hs_pts, res=5, min_pts=3, driver_cc_max=0
+    )
+    p = plan_text(hsd)
+    sections.append((
+        "hotspot clustering, distributed CC path (driver_cc_max=0)", p,
+        [
             ("hash equi-joins only (no nested loop)",
              "NestedLoop" not in p and "CartesianProduct" not in p, ""),
             ("no Python eval", "EvalPython" not in p, ""),
