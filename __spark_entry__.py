@@ -5189,6 +5189,76 @@ def _q_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.bh_fdr(d, "p_e6", q_e6=50_000)
 
 
+# ---- wave 72 (round 5): vocab coverage curve, Good-Turing mass ----
+
+_VOCAB_KS = [10, 100, 1000, 5000, 100000]
+
+
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k type coverage curve (corpus.vocab_coverage): share of token
+    occurrences covered by the k most frequent types, k ladder over the
+    documents table — tie-independent by construction (a k cutting inside
+    an equal-count block contributes (k − above)·c whichever tied types
+    are taken), so the oracle needs no tie rule either."""
+    return corpus.vocab_coverage(
+        _t(spark, sf_dir, "documents"), _VOCAB_KS
+    )
+
+
+def _vocab_coverage_sql(ks: list[int]) -> str:
+    vals = ", ".join(f"({k})" for k in sorted(set(ks)))
+    return (
+        "WITH tok AS (SELECT unnest(CASE WHEN length(trim(text)) = 0 "
+        "THEN [] ELSE string_split_regex(trim(text), '\\s+') END) AS w "
+        "FROM documents), "
+        "tc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok "
+        "GROUP BY w), "
+        "h AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM tc "
+        "GROUP BY c), "
+        "cum AS (SELECT c, m, "
+        "CAST(sum(m) OVER (ORDER BY c DESC) AS BIGINT) AS types_thru, "
+        "CAST(sum(c * m) OVER (ORDER BY c DESC) AS BIGINT) AS mass_thru "
+        "FROM h), "
+        "tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM tc), "
+        f"ks(k) AS (VALUES {vals}), "
+        "j AS (SELECT CAST(ks.k AS BIGINT) AS k, tot.total, "
+        "CAST(coalesce(cum.mass_thru - cum.c * cum.m "
+        "+ (ks.k - (cum.types_thru - cum.m)) * cum.c, tot.total) AS BIGINT) "
+        "AS covered FROM ks CROSS JOIN tot LEFT JOIN cum "
+        "ON cum.types_thru - cum.m < ks.k AND ks.k <= cum.types_thru) "
+        "SELECT k, covered, total, "
+        "CAST((covered * 1000000) // total AS BIGINT) AS coverage_e6 FROM j"
+    )
+
+
+def _q_gt_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency-of-frequencies (corpus.good_turing_mass,
+    r ≤ 5) over the documents table: N_r rows plus the r=0 unseen-mass
+    row p0_e6 = N_1·1e6 div N — all BIGINT, no float path."""
+    return corpus.good_turing_mass(_t(spark, sf_dir, "documents"), max_r=5)
+
+
+_GT_SQL = (
+    "WITH tok AS (SELECT unnest(CASE WHEN length(trim(text)) = 0 "
+    "THEN [] ELSE string_split_regex(trim(text), '\\s+') END) AS w "
+    "FROM documents), "
+    "tc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w), "
+    "h AS (SELECT c, CAST(count(*) AS BIGINT) AS n_r FROM tc "
+    "WHERE c <= 5 GROUP BY c), "
+    "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM tc), "
+    "rs(r) AS (VALUES (1), (2), (3), (4), (5)), "
+    "dense AS (SELECT CAST(rs.r AS BIGINT) AS r, "
+    "CAST(coalesce(h.n_r, 0) AS BIGINT) AS n_r FROM rs "
+    "LEFT JOIN h ON h.c = rs.r) "
+    "SELECT CAST(0 AS BIGINT) AS r, d.n_r, tot.n, "
+    "CAST((d.n_r * 1000000) // tot.n AS BIGINT) AS p0_e6 "
+    "FROM dense d CROSS JOIN tot WHERE d.r = 1 "
+    "UNION ALL "
+    "SELECT d.r, d.n_r, tot.n, CAST(NULL AS BIGINT) AS p0_e6 "
+    "FROM dense d CROSS JOIN tot"
+)
+
+
 _BH_SQL = (
     "WITH d AS (SELECT doc_id AS tid, CASE WHEN doc_id % 37 = 0 THEN "
     "(CAST(doc_id AS BIGINT) * 48271) % 3000 ELSE "
@@ -9384,6 +9454,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 71
         "rbo_nation_ranks": _q_rbo,
         "bh_screen": _q_bh,
+        # wave 72 (round 5)
+        "vocab_coverage": _q_vocab_coverage,
+        "gt_unseen_mass": _q_gt_mass,
     }
 
 
@@ -10679,6 +10752,9 @@ def oracle_sql() -> dict[str, str]:
     # wave-71 oracles
     sqls["rbo_nation_ranks"] = _rbo_sql()
     sqls["bh_screen"] = _BH_SQL
+    # wave-72 oracles (round 5)
+    sqls["vocab_coverage"] = _vocab_coverage_sql(_VOCAB_KS)
+    sqls["gt_unseen_mass"] = _GT_SQL
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

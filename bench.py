@@ -174,6 +174,9 @@ BENCH_QUERIES = [
     "within_dist_wrap",
     "ts_probe",
     "semantic_dedup",
+    # round 5
+    "vocab_coverage",
+    "gt_unseen_mass",
 ]
 
 

@@ -1318,3 +1318,139 @@ def cooccurrence_lift(
         F.col("a").alias("term_a"), F.col("b").alias("term_b"),
         "n_pair", "n_a", "n_b", "lift_e6",
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    ks: list[int],
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k type coverage curve (tokenizer-vocabulary budgeting): for each
+    k in `ks`, what share of all token OCCURRENCES is covered by the k most
+    frequent types — the number that decides a tokenizer's vocab size and
+    exposes template corpora (tiny k already covers ~everything) vs noisy
+    OCR (coverage crawls).
+
+    Tie-independence BY CONSTRUCTION: a k that cuts inside a block of
+    equally-frequent types contributes (k − types_above) · c regardless of
+    which tied types are "taken" — all carry the same count c — so the
+    curve is a pure function of the count HISTOGRAM and never needs a
+    global type ranking or a tie rule.
+
+    Scale shape at 10^12 tokens: one tokenize-explode, ONE map-side-
+    combinable (token) count (the only token-keyed exchange), then a
+    frequency-of-frequencies histogram (distinct counts — heavy-tailed
+    corpora have thousands of rows, not vocab-sized), a window cumsum over
+    THAT, and a broadcast-size range join of the |ks| cutoffs. No global
+    sort, no collect.
+
+    Output per k: (k, covered, total, coverage_e6) — covered = occurrences
+    under the top-k types (= total when k ≥ vocab), coverage_e6 the exact
+    floor fixed point. BIGINT throughout.
+    """
+    if not ks or any(k <= 0 for k in ks):
+        raise ValueError("ks must be positive")
+    counts = (
+        docs.select(F.explode(_words(text_col)).alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    hist = counts.groupBy("_c").agg(F.count(F.lit(1)).alias("_m"))
+    w = Window.orderBy(F.col("_c").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "_c", "_m",
+        F.sum("_m").over(w).cast("long").alias("_types_thru"),
+        F.sum(F.col("_c") * F.col("_m")).over(w).cast("long").alias("_mass_thru"),
+    ).select(
+        "_c",
+        (F.col("_types_thru") - F.col("_m")).alias("_types_above"),
+        (F.col("_mass_thru") - F.col("_c") * F.col("_m")).alias("_mass_above"),
+        "_types_thru", "_mass_thru",
+    )
+    spark = docs.sparkSession
+    kdf = spark.createDataFrame([(int(k),) for k in sorted(set(ks))], "k long")
+    tot = counts.agg(
+        F.sum("_c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("_vocab"),
+    )
+    # each k lands in exactly one histogram block: the first (largest-c)
+    # block whose cumulative type count reaches k; k beyond the vocab
+    # covers everything
+    j = (
+        kdf.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(cum),
+            (F.col("_types_above") < F.col("k"))
+            & (F.col("k") <= F.col("_types_thru")),
+            "left",
+        )
+        .select(
+            "k", "total",
+            F.when(
+                F.col("_c").isNull(), F.col("total")  # k >= vocab
+            ).otherwise(
+                F.col("_mass_above")
+                + (F.col("k") - F.col("_types_above")) * F.col("_c")
+            ).cast("long").alias("covered"),
+        )
+    )
+    return j.select(
+        "k", "covered", "total",
+        F.expr("(covered * 1000000) div total").alias("coverage_e6"),
+    )
+
+
+def good_turing_mass(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_r: int = 5,
+) -> DataFrame:
+    """Good-Turing frequency-of-frequencies surface: N_r (how many types
+    occur exactly r times, r = 1..max_r) plus the Turing unseen-mass
+    estimate p0 = N_1 / N — the share of the true distribution held by
+    tokens the corpus has NEVER seen.  The corpus-completeness number
+    behind LM smoothing and "is this crawl slice saturated" calls, and the
+    companion of vocab_growth's flattening curve (p0 → 0 as the crawl
+    saturates; a high p0 says more data still buys new vocabulary).
+
+    Same scale shape as vocab_coverage: one token count (the only
+    token-keyed exchange) + a histogram aggregate; the output is max_r + 1
+    rows of pure BIGINT (`r`, `n_r`, total `n`, and for r=0 the unseen
+    mass p0_e6 = N_1·1e6 div N — exact floor, no float path).
+    """
+    if max_r <= 0:
+        raise ValueError("max_r > 0")
+    counts = (
+        docs.select(F.explode(_words(text_col)).alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    hist = (
+        counts.filter(F.col("_c") <= max_r)
+        .groupBy("_c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    )
+    tot = counts.agg(F.sum("_c").cast("long").alias("n"))
+    spark = docs.sparkSession
+    rs = spark.createDataFrame([(int(r),) for r in range(1, max_r + 1)], "r long")
+    dense = (
+        rs.join(F.broadcast(hist.withColumnRenamed("_c", "r")), "r", "left")
+        .select("r", F.coalesce("n_r", F.lit(0)).cast("long").alias("n_r"))
+    )
+    n1 = dense.filter(F.col("r") == 1).select(F.col("n_r").alias("_n1"))
+    p0 = (
+        n1.crossJoin(F.broadcast(tot))
+        .select(
+            F.lit(0).cast("long").alias("r"),
+            F.col("_n1").alias("n_r"),
+            "n",
+            F.expr("(_n1 * 1000000) div n").alias("p0_e6"),
+        )
+    )
+    rows = (
+        dense.crossJoin(F.broadcast(tot))
+        .select("r", "n_r", "n", F.lit(None).cast("long").alias("p0_e6"))
+    )
+    return p0.unionByName(rows)
