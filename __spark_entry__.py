@@ -55,8 +55,8 @@ from pyspark.sql.window import Window
 
 from pbf2json_spark import (
     ann, cells, cluster, corpus, decontam, dedup, denorm, dsl, graph,
-    pages, ranking, raster, relations, routing, sampling, sketch, spans,
-    spatial, stats, temporal, textops, trajectory, weburl,
+    layout, pages, ranking, raster, relations, routing, sampling, sketch,
+    spans, spatial, stats, temporal, textops, trajectory, weburl,
 )
 
 # --------------------------------------------------------------------------
@@ -5231,6 +5231,42 @@ def _vocab_coverage_sql(ks: list[int]) -> str:
     )
 
 
+_ZR_BOX = (-30.0, 10.0, 20.0, 90.0)
+
+
+def _q_zrange_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order bbox range filter (layout.zorder_range_filter): the bbox
+    rewritten as quadtree Morton-code intervals + exact residual — the
+    read-side pruning path for a Z-laid-out table. Semantics are
+    independent of the range budget (the residual makes coarsening
+    false-positive-free), so the oracle is the PLAIN bbox predicate on
+    the same derived points; a deliberately tiny max_ranges exercises
+    the coarsening path under the oracle."""
+    c = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    pts = c.select(
+        ck.alias("cid"),
+        _lat_col(ck).alias("lat"),
+        _lon_col(ck).alias("lon"),
+    )
+    lat0, lat1, lon0, lon1 = _ZR_BOX
+    return layout.zorder_range_filter(
+        pts, lat0, lat1, lon0, lon1, res=8, max_ranges=6
+    )
+
+
+def _zrange_sql() -> str:
+    lat0, lat1, lon0, lon1 = _ZR_BOX
+    return (
+        "WITH p AS (SELECT CAST(c_custkey AS BIGINT) AS cid, "
+        f"{_lat_sql('CAST(c_custkey AS BIGINT)')} AS lat, "
+        f"{_lon_sql('CAST(c_custkey AS BIGINT)')} AS lon "
+        "FROM customer) "
+        f"SELECT cid, lat, lon FROM p WHERE lat >= {lat0!r}e0 AND "
+        f"lat <= {lat1!r}e0 AND lon >= {lon0!r}e0 AND lon <= {lon1!r}e0"
+    )
+
+
 def _q_gt_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Good-Turing frequency-of-frequencies (corpus.good_turing_mass,
     r ≤ 5) over the documents table: N_r rows plus the r=0 unseen-mass
@@ -9457,6 +9493,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave 72 (round 5)
         "vocab_coverage": _q_vocab_coverage,
         "gt_unseen_mass": _q_gt_mass,
+        # wave 73 (round 5)
+        "zrange_filter": _q_zrange_filter,
     }
 
 
@@ -10755,6 +10793,8 @@ def oracle_sql() -> dict[str, str]:
     # wave-72 oracles (round 5)
     sqls["vocab_coverage"] = _vocab_coverage_sql(_VOCAB_KS)
     sqls["gt_unseen_mass"] = _GT_SQL
+    # wave-73 oracle (round 5)
+    sqls["zrange_filter"] = _zrange_sql()
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     # round 5
     "vocab_coverage",
     "gt_unseen_mass",
+    "zrange_filter",
 ]
 
 

@@ -208,3 +208,140 @@ def hilbert_layout(
     out = df.withColumn(kd, hilbert_udf(res)(gx, gy))
     n = n_files or df.sparkSession.sparkContext.defaultParallelism
     return out.repartitionByRange(n, kd).sortWithinPartitions(kd).drop(kd)
+
+
+# --- Z-order range planning ---------------------------------------------------
+#
+# Laying data out by Morton code (zorder_layout) only pays off if QUERIES
+# can be expressed as ranges of that code: a bbox predicate on raw lat/lon
+# prunes nothing on a file sorted by the interleaved key (each file's
+# lat/lon min/max stay near-global in one axis), but the SAME bbox
+# rewritten as a small set of Morton-code intervals prunes against the
+# key column's per-file min/max directly. This is the classic
+# quadtree/BIGMIN decomposition (the mechanism behind S2 cell coverings
+# and Delta/Iceberg Z-order pruning): recursively split the grid; a quad
+# fully inside the bbox contributes its whole contiguous code interval,
+# a partial quad recurses, a disjoint quad is skipped. DFS in child-code
+# order yields the intervals already sorted; adjacent intervals merge;
+# a range budget coarsens by swallowing the SMALLEST inter-range gaps
+# (false positives only — the residual exact predicate removes them),
+# keeping the scan's OR-of-BETWEENs bounded.
+
+
+def zorder_ranges(
+    lat0: float, lat1: float, lon0: float, lon1: float,
+    res: int = 16, max_ranges: int = 64,
+) -> list[tuple[int, int]]:
+    """Minimal sorted list of [lo, hi] Morton-code intervals (cell_col
+    bit layout, res prefix included) covering every grid cell at `res`
+    that intersects the bbox — at most `max_ranges` intervals (coarsened
+    by smallest-gap merging beyond that, a superset never a subset).
+
+    Driver-side planning only: work is bounded by the perimeter of the
+    bbox in quads (O(max_ranges + res * perimeter_quads)), independent of
+    table size — the plan is then pushed down as BETWEENs on the stored
+    key column.
+    """
+    if not 0 <= res <= cells.MAX_RES:
+        raise ValueError(f"res must be in [0, {cells.MAX_RES}]")
+    if max_ranges < 1:
+        raise ValueError("max_ranges >= 1")
+    if lat1 < lat0 or lon1 < lon0:
+        # an inverted box is empty in degrees even when both edges floor
+        # into the same grid cell
+        return []
+    n = 1 << res
+    import math
+    qx0 = max(0, min(n - 1, math.floor((lon0 + 180.0) / 360.0 * n)))
+    qx1 = max(0, min(n - 1, math.floor((lon1 + 180.0) / 360.0 * n)))
+    qy0 = max(0, min(n - 1, math.floor((lat0 + 90.0) / 180.0 * n)))
+    qy1 = max(0, min(n - 1, math.floor((lat1 + 90.0) / 180.0 * n)))
+    if qx1 < qx0 or qy1 < qy0:
+        return []
+    prefix = res << cells._RES_SHIFT
+    out: list[tuple[int, int]] = []
+
+    def walk(level: int, code: int, x: int, y: int) -> None:
+        # quad at `level` covers x..x+s-1 / y..y+s-1 grid cells and the
+        # contiguous code interval [code << 2k, ((code+1) << 2k) - 1]
+        s = 1 << (res - level)
+        if x > qx1 or x + s - 1 < qx0 or y > qy1 or y + s - 1 < qy0:
+            return
+        k = 2 * (res - level)
+        if qx0 <= x and x + s - 1 <= qx1 and qy0 <= y and y + s - 1 <= qy1:
+            lo, hi = code << k, ((code + 1) << k) - 1
+            if out and out[-1][1] + 1 == lo:
+                out[-1] = (out[-1][0], hi)  # adjacent: merge in place
+            else:
+                out.append((lo, hi))
+            return
+        h = s >> 1
+        for c in range(4):  # child-code order == ascending Morton order
+            walk(level + 1, code << 2 | c,
+                 x + (c & 1) * h, y + (c >> 1) * h)
+
+    walk(0, 0, 0, 0)
+    while len(out) > max_ranges:
+        # swallow the smallest gap (adds only false positives)
+        gi = min(range(len(out) - 1),
+                 key=lambda i: out[i + 1][0] - out[i][1])
+        out[gi:gi + 2] = [(out[gi][0], out[gi + 1][1])]
+    return [(prefix | lo, prefix | hi) for lo, hi in out]
+
+
+def zorder_range_filter(
+    df: DataFrame,
+    lat0: float, lat1: float, lon0: float, lon1: float,
+    res: int = 16, max_ranges: int = 64,
+    lat_col: str = "lat", lon_col: str = "lon",
+    key_col: str | None = None,
+) -> DataFrame:
+    """Bbox filter as pushed-down Z-key ranges + exact residual.
+
+    With `key_col` naming a STORED Morton-key column (written by a
+    zorder_layout + `withColumn(key, zorder_col(...))` sink), the
+    OR-of-BETWEENs reaches the parquet scan as PushedFilters and prunes
+    row groups by the key's min/max stats — the read-side payoff of the
+    write-side layout. Without it the ranges are computed on the fly
+    (no stats pruning, but the cheap integer disjunction still
+    short-circuits ahead of the residual float predicate). The residual
+    exact bbox predicate keeps semantics independent of `max_ranges`
+    coarsening.
+    """
+    ranges = zorder_ranges(lat0, lat1, lon0, lon1, res, max_ranges)
+    if not ranges:
+        return df.filter(F.lit(False))
+    if key_col is not None:
+        # stored key: the plain OR-of-BETWEENs is the point — it reaches
+        # the parquet scan as PushedFilters and prunes row groups by the
+        # key's min/max stats
+        key = F.col(key_col)
+        cond = None
+        for lo, hi in ranges:
+            c = key.between(F.lit(lo), F.lit(hi))
+            cond = c if cond is None else cond | c
+    else:
+        # computed key: predicate pushdown substitutes the projection
+        # into the filter, so an OR-of-BETWEENs would duplicate the
+        # spread-bit ladder 2·|ranges| times in ONE codegen method
+        # (measured: janino OOMs / falls back at ~64 ranges). A literal
+        # ranges array + exists() references the key expression a
+        # CONSTANT number of times regardless of |ranges|; the global
+        # [lo, hi] bound stays a plain pushable comparison.
+        key = zorder_col(F.col(lat_col), F.col(lon_col), res)
+        rarr = F.array(*[
+            F.struct(F.lit(lo).alias("lo"), F.lit(hi).alias("hi"))
+            for lo, hi in ranges
+        ])
+        cond = key.between(
+            F.lit(ranges[0][0]), F.lit(ranges[-1][1])
+        ) & F.exists(
+            rarr, lambda r: (key >= r["lo"]) & (key <= r["hi"])
+        )
+    exact = (
+        (F.col(lat_col) >= F.lit(float(lat0)))
+        & (F.col(lat_col) <= F.lit(float(lat1)))
+        & (F.col(lon_col) >= F.lit(float(lon0)))
+        & (F.col(lon_col) <= F.lit(float(lon1)))
+    )
+    return df.filter(cond & exact)
