@@ -5267,6 +5267,45 @@ def _zrange_sql() -> str:
     )
 
 
+def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (textops.winnow_fingerprints, k=8 w=4,
+    MOSS selection rule) over a bounded documents slice — the oracle
+    replays hash/window/rightmost-min with DuckDB list lambdas over the
+    identical integers."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    return textops.winnow_fingerprints(d, k=8, w=4)
+
+
+def _winnow_sql(k: int = 8, w: int = 4) -> str:
+    from pbf2json_spark.textops import CDC_MOD, _cdc_pows
+
+    pows = _cdc_pows(257, k, CDC_MOD)
+    h = " + ".join(
+        f"ascii(text[i + {j}])::BIGINT * {p}" for j, p in enumerate(pows)
+    )
+    return (
+        "WITH d AS (SELECT doc_id AS id, text FROM documents "
+        f"WHERE doc_id % 20 = 0 AND length(text) >= {k}), "
+        "hh AS (SELECT id, list_transform("
+        f"generate_series(1, length(text) - {k - 1}), "
+        f"i -> ({h}) % {CDC_MOD}) AS hs FROM d), "
+        f"ww AS (SELECT id, hs, least({w}, len(hs)) AS we FROM hh), "
+        # (pos, fp) packed into one BIGINT (fp < 2^31 by the hash mod) so
+        # list_distinct works — this DuckDB build has no struct distinct
+        "p AS (SELECT id, list_distinct(list_transform("
+        "generate_series(1, len(hs) - we + 1), "
+        "s -> CAST(s + list_max(list_filter("
+        "generate_series(1, we), "
+        "j -> hs[s + j - 1] = list_min(list_slice(hs, s, s + we - 1)))) "
+        "- 1 AS BIGINT) * 2147483648 "
+        "+ CAST(list_min(list_slice(hs, s, s + we - 1)) AS BIGINT)"
+        ")) AS picks FROM ww), "
+        "u AS (SELECT id, unnest(picks) AS pk FROM p) "
+        "SELECT id, CAST(pk // 2147483648 AS BIGINT) AS pos, "
+        "CAST(pk % 2147483648 AS BIGINT) AS fp FROM u"
+    )
+
+
 def _q_gt_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Good-Turing frequency-of-frequencies (corpus.good_turing_mass,
     r ≤ 5) over the documents table: N_r rows plus the r=0 unseen-mass
@@ -9495,6 +9534,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gt_unseen_mass": _q_gt_mass,
         # wave 73 (round 5)
         "zrange_filter": _q_zrange_filter,
+        # wave 74 (round 5)
+        "winnow_fps": _q_winnow,
     }
 
 
@@ -10795,6 +10836,8 @@ def oracle_sql() -> dict[str, str]:
     sqls["gt_unseen_mass"] = _GT_SQL
     # wave-73 oracle (round 5)
     sqls["zrange_filter"] = _zrange_sql()
+    # wave-74 oracle (round 5)
+    sqls["winnow_fps"] = _winnow_sql()
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

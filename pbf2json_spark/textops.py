@@ -862,3 +862,81 @@ def mojibake_sql(text_expr: str = "text") -> str:
             f"''))) // {len(m)}"
         )
     return "(" + " + ".join(parts) + ")"
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken 2003,
+    the MOSS algorithm): hash every k-gram, slide a window of w hashes,
+    select the RIGHTMOST minimal hash per window, keep the distinct
+    (position, hash) selections. The guarantee that makes it the standard
+    local fingerprinting for plagiarism / clone detection: any substring
+    match of length ≥ w + k − 1 shares at least one fingerprint, while
+    the expected density is only 2/(w+1) — so matching documents meet in
+    a fingerprint-keyed equi-join at a fraction of full-shingle cost.
+
+    Entirely pure Column codegen (the cdc_chunks discipline): the k-gram
+    hash is the same rolling polynomial over literal power constants, the
+    window min is array_min over an in-row slice, and the rightmost-min
+    tie rule is one max-over-matching-offsets aggregate — no Python, no
+    explode-per-char; ONE row-explode emits (id, pos, fp) at the end.
+    Work is O(len·w) per document in expression terms, same class as the
+    O(len·k) hash itself.
+
+    Docs with fewer than w k-gram hashes (but ≥ 1) fingerprint with a
+    single whole-list window — a short doc still lands in the join;
+    empty / shorter-than-k docs emit nothing.
+
+    Output: (id, pos [1-based k-gram start], fp [BIGINT hash]).
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k >= 1 and w >= 1")
+    pows = _cdc_pows(257, k, CDC_MOD)
+    t, d = F.col(text_col), F.col(id_col)
+    ln = F.length(t)
+
+    def gram_hash(i):
+        s = None
+        for j, p in enumerate(pows):
+            term = F.ascii(F.substring(t, i + F.lit(j), 1)).cast("long") * F.lit(p)
+            s = term if s is None else s + term
+        return s % F.lit(CDC_MOD)
+
+    m = ln - (k - 1)  # number of k-gram hashes
+    hashes = F.when(
+        ln >= k, F.transform(F.sequence(F.lit(1), m), gram_hash)
+    ).otherwise(F.array().cast("array<bigint>"))
+    staged = (
+        df.filter(ln >= k)
+        .select(d.alias("id"), hashes.alias("_hs"))
+    )
+    hs = F.col("_hs")
+    we = F.least(F.lit(w), F.size(hs))  # short docs: whole-list window
+    nwin = F.size(hs) - we + 1
+
+    def pick(s):
+        sl = F.slice(hs, s, we)
+        mn = F.array_min(sl)
+        # rightmost offset holding the minimum (1-based within window)
+        rj = F.array_max(
+            F.filter(
+                F.sequence(F.lit(1), we),
+                lambda j: F.element_at(sl, j) == mn,
+            )
+        )
+        return F.struct(
+            (s + rj - 1).cast("long").alias("pos"), mn.alias("fp")
+        )
+
+    picks = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), nwin), pick)
+    )
+    return (
+        staged.select("id", F.explode(picks).alias("_p"))
+        .select("id", F.col("_p.pos").alias("pos"), F.col("_p.fp").alias("fp"))
+    )
