@@ -5267,6 +5267,24 @@ def _zrange_sql() -> str:
     )
 
 
+def _q_hrange_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert bbox range filter (layout.hilbert_range_filter): the same
+    budget-independent-semantics contract as zrange_filter, over the
+    locality-optimal curve (fewer intervals than Morton for the same
+    bbox — asserted in tests/test_wave75). Oracle: plain bbox predicate."""
+    c = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    pts = c.select(
+        ck.alias("cid"),
+        _lat_col(ck).alias("lat"),
+        _lon_col(ck).alias("lon"),
+    )
+    lat0, lat1, lon0, lon1 = _ZR_BOX
+    return layout.hilbert_range_filter(
+        pts, lat0, lat1, lon0, lon1, res=7, max_ranges=5
+    )
+
+
 def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (textops.winnow_fingerprints, k=8 w=4,
     MOSS selection rule) over a bounded documents slice — the oracle
@@ -9536,6 +9554,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zrange_filter": _q_zrange_filter,
         # wave 74 (round 5)
         "winnow_fps": _q_winnow,
+        # wave 75 (round 5)
+        "hrange_filter": _q_hrange_filter,
     }
 
 
@@ -10838,6 +10858,9 @@ def oracle_sql() -> dict[str, str]:
     sqls["zrange_filter"] = _zrange_sql()
     # wave-74 oracle (round 5)
     sqls["winnow_fps"] = _winnow_sql()
+    # wave-75 oracle (round 5): same plain-bbox mirror as zrange_filter —
+    # the range machinery is semantics-free by the residual contract
+    sqls["hrange_filter"] = _zrange_sql()
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

@@ -178,6 +178,8 @@ BENCH_QUERIES = [
     "vocab_coverage",
     "gt_unseen_mass",
     "zrange_filter",
+    "winnow_fps",
+    "hrange_filter",
 ]
 
 

@@ -345,3 +345,123 @@ def zorder_range_filter(
         & (F.col(lon_col) <= F.lit(float(lon1)))
     )
     return df.filter(cond & exact)
+
+
+def hilbert_ranges(
+    lat0: float, lat1: float, lon0: float, lon1: float,
+    res: int = 16, max_ranges: int = 64,
+) -> list[tuple[int, int]]:
+    """Sorted merged [lo, hi] HILBERT-distance intervals (hilbert_d /
+    hilbert_df convention) covering every grid cell at `res` intersecting
+    the bbox — the locality-optimal sibling of zorder_ranges: because
+    consecutive Hilbert codes are always 4-adjacent cells, the same bbox
+    needs FEWER intervals than the Morton decomposition (no Z seams), so
+    the pushed scan predicate is smaller for the same pruning power.
+
+    Same recursion shape as zorder_ranges but the quad walk carries the
+    curve's corner + axis vectors (rotation/reflection state); children
+    visited in curve order, so DFS emits intervals already ascending.
+    Budget coarsening merges smallest gaps (false positives only).
+    """
+    if not 0 <= res <= cells.MAX_RES:
+        raise ValueError(f"res must be in [0, {cells.MAX_RES}]")
+    if max_ranges < 1:
+        raise ValueError("max_ranges >= 1")
+    if lat1 < lat0 or lon1 < lon0:
+        return []
+    import math
+    n = 1 << res
+    qx0 = max(0, min(n - 1, math.floor((lon0 + 180.0) / 360.0 * n)))
+    qx1 = max(0, min(n - 1, math.floor((lon1 + 180.0) / 360.0 * n)))
+    qy0 = max(0, min(n - 1, math.floor((lat0 + 90.0) / 180.0 * n)))
+    qy1 = max(0, min(n - 1, math.floor((lat1 + 90.0) / 180.0 * n)))
+    if qx1 < qx0 or qy1 < qy0:
+        return []
+    out: list[tuple[int, int]] = []
+    d0 = 0  # DFS cursor: curve distance at the node's first cell
+
+    def walk(x0, y0, xi, xj, yi, yj, level):
+        nonlocal d0
+        size = 1 << (2 * level)
+        # node bbox from the two diagonal corners (axes may be negative)
+        cnx, cny = x0 + xi + yi, y0 + xj + yj
+        lo_x, hi_x = min(x0, cnx), max(x0, cnx) - 1
+        lo_y, hi_y = min(y0, cny), max(y0, cny) - 1
+        if lo_x > qx1 or hi_x < qx0 or lo_y > qy1 or hi_y < qy0:
+            d0 += size
+            return
+        if qx0 <= lo_x and hi_x <= qx1 and qy0 <= lo_y and hi_y <= qy1:
+            lo, hi = d0, d0 + size - 1
+            if out and out[-1][1] + 1 == lo:
+                out[-1] = (out[-1][0], hi)
+            else:
+                out.append((lo, hi))
+            d0 += size
+            return
+        walk(x0, y0, yi // 2, yj // 2, xi // 2, xj // 2, level - 1)
+        walk(x0 + xi // 2, y0 + xj // 2,
+             xi // 2, xj // 2, yi // 2, yj // 2, level - 1)
+        walk(x0 + xi // 2 + yi // 2, y0 + xj // 2 + yj // 2,
+             xi // 2, xj // 2, yi // 2, yj // 2, level - 1)
+        walk(x0 + xi // 2 + yi, y0 + xj // 2 + yj,
+             -yi // 2, -yj // 2, -xi // 2, -xj // 2, level - 1)
+
+    # initial orientation (xi along y-axis) matches hilbert_d exactly
+    # (verified cell-by-cell against the bit walk in tests)
+    walk(0, 0, 0, n, n, 0, res)
+    while len(out) > max_ranges:
+        gi = min(range(len(out) - 1),
+                 key=lambda i: out[i + 1][0] - out[i][1])
+        out[gi:gi + 2] = [(out[gi][0], out[gi + 1][1])]
+    return out
+
+
+def hilbert_range_filter(
+    df: DataFrame,
+    lat0: float, lat1: float, lon0: float, lon1: float,
+    res: int = 12, max_ranges: int = 64,
+    lat_col: str = "lat", lon_col: str = "lon",
+    key_col: str | None = None,
+) -> DataFrame:
+    """Bbox filter over a Hilbert-keyed layout: pushed OR-of-BETWEENs on
+    a STORED key column (PushedFilters / row-group pruning), or — without
+    one — the key is appended via the hilbert_df Column chain and probed
+    with a literal ranges array + exists() (constant key references, the
+    zorder_range_filter codegen lesson), plus the exact bbox residual."""
+    ranges = hilbert_ranges(lat0, lat1, lon0, lon1, res, max_ranges)
+    if not ranges:
+        return df.filter(F.lit(False))
+    drop_key = key_col is None
+    if drop_key:
+        # compute the key with the ARROW kernel, not the hilbert_df
+        # Column chain: pushing a predicate through the chain substitutes
+        # each level's x/y into the next (two references per level), so
+        # the optimizer's expression tree grows 2^res — Catalyst itself
+        # OOMs before codegen does. The ArrowEvalPython node is a
+        # pushdown barrier and its output a plain attribute.
+        key_col = "__hr_key"
+        if key_col in df.columns:
+            raise ValueError(f"input frame already has a {key_col!r} column")
+        n = 1 << res
+        gx = F.greatest(F.lit(0), F.least(
+            F.lit(n - 1),
+            F.floor((F.col(lon_col) + 180.0) / 360.0 * float(n)),
+        )).cast("long")
+        gy = F.greatest(F.lit(0), F.least(
+            F.lit(n - 1),
+            F.floor((F.col(lat_col) + 90.0) / 180.0 * float(n)),
+        )).cast("long")
+        df = df.withColumn(key_col, hilbert_udf(res)(gx, gy))
+    key = F.col(key_col)
+    cond = None
+    for lo, hi in ranges:
+        c = key.between(F.lit(lo), F.lit(hi))
+        cond = c if cond is None else cond | c
+    exact = (
+        (F.col(lat_col) >= F.lit(float(lat0)))
+        & (F.col(lat_col) <= F.lit(float(lat1)))
+        & (F.col(lon_col) >= F.lit(float(lon0)))
+        & (F.col(lon_col) <= F.lit(float(lon1)))
+    )
+    out = df.filter(cond & exact)
+    return out.drop(key_col) if drop_key else out
