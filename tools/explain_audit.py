@@ -622,6 +622,35 @@ def main() -> int:
         ],
     ))
 
+    # 36c/d. Z-order / Hilbert bbox range filters (round 5): the Morton
+    # computed-key path must stay pure JVM (exists() over a literal
+    # ranges array — NOT an inlined OR-of-BETWEENs, which duplicates the
+    # spread ladder per range); the Hilbert computed-key path crosses to
+    # Python BY DESIGN but only as an Arrow batch (the Column chain would
+    # grow 2^res under predicate substitution)
+    zr = extra["zrange_filter"](spark, sf_dir)
+    p = plan_text(zr)
+    sections.append((
+        "Z-order bbox range filter (zrange_filter)", p,
+        [
+            ("no Python eval (pure Column key + exists probe)",
+             "EvalPython" not in p, ""),
+            ("single scan, no join/shuffle (a filter, not a join)",
+             "Exchange" not in p and "Join" not in p, ""),
+        ],
+    ))
+    hr = extra["hrange_filter"](spark, sf_dir)
+    p = plan_text(hr)
+    sections.append((
+        "Hilbert bbox range filter (hrange_filter)", p,
+        [
+            ("Python crossing is Arrow-batched only",
+             "BatchEvalPython" not in p, ""),
+            ("no join/shuffle (a filter, not a join)",
+             "Exchange" not in p and ("Join" not in p), ""),
+        ],
+    ))
+
     # 37. OD flows: lag window partitioned by user + partial aggregation
     # on the 4-part cell key; all-JVM
     od = allq["od_flows"](spark, sf_dir)
