@@ -311,40 +311,43 @@ def zorder_range_filter(
     ranges = zorder_ranges(lat0, lat1, lon0, lon1, res, max_ranges)
     if not ranges:
         return df.filter(F.lit(False))
-    if key_col is not None:
-        # stored key: the plain OR-of-BETWEENs is the point — it reaches
-        # the parquet scan as PushedFilters and prunes row groups by the
-        # key's min/max stats
-        key = F.col(key_col)
-        cond = None
-        for lo, hi in ranges:
-            c = key.between(F.lit(lo), F.lit(hi))
-            cond = c if cond is None else cond | c
-    else:
-        # computed key: predicate pushdown substitutes the projection
-        # into the filter, so an OR-of-BETWEENs would duplicate the
-        # spread-bit ladder 2·|ranges| times in ONE codegen method
-        # (measured: janino OOMs / falls back at ~64 ranges). A literal
-        # ranges array + exists() references the key expression a
-        # CONSTANT number of times regardless of |ranges|; the global
-        # [lo, hi] bound stays a plain pushable comparison.
-        key = zorder_col(F.col(lat_col), F.col(lon_col), res)
-        rarr = F.array(*[
-            F.struct(F.lit(lo).alias("lo"), F.lit(hi).alias("hi"))
-            for lo, hi in ranges
-        ])
-        cond = key.between(
-            F.lit(ranges[0][0]), F.lit(ranges[-1][1])
-        ) & F.exists(
-            rarr, lambda r: (key >= r["lo"]) & (key <= r["hi"])
-        )
+    drop_key = key_col is None
+    if drop_key:
+        # computed key: key rows with the Arrow numpy kernel. Predicate
+        # pushdown would substitute an inline Column key into the filter,
+        # duplicating the spread-bit ladder 2·|ranges| times in ONE
+        # codegen method (measured: janino OOM / interpreter fallback at
+        # ~64 ranges; an exists() probe avoids that but runs as an
+        # interpreted HOF — measured ~6x slower than the Arrow path at
+        # sf0.1). The ArrowEvalPython node is a pushdown barrier and its
+        # output a plain attribute, so the BETWEENs below stay cheap.
+        key_col = "__zr_key"
+        if key_col in df.columns:
+            raise ValueError(f"input frame already has a {key_col!r} column")
+
+        @F.pandas_udf("long")
+        def _zkey(lat: pd.Series, lon: pd.Series) -> pd.Series:
+            return pd.Series(cells.encode(
+                lat.to_numpy(np.float64), lon.to_numpy(np.float64), res
+            ))
+
+        df = df.withColumn(key_col, _zkey(F.col(lat_col), F.col(lon_col)))
+    # the plain OR-of-BETWEENs on a stored key reaches the parquet scan
+    # as PushedFilters and prunes row groups by the key's min/max stats;
+    # on the computed key it's the same cheap attribute comparisons
+    key = F.col(key_col)
+    cond = None
+    for lo, hi in ranges:
+        c = key.between(F.lit(lo), F.lit(hi))
+        cond = c if cond is None else cond | c
     exact = (
         (F.col(lat_col) >= F.lit(float(lat0)))
         & (F.col(lat_col) <= F.lit(float(lat1)))
         & (F.col(lon_col) >= F.lit(float(lon0)))
         & (F.col(lon_col) <= F.lit(float(lon1)))
     )
-    return df.filter(cond & exact)
+    out = df.filter(cond & exact)
+    return out.drop(key_col) if drop_key else out
 
 
 def hilbert_ranges(

@@ -622,19 +622,23 @@ def main() -> int:
         ],
     ))
 
-    # 36c/d. Z-order / Hilbert bbox range filters (round 5): the Morton
-    # computed-key path must stay pure JVM (exists() over a literal
-    # ranges array — NOT an inlined OR-of-BETWEENs, which duplicates the
-    # spread ladder per range); the Hilbert computed-key path crosses to
-    # Python BY DESIGN but only as an Arrow batch (the Column chain would
-    # grow 2^res under predicate substitution)
+    # 36c/d. Z-order / Hilbert bbox range filters (round 5): both
+    # computed-key paths key rows with an Arrow numpy kernel BY DESIGN —
+    # an inline Column key gets substituted into the filter by pushdown,
+    # duplicating the bit ladder per BETWEEN (janino OOM at ~64 ranges),
+    # and the exists()-probe alternative runs as an interpreted HOF
+    # (measured ~6x slower). The property that must hold: the crossing
+    # is ArrowEvalPython (vectorized), never BatchEvalPython, and the
+    # plan is one scan — no join, no shuffle. (On a STORED key column
+    # neither crossing exists and the BETWEENs push to parquet —
+    # asserted by tests/test_wave73+75's PushedFilters round-trips.)
     zr = extra["zrange_filter"](spark, sf_dir)
     p = plan_text(zr)
     sections.append((
         "Z-order bbox range filter (zrange_filter)", p,
         [
-            ("no Python eval (pure Column key + exists probe)",
-             "EvalPython" not in p, ""),
+            ("Python crossing is Arrow-batched only",
+             "BatchEvalPython" not in p, ""),
             ("single scan, no join/shuffle (a filter, not a join)",
              "Exchange" not in p and "Join" not in p, ""),
         ],
