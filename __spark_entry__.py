@@ -5267,6 +5267,27 @@ def _zrange_sql() -> str:
     )
 
 
+def _q_temp_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source rebalancing (sampling.
+    temperature_downsample, alpha = 1/2): kept mix ∝ n_source^0.5 via the
+    deterministic md5-u32 threshold — the oracle replays the identical
+    correctly-rounded sqrt tree and hash, so the kept SET is exact."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.temperature_downsample(d, "source", alpha_q=2)
+
+
+_TEMP_MIX_SQL = (
+    "WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS ng "
+    "FROM documents GROUP BY source), "
+    "m AS (SELECT min(ng) AS nmin FROM c), "
+    "t AS (SELECT source, CAST(floor(sqrt(CAST(nmin AS DOUBLE) / "
+    "CAST(ng AS DOUBLE)) * 4294967296.0e0) AS BIGINT) AS thr FROM c, m) "
+    "SELECT d.doc_id, d.source FROM documents d JOIN t USING (source) "
+    "WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':0'), 1, 8))"
+    "::BIGINT < t.thr"
+)
+
+
 def _q_hrange_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hilbert bbox range filter (layout.hilbert_range_filter): the same
     budget-independent-semantics contract as zrange_filter, over the
@@ -9556,6 +9577,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fps": _q_winnow,
         # wave 75 (round 5)
         "hrange_filter": _q_hrange_filter,
+        # wave 76 (round 5)
+        "temp_mix": _q_temp_mix,
     }
 
 
@@ -10861,6 +10884,8 @@ def oracle_sql() -> dict[str, str]:
     # wave-75 oracle (round 5): same plain-bbox mirror as zrange_filter —
     # the range machinery is semantics-free by the residual contract
     sqls["hrange_filter"] = _zrange_sql()
+    # wave-76 oracle (round 5)
+    sqls["temp_mix"] = _TEMP_MIX_SQL
     # wave-35 oracles
     sqls["snm_pairs"] = _SNM_SQL
     sqls["rendezvous_shards"] = _rendezvous_sql(8)

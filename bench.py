@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "zrange_filter",
     "winnow_fps",
     "hrange_filter",
+    "temp_mix",
 ]
 
 

@@ -494,3 +494,53 @@ def tempered_negatives(
         "query", F.col("slot").cast("long").alias("slot"),
         F.col("_it").alias("item"),
     )
+
+
+def temperature_downsample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    alpha_q: int = 2,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-scaled source rebalancing (the multilingual-sampling /
+    data-mixing classic: raw proportions overtrain the head source,
+    uniform overtrains the tail — sample groups ∝ n_g^α, α ∈ (0,1)).
+    Realized as deterministic DOWNSAMPLING: the target mix ∝ n_g^α is hit
+    by keeping each row of group g with probability
+    p_g = (n_min / n_g)^(1−α) — the smallest group keeps everything, a
+    group X× larger keeps X^(α−1) of itself, and the kept mix is exactly
+    temperature-flattened. α = alpha_q/4 with alpha_q ∈ {1, 2, 3}: the
+    exponent tree is a nested-sqrt chain (x^¼ = sqrt(sqrt x), x^½ = sqrt,
+    x^¾ = sqrt(x·sqrt x)) of CORRECTLY-ROUNDED IEEE primitives — the
+    tempered_negatives discipline — so the per-group integer threshold
+    floor(p_g·2³²) is bit-identical in any IEEE engine and the kept set
+    is an exact function of the input (oracle-replayable, no RNG).
+
+    Scale shape: one map-side-combinable group count (metadata-sized),
+    one scalar min, one BROADCAST join of the |groups| thresholds back,
+    and a scan-level u32-hash filter — no data-sized shuffle anywhere.
+
+    Output: the kept rows of `df` (all original columns).
+    """
+    if alpha_q not in (1, 2, 3):
+        raise ValueError("alpha_q in {1, 2, 3} (alpha = alpha_q/4)")
+    g = F.col(group_col)
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_ng"))
+    nmin = counts.agg(F.min("_ng").alias("_nmin"))
+    r = F.col("_nmin").cast("double") / F.col("_ng").cast("double")
+    e = 4 - alpha_q  # p = r^(e/4)
+    if e == 1:
+        p = F.sqrt(F.sqrt(r))
+    elif e == 2:
+        p = F.sqrt(r)
+    else:
+        p = F.sqrt(r * F.sqrt(r))
+    thr = (
+        counts.crossJoin(F.broadcast(nmin))
+        .select(g.alias("__tg"), F.floor(p * F.lit(float(_U32_SPAN))).alias("__thr"))
+    )
+    out = df.join(F.broadcast(thr), g == F.col("__tg"))
+    return out.filter(
+        _u32(F.col(id_col), seed) < F.col("__thr")
+    ).drop("__tg", "__thr")
